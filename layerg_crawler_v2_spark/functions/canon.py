@@ -1,0 +1,207 @@
+"""URL canonicalization: RFC 3986 normalization + SURT host reversal.
+
+This is the graft analog of the reference's key normalization — addresses are
+lowercased before every compare/store (cmd/onchain.go:70,98;
+cmd/crawler_cmd.go:101; cmd/handler_registry.go:39-45) and event signatures are
+hashed to a fixed-width dispatch key (generated/eventhandlers/
+event_handlers.go:264-267). Here the normalize step is the full RFC 3986
+algorithm and the dispatch key is xxhash64(canonical_url) computed JVM-side
+with the native `F.xxhash64` (no Python in that hot path).
+
+All per-row Python runs inside vectorized pandas/Arrow UDFs per the input_hint
+mandate. The core `canonicalize` is a pure deterministic function so goldens
+hold under any partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# RFC 3986 §2.3 unreserved characters
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):(.*)$", re.S)
+
+
+def _norm_pct(s: str) -> str:
+    """Decode %XX for unreserved chars, uppercase remaining hex (RFC 3986 §6.2.2.2)."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+        else:
+            out.append(seg)
+    norm = "/".join(out)
+    if path.startswith("/") and not norm.startswith("/"):
+        norm = "/" + norm
+    # "/a/.." -> "/" ; "a/.." -> ""
+    if norm == "":
+        norm = "/" if path.startswith("/") else ""
+    return norm
+
+
+def canonicalize(url: str) -> str | None:
+    """Canonical form of an absolute http(s) URL; None if unparseable/unsupported.
+
+    Steps: lowercase scheme+host, strip fragment, drop default port, normalize
+    percent-encoding, remove dot segments, empty path -> "/", sort query
+    parameters bytewise (stable dedup of param-order variants).
+    """
+    if not url:
+        return None
+    url = url.strip()
+    m = _SCHEME_RE.match(url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    rest = m.group(2)
+    if scheme not in ("http", "https") or not rest.startswith("//"):
+        return None
+    rest = rest[2:]
+    # split off fragment first (dropped), then query, then path
+    rest = rest.split("#", 1)[0]
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    else:
+        query = None
+    if "/" in rest:
+        netloc, path = rest.split("/", 1)
+        path = "/" + path
+    else:
+        netloc, path = rest, ""
+    # userinfo not supported for crawl URLs
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    if ":" in netloc:
+        host, port = netloc.rsplit(":", 1)
+        if port == _DEFAULT_PORTS.get(scheme) or port == "":
+            port = None
+    else:
+        host, port = netloc, None
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    path = _norm_pct(_remove_dot_segments(path)) or "/"
+    out = f"{scheme}://{host}"
+    if port:
+        out += f":{port}"
+    out += path
+    if query is not None and query != "":
+        params = sorted(_norm_pct(query).split("&"))
+        out += "?" + "&".join(params)
+    return out
+
+
+def surt(canonical_url: str | None) -> str | None:
+    """SURT form of an already-canonical URL: `com,example)/path?q`."""
+    if canonical_url is None:
+        return None
+    m = _SCHEME_RE.match(canonical_url)
+    if not m:
+        return None
+    rest = m.group(2)[2:]
+    if "/" in rest:
+        netloc, path = rest.split("/", 1)
+        path = "/" + path
+    else:
+        netloc, path = rest, "/"
+    if ":" in netloc:
+        host, port = netloc.rsplit(":", 1)
+        netloc = host + ":" + port
+        rev = ",".join(reversed(host.split("."))) + ":" + port
+    else:
+        rev = ",".join(reversed(netloc.split(".")))
+    return rev + ")" + path
+
+
+def host_of(canonical_url: str | None) -> str | None:
+    if canonical_url is None:
+        return None
+    m = _SCHEME_RE.match(canonical_url)
+    if not m or not m.group(2).startswith("//"):
+        return None
+    netloc = m.group(2)[2:].split("/", 1)[0]
+    return netloc
+
+
+def resolve(base: str, href: str) -> str | None:
+    """Resolve an href against a base URL (RFC 3986 §5), then canonicalize."""
+    if not href:
+        return None
+    href = href.strip()
+    if _SCHEME_RE.match(href):
+        return canonicalize(href)
+    base_c = canonicalize(base)
+    if base_c is None:
+        return None
+    m = _SCHEME_RE.match(base_c)
+    scheme, rest = m.group(1), m.group(2)[2:]
+    if "/" in rest:
+        netloc, bpath = rest.split("/", 1)
+        bpath = "/" + bpath
+    else:
+        netloc, bpath = rest, "/"
+    if href.startswith("//"):
+        return canonicalize(scheme + ":" + href)
+    if href.startswith("/"):
+        return canonicalize(f"{scheme}://{netloc}{href}")
+    # relative path
+    base_dir = bpath.rsplit("/", 1)[0]
+    return canonicalize(f"{scheme}://{netloc}{base_dir}/{href}")
+
+
+# --- vectorized Spark surface -------------------------------------------------
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def surt_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: surt(canonicalize(u)), na_action="ignore")
+
+
+@pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of, na_action="ignore")
+
+
+def url_hash_col(canon_col: Column | str) -> Column:
+    """xxhash64 of the canonical URL — native JVM expression, no Python.
+
+    Analog of the reference's topic-hash dispatch key
+    (cmd/handler_registry.go:41-43)."""
+    c = F.col(canon_col) if isinstance(canon_col, str) else canon_col
+    return F.xxhash64(c)
+
+
+def host_bucket_col(host_col: Column | str, n_buckets: int) -> Column:
+    """Deterministic host bucket: pmod(xxhash64(host), n)."""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
