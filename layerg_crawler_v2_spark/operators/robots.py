@@ -1,0 +1,55 @@
+"""robots.txt allow/deny filtering.
+
+Graft analog of the monitored-address allowlist — the reference drops any log
+whose address is not in the per-chain allowlist before routing
+(cmd/onchain.go:68-72, 95-100). Here the rule table is (host, rule_type,
+path_prefix); semantics are longest-prefix-match, allow wins ties, no
+matching rule = allowed (standard robots exclusion semantics).
+
+The rules table is tiny relative to the frontier → broadcast join; the
+prefix match and longest-rule selection are pure Column expressions, fully
+codegen'd, no Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _path_expr(url_col: str):
+    """Path component ('/...') of a canonical absolute URL column."""
+    authority_and_path = f"substring_index({url_col}, '://', -1)"
+    return F.expr(
+        f"CASE WHEN instr({authority_and_path}, '/') = 0 THEN '/' "
+        f"ELSE substr({authority_and_path}, instr({authority_and_path}, '/')) END"
+    )
+
+
+def apply_robots(
+    candidates: DataFrame,
+    robots: DataFrame | None,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Keep candidate URLs the robots rule table allows."""
+    if robots is None:
+        return candidates
+    cand = candidates.withColumn("__path", _path_expr(url_col))
+    joined = cand.join(
+        F.broadcast(robots.withColumnRenamed("host", host_col)),
+        on=host_col,
+        how="left",
+    ).withColumn(
+        "__match",
+        F.col("path_prefix").isNotNull()
+        & F.col("__path").startswith(F.col("path_prefix")),
+    )
+    # longest matching rule wins; allow beats deny at equal length
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc("__match"),
+        F.desc(F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1)),
+        F.asc(F.when(F.col("rule_type") == "allow", 0).otherwise(1)),
+    )
+    best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    allowed = best.filter((~F.col("__match")) | (F.col("rule_type") == "allow"))
+    return allowed.drop("__path", "__match", "__rn", "rule_type", "path_prefix")

@@ -41,8 +41,11 @@ FRONTIER = T.StructType(
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("host", T.StringType(), False),
         T.StructField("host_bucket", T.IntegerType(), False),
+        # OPIC cash in fixed-point micro-units (LongType, not Double): integer
+        # sums are order-independent, so priority ordering is bit-identical at
+        # any parallelism — float sums are not (SURVEY.md §7 hard-item (e)).
         T.StructField("depth", T.IntegerType(), False),
-        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("priority", T.LongType(), False),
         T.StructField("discovered_round", T.IntegerType(), False),
         T.StructField("state", T.StringType(), False),  # QUEUED/FETCHED/SKIPPED
     ]

@@ -1,0 +1,107 @@
+"""Snapshot-atomic multi-table commits over plain Parquet.
+
+Iceberg semantics without requiring an Iceberg catalog in the sandbox
+(SURVEY.md §7 P0/P6): every round commits ALL its table deltas (frontier,
+seen, fetch_log, lineage, checkpoint) in ONE atomic manifest swap, so a
+killed job resumes from the last complete round with an identical URL-seen
+set. This closes the replay window the reference leaves open by writing
+`latest_block` only after side effects (cmd/onchain.go:114-119) and absorbing
+replays with ON CONFLICT upserts (db/graphqldb/custom.sql.go:29-42).
+
+Mechanics: table deltas land in content-addressed directories first; the
+manifest (JSON) referencing them is then atomically `os.replace`d. Orphan
+directories from a crashed commit are simply never referenced. On a real
+cluster the same API is backed by Iceberg `writeTo(...).append()` inside a
+single transaction; the store hides which backend is active.
+
+Tables support two modes: `append` (fetch_log, lineage, url_seen deltas,
+checkpoints) and `replace` (frontier — full queue state per round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapshotStore:
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        os.makedirs(os.path.join(self.base, "tables"), exist_ok=True)
+        self._manifest_path = os.path.join(self.base, "manifest.json")
+
+    # -- manifest ------------------------------------------------------------
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def last_round(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1]["round"] if snaps else None
+
+    # -- commit --------------------------------------------------------------
+    def commit(
+        self,
+        round_no: int,
+        appends: dict[str, DataFrame],
+        replaces: dict[str, DataFrame] | None = None,
+        counters: dict[str, int] | None = None,
+    ) -> str:
+        """Write all deltas, then atomically publish one snapshot."""
+        snapshot_id = f"snap-{round_no}-{uuid.uuid4().hex[:12]}"
+        entry: dict = {
+            "snapshot_id": snapshot_id,
+            "round": round_no,
+            "append": {},
+            "replace": {},
+            "counters": counters or {},
+        }
+        for name, df in (appends or {}).items():
+            path = os.path.join(self.base, "tables", name, snapshot_id)
+            df.write.mode("overwrite").parquet(path)
+            entry["append"][name] = path
+        for name, df in (replaces or {}).items():
+            path = os.path.join(self.base, "tables", name, snapshot_id)
+            df.write.mode("overwrite").parquet(path)
+            entry["replace"][name] = path
+        manifest = self._load()
+        # idempotent replay: drop any snapshot for the same round (a retried
+        # round replaces its partial predecessor — exactly-once on resume)
+        manifest["snapshots"] = [
+            s for s in manifest["snapshots"] if s["round"] < round_no
+        ]
+        manifest["snapshots"].append(entry)
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # the atomic commit point
+        return snapshot_id
+
+    # -- read ----------------------------------------------------------------
+    def _paths_for(self, table: str) -> list[str]:
+        paths: list[str] = []
+        for snap in self.snapshots():
+            if table in snap["replace"]:
+                paths = [snap["replace"][table]]
+            if table in snap["append"]:
+                paths.append(snap["append"][table])
+        return paths
+
+    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
+        paths = self._paths_for(table)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.base, ignore_errors=True)

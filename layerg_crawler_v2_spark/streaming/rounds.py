@@ -1,0 +1,306 @@
+"""The frontier round loop — the engine's live-crawl dataflow.
+
+One round is one DAG (SURVEY.md §3.2 "Spark shape"), replacing the
+reference's sequential per-block loop (cmd/onchain.go:52-124):
+
+    frontier(QUEUED) ─ top-K per host + pacing ─▶ selected
+        ⟕ pages on canonical url (simulated fetch; joins replace the
+          reference's per-row RPC N+1, cmd/onchain.go:87-92)
+        ─ extract outlinks (Arrow UDF ≈ generated Unpack* decoders)
+        ─ resolve + canonicalize ─ groupBy url (OPIC cash merge)
+        ─ robots / allowlist filter (↔ address filter cmd/onchain.go:95-100)
+        ─ anti-join URL-seen (↔ unique-set add-if-absent,
+          cmd/helpers/unique-set-onchain.go:28-31)
+        ─▶ one atomic snapshot: fetch_log + seen delta + lineage +
+           checkpoint + next frontier  (fixes the replay window of
+           cmd/onchain.go:114-119)
+
+Semantics (mirrored 1:1 by tests/reference_sim.py, the <200-LoC sequential
+oracle):
+  * priority = OPIC cash in integer micro-units; a fetched page's cash is
+    split child_share = parent_units // n_outlinks (integer division — exact,
+    order-independent);
+  * a URL enters the frontier only at FIRST discovery (add-if-absent, the
+    reference's unique-set semantics); later discoveries are dropped;
+  * per round, per host: at most max_parallel fetches, top by
+    (priority DESC, url ASC), spaced delay_ms on the simulated round clock;
+  * seen ⊇ everything ever enqueued, so one anti-join covers both the seen
+    and the queued set.
+
+Scale notes: the selected set per round is ≤ hosts × max_parallel — tiny next
+to pages — so the fetch join broadcasts `selected` and streams `pages`
+(never the reverse). State (frontier/seen) is re-read from the snapshot
+store each round, which truncates logical-plan lineage and is exactly the
+resume path. At 10^10 URLs the seen anti-join is the big shuffle: the bloom
+prefilter (operators/seen.py) keeps its left side small, and both sides hash
+on url_hash."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions.canon import (
+    canonicalize_udf,
+    host_bucket_col,
+    host_udf,
+    resolve,
+    url_hash_col,
+)
+from ..functions.extract import extract_outlinks_udf
+from ..operators.robots import apply_robots
+from ..operators.scheduler import select_for_fetch
+from ..operators.seen import build_bloom, filter_unseen
+from ..operators.sequence import with_global_seq
+from ..sources.snapshots import SnapshotStore
+from .. import schema as S
+
+SEED_UNITS = 1_000_000_000  # OPIC cash per seed, micro-unit fixed point
+
+
+@dataclass
+class CrawlConfig:
+    rounds: int = 3
+    default_delay_ms: int = 500  # reference block_time (cmd/crawler_cmd.go:84)
+    default_max_parallel: int = 8
+    n_host_buckets: int = 64
+    use_bloom: bool = False
+    bloom_min_seen: int = 100_000  # below this the anti-join alone is cheaper
+    allow_hosts: list[str] | None = None
+    extra: dict = field(default_factory=dict)
+
+
+@pandas_udf(StringType())
+def _resolve_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    return pd.Series(
+        [resolve(b, h) if (b is not None and h is not None) else None
+         for b, h in zip(base, href)]
+    )
+
+
+def prepare_seeds(
+    spark: SparkSession, seed_urls: list[str], cfg: CrawlConfig, robots: DataFrame | None
+) -> DataFrame:
+    """Seed list -> initial frontier rows (canonical, deduped, filtered)."""
+    raw = spark.createDataFrame([(u,) for u in seed_urls], "raw_url string")
+    canon = raw.select(canonicalize_udf("raw_url").alias("url")).filter(
+        F.col("url").isNotNull()
+    )
+    dedup = canon.groupBy("url").agg(F.lit(SEED_UNITS).alias("priority"))
+    frontier = dedup.select(
+        "url",
+        url_hash_col("url").alias("url_hash"),
+        host_udf("url").alias("host"),
+        F.lit(0).alias("depth"),
+        F.col("priority").cast("long"),
+        F.lit(0).alias("discovered_round"),
+    )
+    frontier = frontier.withColumn(
+        "host_bucket", host_bucket_col("host", cfg.n_host_buckets)
+    ).withColumn("state", F.lit("QUEUED"))
+    if cfg.allow_hosts is not None:
+        frontier = frontier.filter(F.col("host").isin(cfg.allow_hosts))
+    frontier = apply_robots(frontier, robots)
+    return frontier.select([f.name for f in S.FRONTIER.fields])
+
+
+def _seen_delta(frontier_rows: DataFrame, n_buckets: int) -> DataFrame:
+    return frontier_rows.select(
+        "url_hash",
+        "url",
+        F.col("depth").alias("first_depth"),
+        F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("partition_id"),
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    store: SnapshotStore,
+    pages_canon: DataFrame,
+    hosts: DataFrame | None,
+    robots: DataFrame | None,
+    round_no: int,
+    cfg: CrawlConfig,
+) -> dict[str, int]:
+    """Execute one frontier round and commit it atomically."""
+    queued = store.read(spark, "frontier", S.FRONTIER).filter(F.col("state") == "QUEUED")
+    seen = store.read(spark, "url_seen", S.URL_SEEN)
+
+    # 1. schedule: top-K per host, paced on the simulated round clock
+    selected = select_for_fetch(
+        queued, hosts, round_no, cfg.default_delay_ms, cfg.default_max_parallel
+    ).cache()
+
+    # 2. simulated fetch: broadcast the (small) selected set, stream pages
+    fetched = (
+        pages_canon.join(F.broadcast(selected), on=pages_canon["url_canon"] == selected["url"], how="inner")
+        .drop("url_canon")
+    )
+    misses = selected.join(
+        pages_canon.select(F.col("url_canon").alias("url")), on="url", how="left_anti"
+    )
+    fetch_rows = (
+        fetched.select(
+            "url", "host", "depth", "fetch_ts",
+            F.octet_length("html").cast("long").alias("bytes"),
+            F.lit("OK").alias("status"),
+            "priority", "html",
+        )
+        .unionByName(
+            misses.select(
+                "url", "host", "depth", "fetch_ts",
+                F.lit(0).cast("long").alias("bytes"),
+                F.lit("MISS").alias("status"),
+                "priority",
+                F.lit(None).cast("binary").alias("html"),
+            )
+        )
+        .cache()
+    )
+
+    # 3. fetch log with a scalable deterministic global sequence
+    fetch_log = with_global_seq(
+        fetch_rows.select("url", "host", "depth", "fetch_ts", "bytes", "status"),
+        [F.asc("fetch_ts"), F.asc("host"), F.asc("url")],
+        seq_col="seq",
+    ).select(
+        F.lit(round_no).alias("round"),
+        F.col("seq").cast("int"),
+        "url", "host", "depth", "fetch_ts", "bytes", "status",
+    )
+
+    # 4. outlink discovery: Arrow-UDF extract + resolve + canonicalize,
+    #    then one groupBy merges OPIC cash (sum) and depth (min)
+    ok = fetch_rows.filter(F.col("status") == "OK")
+    links = ok.select(
+        "url", "depth", "priority",
+        extract_outlinks_udf("html").alias("hrefs"),
+    ).withColumn("n_out", F.size("hrefs"))
+    exploded = links.filter(F.col("n_out") > 0).select(
+        F.col("url").alias("base_url"),
+        (F.col("depth") + 1).alias("child_depth"),
+        # integer `div`, not float `/`: exact, order-independent cash split
+        F.expr("priority div n_out").alias("child_units"),
+        F.explode("hrefs").alias("href"),
+    )
+    resolved = exploded.select(
+        _resolve_udf(F.col("base_url"), F.col("href")).alias("url"),
+        "child_depth", "child_units",
+    ).filter(F.col("url").isNotNull())
+    discovered = resolved.groupBy("url").agg(
+        F.sum("child_units").alias("priority"),
+        F.min("child_depth").alias("depth"),
+    )
+    discovered = (
+        discovered.withColumn("url_hash", url_hash_col("url"))
+        .withColumn("host", host_udf("url"))
+        .withColumn("host_bucket", host_bucket_col("host", cfg.n_host_buckets))
+        .withColumn("depth", F.col("depth").cast("int"))
+        .withColumn("discovered_round", F.lit(round_no + 1))
+        .withColumn("state", F.lit("QUEUED"))
+    )
+    if cfg.allow_hosts is not None:
+        discovered = discovered.filter(F.col("host").isin(cfg.allow_hosts))
+    discovered = apply_robots(discovered, robots)
+    n_discovered = discovered.count()
+
+    # 5. add-if-absent vs the persistent seen set (bloom prefilter at scale)
+    bloom = None
+    if cfg.use_bloom and seen.count() >= cfg.bloom_min_seen:
+        bloom = build_bloom(seen)
+    new = filter_unseen(discovered, seen, bloom=bloom).select(
+        [f.name for f in S.FRONTIER.fields]
+    )
+    # dedup within the round is already done by the groupBy; anti-join vs
+    # seen covers queued too because seen ⊇ enqueued (loop invariant)
+    new = new.cache()
+
+    # 6. next frontier = leftover queued ∪ newly discovered
+    leftover = queued.join(selected.select("url"), on="url", how="left_anti")
+    next_frontier = leftover.unionByName(new)
+
+    # 7. lineage per host (DataProof analog, base_handler.go:16-26)
+    lineage = (
+        selected.groupBy("host")
+        .agg(
+            F.min("depth").alias("depth"),
+            F.count("*").alias("urls_in"),
+        )
+        .join(
+            fetch_rows.filter(F.col("status") == "OK")
+            .groupBy("host")
+            .agg(F.count("*").alias("urls_fetched")),
+            on="host", how="left",
+        )
+        .join(new.groupBy("host").agg(F.count("*").alias("urls_discovered")), on="host", how="left")
+        .select(
+            F.lit(round_no).alias("round"),
+            "host", "depth",
+            F.coalesce("urls_in", F.lit(0)).cast("long").alias("urls_in"),
+            F.coalesce("urls_fetched", F.lit(0)).cast("long").alias("urls_fetched"),
+            F.coalesce("urls_discovered", F.lit(0)).cast("long").alias("urls_discovered"),
+            F.lit(0).cast("long").alias("urls_deduped"),
+        )
+        .withColumn("urls_deduped", F.lit(int(n_discovered)) - F.col("urls_discovered"))
+    )
+
+    counters = {
+        "selected": selected.count(),
+        "fetched_ok": fetch_rows.filter(F.col("status") == "OK").count(),
+        "discovered": int(n_discovered),
+        "new": new.count(),
+    }
+    store.commit(
+        round_no,
+        appends={
+            "fetch_log": fetch_log,
+            "url_seen": _seen_delta(new, cfg.n_host_buckets),
+            "lineage": lineage,
+        },
+        replaces={"frontier": next_frontier},
+        counters=counters,
+    )
+    selected.unpersist()
+    fetch_rows.unpersist()
+    new.unpersist()
+    return counters
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_urls: list[str],
+    store: SnapshotStore,
+    cfg: CrawlConfig | None = None,
+    hosts: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    resume: bool = True,
+) -> SnapshotStore:
+    """Run (or resume) a multi-round crawl against a pages table."""
+    cfg = cfg or CrawlConfig()
+    pages_canon = pages.select(
+        canonicalize_udf("url").alias("url_canon"), "html"
+    ).filter(F.col("url_canon").isNotNull()).cache()
+
+    last = store.last_round() if resume else None
+    if last is None:
+        seeds_df = prepare_seeds(spark, seed_urls, cfg, robots)
+        store.commit(
+            -1,
+            appends={"url_seen": _seen_delta(seeds_df, cfg.n_host_buckets)},
+            replaces={"frontier": seeds_df},
+            counters={"seeds": seeds_df.count()},
+        )
+        start_round = 0
+    else:
+        start_round = last + 1
+
+    for r in range(start_round, cfg.rounds):
+        run_round(spark, store, pages_canon, hosts, robots, r, cfg)
+    pages_canon.unpersist()
+    return store

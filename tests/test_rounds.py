@@ -1,0 +1,123 @@
+"""Golden crawl-order parity: Spark engine vs the sequential simulator
+(SURVEY.md §5.2), plus resume and politeness properties (§5.4, §5.5)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark import schema as S
+from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+from layerg_crawler_v2_spark.functions.canon import canonicalize
+from layerg_crawler_v2_spark.operators.scheduler import politeness_violations
+from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+from .reference_sim import simulate
+
+ROUNDS = 3
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, sf_dir):
+    return build_pages(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def pages_dict(pages_df):
+    rows = pages_df.select("url", "html").collect()
+    return {canonicalize(r["url"]): bytes(r["html"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def seeds(pages_dict):
+    return seed_urls(len(pages_dict), n_seeds=5)
+
+
+def run_engine(spark, pages_df, seeds, tmp, rounds=ROUNDS, robots=None, robots_rows=None):
+    store = SnapshotStore(tmp)
+    cfg = CrawlConfig(rounds=rounds)
+    robots_df = None
+    if robots_rows:
+        robots_df = spark.createDataFrame(robots_rows, S.ROBOTS)
+    run_crawl(spark, pages_df, seeds, store, cfg, robots=robots_df)
+    return store
+
+
+def fetch_log_tuples(spark, store):
+    rows = (
+        store.read(spark, "fetch_log", S.FETCH_LOG)
+        .orderBy("round", "seq")
+        .collect()
+    )
+    return [
+        (r["round"], r["seq"], r["url"], r["host"], r["depth"],
+         r["fetch_ts"], r["bytes"], r["status"])
+        for r in rows
+    ]
+
+
+def test_engine_matches_simulator(spark, pages_df, pages_dict, seeds, tmp_path):
+    sim = simulate(pages_dict, seeds, ROUNDS)
+    store = run_engine(spark, pages_df, seeds, str(tmp_path / "s1"))
+    got = fetch_log_tuples(spark, store)
+    want = [
+        (r, q, u, h, d, ts.replace(tzinfo=None), b, st)
+        for (r, q, u, h, d, ts, b, st) in sim.fetch_log
+    ]
+    got = [(r, q, u, h, d, ts, b, st) for (r, q, u, h, d, ts, b, st) in got]
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+    # seen set parity
+    seen_rows = store.read(spark, "url_seen", S.URL_SEEN).select("url").collect()
+    assert {r["url"] for r in seen_rows} == sim.seen
+
+
+def test_parallelism_invariance(spark, pages_df, seeds, tmp_path):
+    """Same fetch log when the input partitioning is radically different."""
+    a = run_engine(spark, pages_df.repartition(1), seeds, str(tmp_path / "p1"))
+    b = run_engine(spark, pages_df.repartition(16), seeds, str(tmp_path / "p16"))
+    assert fetch_log_tuples(spark, a) == fetch_log_tuples(spark, b)
+
+
+def test_resume_identical(spark, pages_df, pages_dict, seeds, tmp_path):
+    """Kill after round 1, resume — identical final state (SURVEY.md §5.4)."""
+    full = run_engine(spark, pages_df, seeds, str(tmp_path / "full"), rounds=ROUNDS)
+    part_dir = str(tmp_path / "part")
+    run_engine(spark, pages_df, seeds, part_dir, rounds=2)  # "killed" after r1
+    store = SnapshotStore(part_dir)
+    run_crawl(spark, pages_df, seeds, store, CrawlConfig(rounds=ROUNDS), resume=True)
+    assert fetch_log_tuples(spark, store) == fetch_log_tuples(spark, full)
+    seen = lambda st: {
+        r["url"] for r in st.read(spark, "url_seen", S.URL_SEEN).collect()
+    }
+    assert seen(store) == seen(full)
+
+
+def test_politeness(spark, pages_df, seeds, tmp_path):
+    store = run_engine(spark, pages_df, seeds, str(tmp_path / "pol"))
+    log = store.read(spark, "fetch_log", S.FETCH_LOG)
+    assert politeness_violations(log, None).count() == 0
+    # no host exceeds max_parallel per round
+    per = log.groupBy("round", "host").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") > 8).count() == 0
+
+
+def test_robots_deny(spark, pages_df, pages_dict, seeds, tmp_path):
+    """Deny one host entirely; engine and simulator agree, host never fetched."""
+    denied_host = sorted({u.split("/")[2] for u in pages_dict})[1]
+    rules = [(denied_host, "deny", "/")]
+    sim = simulate(pages_dict, seeds, ROUNDS, robots=rules)
+    store = run_engine(
+        spark, pages_df, seeds, str(tmp_path / "rb"), robots_rows=rules
+    )
+    got = fetch_log_tuples(spark, store)
+    assert all(h != denied_host for (_, _, _, h, _, _, _, _) in got)
+    want = [
+        (r, q, u, h, d, ts.replace(tzinfo=None), b, st)
+        for (r, q, u, h, d, ts, b, st) in sim.fetch_log
+    ]
+    assert got == want
