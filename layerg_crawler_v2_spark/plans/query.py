@@ -1,0 +1,184 @@
+"""DataFrame query builder — the reference's GraphQL resolver re-expressed.
+
+Reproduces the full read-query surface of cmd/core/query_resolver.go as
+Column-expression composition instead of SQL-string splicing:
+
+  * selection-set projection, id force-included   (:135-178, 201-204 → P1)
+  * where {field_gte/gt/eq/ne/lt/lte/in/contains} (:562-576 → P4)
+  * nested AND/OR connectives, recursive           (:582-614 → P5)
+  * nil filters skipped / null semantics           (:554-556 → P6)
+  * FK expansion join (1-1, LEFT)                  (:157-175, 516-531 → J1)
+  * @derivedFrom inverse 1-N — the reference runs one SQL query PER PARENT
+    ROW (:276-360, the N+1); here it is ONE join + groupBy collect_list,
+    the single most important scale rewrite in the engine (→ J2)
+  * order whitelist-validated                      (:221-223 → O1)
+  * limit/page pagination                          (:224-233 → O3)
+  * DISTINCT dedup of join fan-out                 (:206-209 → A1)
+
+Plans stay fully declarative → Catalyst does pruning/pushdown/broadcast;
+pagination uses a window only over the already-filtered result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_OPS = {
+    "gte": lambda c, v: c >= v,
+    "gt": lambda c, v: c > v,
+    "eq": lambda c, v: c == v,
+    "ne": lambda c, v: c != v,
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "in": lambda c, v: c.isin(v),
+    "contains": lambda c, v: c.contains(v),
+    "is_null": lambda c, v: c.isNull() if v else c.isNotNull(),
+}
+
+
+@dataclass
+class Entity:
+    """Declared entity: table + key + relations (schema.graphql analog)."""
+
+    table: str
+    id_field: str
+    # field -> (target entity, fk column on THIS table)    [J1, 1-1]
+    relations: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # field -> (child entity, fk column on the CHILD table) [J2, @derivedFrom]
+    derived: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+
+def parse_where(df: DataFrame, where: dict | None) -> Column | None:
+    """Recursive filter dict -> one Column expression (processWhere analog)."""
+    if not where:
+        return None
+    conds: list[Column] = []
+    for key, val in where.items():
+        if val is None:  # nil filters are skipped (query_resolver.go:554-556)
+            continue
+        if key == "AND":
+            sub = [parse_where(df, w) for w in val]
+            sub = [s for s in sub if s is not None]
+            if sub:
+                conds.append(reduce(lambda a, b: a & b, sub))
+        elif key == "OR":
+            sub = [parse_where(df, w) for w in val]
+            sub = [s for s in sub if s is not None]
+            if sub:
+                conds.append(reduce(lambda a, b: a | b, sub))
+        else:
+            fld, _, op = key.rpartition("_")
+            if op not in _OPS or not fld:
+                fld, op = key, "eq"
+            if fld not in df.columns:
+                raise KeyError(f"unknown filter field: {fld}")
+            conds.append(_OPS[op](F.col(fld), val))
+    if not conds:
+        return None
+    return reduce(lambda a, b: a & b, conds)
+
+
+class QueryBuilder:
+    def __init__(self, tables: dict[str, DataFrame], entities: dict[str, Entity]):
+        self.tables = tables
+        self.entities = entities
+
+    def _df(self, entity: str) -> DataFrame:
+        return self.tables[self.entities[entity].table]
+
+    def resolve(
+        self,
+        entity: str,
+        select: list | None = None,
+        where: dict | None = None,
+        order: list[tuple[str, str]] | None = None,
+        limit: int | None = None,
+        page: int | None = None,
+        distinct: bool = False,
+    ) -> DataFrame:
+        ent = self.entities[entity]
+        df = self._df(entity)
+
+        cond = parse_where(df, where)
+        if cond is not None:
+            df = df.filter(cond)
+
+        select = list(select) if select else [c for c in df.columns]
+        # id is always force-included (query_resolver.go:201-204)
+        plain = [s for s in select if isinstance(s, str)]
+        if ent.id_field not in plain:
+            select = [ent.id_field] + select
+            plain = [ent.id_field] + plain
+
+        out_cols: list[Column] = [F.col(c) for c in plain]
+
+        for s in select:
+            if isinstance(s, str):
+                continue
+            (fld, subfields), = s.items()
+            if fld in ent.relations:  # FK expansion, 1-1 LEFT JOIN (J1)
+                tgt_name, fk = ent.relations[fld]
+                tgt = self.entities[tgt_name]
+                tdf = self._df(tgt_name).select(
+                    F.col(tgt.id_field).alias("__tid"),
+                    *[F.col(c) for c in subfields],
+                )
+                df = df.join(tdf, df[fk] == tdf["__tid"], "left").drop("__tid")
+                out_cols.append(
+                    F.struct(*[F.col(c) for c in subfields]).alias(fld)
+                )
+            elif fld in ent.derived:  # inverse 1-N via collect_list (J2)
+                child_name, child_fk = ent.derived[fld]
+                child = self.entities[child_name]
+                cdf = self._df(child_name)
+                nested = (
+                    cdf.groupBy(F.col(child_fk).alias("__pid"))
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(*[F.col(c) for c in subfields])
+                            )
+                        ).alias(fld)
+                    )
+                )
+                df = df.join(
+                    nested, df[ent.id_field] == nested["__pid"], "left"
+                ).drop("__pid")
+                out_cols.append(F.col(fld))
+            else:
+                raise KeyError(f"unknown relation field: {fld}")
+
+        result = df.select(*out_cols)
+        if distinct:
+            result = result.distinct()
+
+        order = order or []
+        for fld, _dir in order:  # whitelist validation (no string splicing, O1)
+            if fld not in result.columns:
+                raise KeyError(f"order field not in projection: {fld}")
+        sort_cols = [
+            F.asc(f) if d.lower() == "asc" else F.desc(f) for f, d in order
+        ]
+
+        if limit is not None and page is not None and page > 1:
+            # LIMIT l OFFSET (page-1)*l (querybuilder.go:22-29) — offset+limit
+            # over the ordered result; window only on the filtered rows
+            w = Window.orderBy(*(sort_cols or [F.asc(ent.id_field)]))
+            result = (
+                result.withColumn("__rn", F.row_number().over(w))
+                .filter(
+                    (F.col("__rn") > (page - 1) * limit)
+                    & (F.col("__rn") <= page * limit)
+                )
+                .drop("__rn")
+            )
+        else:
+            if sort_cols:
+                result = result.orderBy(*sort_cols)
+            if limit is not None:
+                result = result.limit(limit)
+        return result
