@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract + scaling-evidence protocol).
+
+Default mode: run the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a synthetic-frontier
+crawl throughput measurement, and print ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--crawl-only --cpus N` mode: run ONLY the frontier crawl job at local[N] and
+print its JSON (used by --scaling via subprocesses so each parallelism level
+gets a fresh JVM — the sandbox proxy for the N vs 4N executor-cluster rule in
+BASELINE.json / BASELINE.md §protocol).
+
+`--scaling` mode: run the identical crawl input at local[8] and local[32],
+compute efficiency = (thr_32 / thr_8) / 4, and write BENCH/BASELINE.md.
+
+Queries are forced end-to-end with a `noop`-format write (full plan executes,
+zero driver collect cost) — the same discipline as Spark's own benchmarks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",      # TPC-H Q1 agg over lineitem (A-class)
+    "q3_shipping_priority",    # 3-way join + agg + top-N (J/O-class)
+    "j2_derived_collect_list", # inverse-relation join (kills reference N+1)
+    "a4_balance_replay",       # signed-delta stateful replay (A4)
+    "w2_topk_per_key",         # window top-K per key (W2)
+    "o3_pagination",           # row_number pagination (O3)
+    "set_anti_seen_diff",      # seen-set anti-join (A2/J6 analog)
+    "text_quality_score",      # text pipeline over documents
+    "dedup_minhash_lsh_pairs", # MinHash+LSH band join
+    "ann_cosine_topk",         # brute-force cosine top-k over embeddings
+]
+
+CRAWL_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+
+
+def _spark(cpus: int):
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    os.environ.pop("SPARK_GRAFT_MASTER", None)
+    from layerg_crawler_v2_spark.session import get_spark
+
+    return get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}")
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count via a cheap count on top."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def run_crawl_bench(spark, n_docs: int, rounds: int) -> dict:
+    """Synthetic frontier crawl: URLs scheduled+fetched/sec (the north metric).
+
+    Input is generated once (cached + materialized before timing starts) so the
+    timed section is purely the frontier engine: schedule -> fetch-join ->
+    extract -> canon -> anti-join seen -> snapshot commit, per round."""
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark.datagen import build_pages_synthetic, seed_urls
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+    from layerg_crawler_v2_spark import schema as S
+
+    pages = build_pages_synthetic(spark, n_docs).cache()
+    pages.count()  # materialize outside the timed window
+
+    # untimed warmup: 1-round mini-crawl warms JVM codegen + Python workers so
+    # the timed window measures the engine, not first-run compilation
+    wtmp = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        wpages = build_pages_synthetic(spark, 2000).cache()
+        run_crawl(spark, wpages, seed_urls(2000, n_seeds=32),
+                  SnapshotStore(wtmp), CrawlConfig(rounds=1))
+        wpages.unpersist()
+    finally:
+        shutil.rmtree(wtmp, ignore_errors=True)
+
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        store = SnapshotStore(tmp)
+        cfg = CrawlConfig(
+            rounds=rounds,
+            default_max_parallel=64,
+            use_bloom=True,
+            n_host_buckets=256,
+        )
+        t0 = time.perf_counter()
+        run_crawl(
+            spark, pages, seed_urls(n_docs, n_seeds=max(64, n_docs // 10)), store, cfg
+        )
+        wall = time.perf_counter() - t0
+        log = store.read(spark, "fetch_log", S.FETCH_LOG)
+        fetched = log.count()
+        seen = store.read(spark, "url_seen", S.URL_SEEN).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        pages.unpersist()
+    return {
+        "wall_s": round(wall, 3),
+        "urls_fetched": fetched,
+        "urls_seen": seen,
+        "urls_per_sec": round(fetched / wall, 1) if wall > 0 else 0.0,
+        "rounds": rounds,
+        "n_docs": n_docs,
+    }
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the reader metadata once, then time the full execution
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--docs", type=int, default=CRAWL_DOCS)
+    ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    spark = _spark(args.cpus)
+    try:
+        if args.crawl_only:
+            crawl = run_crawl_bench(spark, args.docs, args.rounds)
+            print(json.dumps({"metric": "frontier_urls_per_sec",
+                              "value": crawl["urls_per_sec"], "unit": "urls/sec",
+                              **crawl}))
+            return
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        t0 = time.perf_counter()
+        queries = run_headline(spark, sf_dir)
+        crawl = run_crawl_bench(
+            spark,
+            int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")),
+            args.rounds,
+        )
+        queries["frontier_crawl"] = crawl["wall_s"]
+        total = round(time.perf_counter() - t0, 3)
+        print(json.dumps({
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_of(sf_dir),
+            "crawl_urls_per_sec": crawl["urls_per_sec"],
+            "crawl_urls_fetched": crawl["urls_fetched"],
+            "cpus": args.cpus,
+        }))
+    finally:
+        spark.stop()
+
+
+def run_scaling(args) -> None:
+    """N vs 4N cores on the identical input; fresh JVM per level."""
+    levels = [8, 32]
+    results = {}
+    for cpus in levels:
+        cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only",
+               "--cpus", str(cpus), "--docs", str(args.docs),
+               "--rounds", str(args.rounds)]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {results[cpus]['urls_per_sec']} urls/sec "
+              f"({results[cpus]['wall_s']}s)", file=sys.stderr)
+    eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / (32 / 8)
+    report = {
+        "metric": "scaling_efficiency_4N_vs_N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "levels": {str(k): v for k, v in results.items()},
+        "docs": args.docs,
+        "rounds": args.rounds,
+    }
+    print(json.dumps(report))
+    _write_bench_md(report)
+
+
+def _write_bench_md(report: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lv8, lv32 = report["levels"]["8"], report["levels"]["32"]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — measured scaling evidence (sandbox proxy for N vs 4N executors)
+
+Protocol (BASELINE.md): identical synthetic frontier input
+({report['docs']:,} URLs, {report['rounds']} rounds, seed-fixed generator,
+fully materialized+cached before timing), identical job
+(`bench.py --crawl-only`), run at two parallelism levels in fresh JVMs.
+
+| level | wall (s) | URLs fetched | URLs/sec |
+|---|---|---|---|
+| local[8]  (N)  | {lv8['wall_s']} | {lv8['urls_fetched']:,} | {lv8['urls_per_sec']:,} |
+| local[32] (4N) | {lv32['wall_s']} | {lv32['urls_fetched']:,} | {lv32['urls_per_sec']:,} |
+
+**Scaling efficiency (thr_4N / thr_N) / 4 = {report['value']}** (target >= 0.8).
+
+Config: PySpark local mode, AQE on, shuffle partitions = cores,
+Arrow batch 10k. Timed section covers the full frontier engine per round:
+schedule (host-window top-K) -> fetch join (broadcast selected) -> extract
+outlinks (Arrow UDF) -> canonicalize -> OPIC cash merge (groupBy) ->
+bloom + anti-join seen -> atomic snapshot commit.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -140,9 +140,12 @@ def run_round(
     fetched = (
         pages_canon.join(F.broadcast(selected), on=pages_canon["url_canon"] == selected["url"], how="inner")
         .drop("url_canon")
+        .cache()
     )
+    # misses = selected minus the fetch hits — anti-join against the (small,
+    # cached) fetched set, NOT a second full scan of pages
     misses = selected.join(
-        pages_canon.select(F.col("url_canon").alias("url")), on="url", how="left_anti"
+        F.broadcast(fetched.select("url")), on="url", how="left_anti"
     )
     fetch_rows = (
         fetched.select(
@@ -206,7 +209,9 @@ def run_round(
     )
     if cfg.allow_hosts is not None:
         discovered = discovered.filter(F.col("host").isin(cfg.allow_hosts))
-    discovered = apply_robots(discovered, robots)
+    # cache: the extract→resolve→canon chain is the round's CPU hot path and
+    # feeds both the count and the seen anti-join — never compute it twice
+    discovered = apply_robots(discovered, robots).cache()
     n_discovered = discovered.count()
 
     # 5. add-if-absent vs the persistent seen set (bloom prefilter at scale)
@@ -266,7 +271,9 @@ def run_round(
         counters=counters,
     )
     selected.unpersist()
+    fetched.unpersist()
     fetch_rows.unpersist()
+    discovered.unpersist()
     new.unpersist()
     return counters
 
