@@ -50,12 +50,18 @@ CRAWL_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 
-def _spark(cpus: int):
+def _spark(cpus: int, fixed_shuffle: int | None = None):
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ.pop("SPARK_GRAFT_MASTER", None)
     from layerg_crawler_v2_spark.session import get_spark
 
-    return get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}")
+    # scaling runs pin shuffle partitions so BOTH levels execute the identical
+    # plan and only core count differs (the cluster-size variable)
+    return get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"bench-{cpus}",
+        shuffle_partitions=fixed_shuffle,
+    )
 
 
 def _force(df) -> int:
@@ -67,17 +73,20 @@ def _force(df) -> int:
 def run_crawl_bench(spark, n_docs: int, rounds: int) -> dict:
     """Synthetic frontier crawl: URLs scheduled+fetched/sec (the north metric).
 
-    Input is generated once (cached + materialized before timing starts) so the
-    timed section is purely the frontier engine: schedule -> fetch-join ->
-    extract -> canon -> anti-join seen -> snapshot commit, per round."""
-    from pyspark.sql import functions as F
-
-    from layerg_crawler_v2_spark.datagen import build_pages_synthetic, seed_urls
+    Shape mirrors a production big-frontier round, not a cold ramp-up: ALL doc
+    URLs are seeded (as a distributed table, never a driver list), so round 0
+    schedules/fetches the politeness-capped bulk of the frontier and the timed
+    work — schedule window, fetch join, Arrow extract, canon, OPIC merge,
+    bloom+anti-join, snapshot commit — is compute-dominated. Input is generated
+    and cached before timing; a mini-crawl warms codegen + Python workers."""
+    from layerg_crawler_v2_spark.datagen import build_pages_synthetic, seed_df, seed_urls
     from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
     from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
     from layerg_crawler_v2_spark import schema as S
 
-    pages = build_pages_synthetic(spark, n_docs).cache()
+    # 64 input partitions at every level: identical physical plan, the only
+    # variable between scaling levels is the number of cores executing it
+    pages = build_pages_synthetic(spark, n_docs, partitions=64).cache()
     pages.count()  # materialize outside the timed window
 
     # untimed warmup: 1-round mini-crawl warms JVM codegen + Python workers so
@@ -91,26 +100,29 @@ def run_crawl_bench(spark, n_docs: int, rounds: int) -> dict:
     finally:
         shutil.rmtree(wtmp, ignore_errors=True)
 
+    seeds = seed_df(spark, n_docs, n_seeds=n_docs, partitions=64).cache()
+    seeds.count()
+
     tmp = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         store = SnapshotStore(tmp)
         cfg = CrawlConfig(
             rounds=rounds,
-            default_max_parallel=64,
+            default_max_parallel=256,
             use_bloom=True,
             n_host_buckets=256,
+            collect_counters=False,
         )
         t0 = time.perf_counter()
-        run_crawl(
-            spark, pages, seed_urls(n_docs, n_seeds=max(64, n_docs // 10)), store, cfg
-        )
+        run_crawl(spark, pages, seeds, store, cfg)
         wall = time.perf_counter() - t0
         log = store.read(spark, "fetch_log", S.FETCH_LOG)
         fetched = log.count()
-        seen = store.read(spark, "url_seen", S.URL_SEEN).count()
+        seen = store.last_counter("seen_total", 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         pages.unpersist()
+        seeds.unpersist()
     return {
         "wall_s": round(wall, 3),
         "urls_fetched": fetched,
@@ -156,7 +168,7 @@ def main() -> None:
         run_scaling(args)
         return
 
-    spark = _spark(args.cpus)
+    spark = _spark(args.cpus, fixed_shuffle=64 if args.crawl_only else None)
     try:
         if args.crawl_only:
             crawl = run_crawl_bench(spark, args.docs, args.rounds)

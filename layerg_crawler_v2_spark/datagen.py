@@ -164,3 +164,18 @@ def seed_urls(n_docs: int, n_seeds: int = 5) -> list[str]:
     """Seed list: raw-variant URLs of the first n_seeds docs (subgraph.yaml
     datasources analog — fixed start points, reference subgraph.yaml:11-51)."""
     return [url_variant(i, n_docs, (i + 2) % 6) for i in range(min(n_seeds, n_docs))]
+
+
+def seed_df(spark: SparkSession, n_docs: int, n_seeds: int, partitions: int | None = None) -> DataFrame:
+    """Distributed seed table (`raw_url`) — same rows as seed_urls(), built
+    executor-side. At 10^10-URL scale seed lists are tables, not driver lists."""
+    n = min(n_seeds, n_docs)
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {"raw_url": [url_variant(int(i), n_docs, (int(i) + 2) % 6) for i in b["id"]]}
+            )
+
+    return rng.mapInPandas(gen, schema="raw_url string")

@@ -41,12 +41,22 @@ def select_for_fetch(
     round_no: int,
     default_delay_ms: int = 500,
     default_max_parallel: int = 8,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Pick this round's fetch set: top max_parallel per host, paced.
 
     Returns queued columns + (slot, fetch_ts). `hosts` is a small dim table
     (host, delay_ms, max_parallel) — broadcast, the analog of the in-memory
-    chain config map (cmd/crawler_cmd.go:27)."""
+    chain config map (cmd/crawler_cmd.go:27).
+
+    `salt_buckets > 0` enables the hot-host skew split (SURVEY.md §4): a
+    first window partitioned by (host, xxhash64(url) % salt) keeps only each
+    salt shard's top max_parallel, so no single task ever sorts a hot host's
+    whole queue; the second window then picks the global per-host top-K from
+    ≤ salt_buckets × max_parallel survivors. Result is IDENTICAL to the
+    unsalted plan (any global top-K row is its shard's top-K row — the order
+    (priority DESC, url ASC) is total), only the physical distribution
+    changes."""
     if hosts is not None:
         q = queued.join(F.broadcast(hosts), on="host", how="left")
     else:
@@ -57,6 +67,16 @@ def select_for_fetch(
     q = q.withColumn(
         "max_parallel", F.coalesce("max_parallel", F.lit(default_max_parallel))
     )
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        w0 = Window.partitionBy("host", salt).orderBy(
+            F.desc("priority"), F.asc("url")
+        )
+        q = (
+            q.withColumn("__shard_slot", F.row_number().over(w0))
+            .filter(F.col("__shard_slot") <= F.col("max_parallel"))
+            .drop("__shard_slot")
+        )
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
     picked = (
         q.withColumn("slot", F.row_number().over(w))

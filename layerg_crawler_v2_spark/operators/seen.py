@@ -82,11 +82,17 @@ class NumpyBloom:
         self.bits |= other.bits
 
 
-def build_bloom(seen: DataFrame, hash_col: str = "url_hash", bits_per_key: int = 10) -> NumpyBloom:
+def build_bloom(
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    bits_per_key: int = 10,
+    n: int | None = None,
+) -> NumpyBloom:
     """Distributed bloom build: per-partition blooms OR-merged on the driver.
 
-    Only the fixed-size bit arrays travel to the driver, never the keys."""
-    n = max(seen.count(), 1)
+    Only the fixed-size bit arrays travel to the driver, never the keys.
+    Pass `n` (tracked key count) to avoid the sizing count job."""
+    n = max(n if n is not None else seen.count(), 1)
     n_bits = int(n * bits_per_key)
 
     def per_partition(it):

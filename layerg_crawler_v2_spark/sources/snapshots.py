@@ -49,6 +49,15 @@ class SnapshotStore:
         snaps = self.snapshots()
         return snaps[-1]["round"] if snaps else None
 
+    def last_counter(self, name: str, default: int = 0) -> int:
+        """Most recent value of a commit counter (e.g. cumulative seen_total).
+
+        Lets hot-path gates (bloom build threshold) run without a Spark job."""
+        for snap in reversed(self.snapshots()):
+            if name in snap.get("counters", {}):
+                return snap["counters"][name]
+        return default
+
     # -- commit --------------------------------------------------------------
     def commit(
         self,

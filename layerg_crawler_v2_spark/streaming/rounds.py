@@ -53,6 +53,12 @@ from ..functions.canon import (
     url_hash_col,
 )
 from ..functions.extract import extract_outlinks_udf
+from ..operators.cuckoo import (
+    CUCKOO_SCHEMA,
+    build_filters,
+    filter_unseen_cuckoo,
+    update_filters,
+)
 from ..operators.robots import apply_robots
 from ..operators.scheduler import select_for_fetch
 from ..operators.seen import build_bloom, filter_unseen
@@ -71,7 +77,18 @@ class CrawlConfig:
     n_host_buckets: int = 64
     use_bloom: bool = False
     bloom_min_seen: int = 100_000  # below this the anti-join alone is cheaper
+    # "exact" = plain anti-join; "bloom" = broadcast-bloom prefilter (same as
+    # use_bloom=True); "cuckoo" = per-partition cuckoo filters persisted in
+    # the snapshot (the 10^10-scale deployment shape: no broadcast of seen
+    # state, each partition checks its own few-MB filter)
+    seen_filter: str = "exact"
+    cuckoo_partitions: int = 64
+    # >0 = hot-host skew split: salted pre-top-K window (identical output)
+    scheduler_salt_buckets: int = 0
     allow_hosts: list[str] | None = None
+    # telemetry counts cost one Spark job each; production crawls keep them,
+    # throughput benches turn them off (the commit itself never needs them)
+    collect_counters: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -84,10 +101,20 @@ def _resolve_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 
 
 def prepare_seeds(
-    spark: SparkSession, seed_urls: list[str], cfg: CrawlConfig, robots: DataFrame | None
+    spark: SparkSession,
+    seed_urls: list[str] | DataFrame,
+    cfg: CrawlConfig,
+    robots: DataFrame | None,
 ) -> DataFrame:
-    """Seed list -> initial frontier rows (canonical, deduped, filtered)."""
-    raw = spark.createDataFrame([(u,) for u in seed_urls], "raw_url string")
+    """Seeds -> initial frontier rows (canonical, deduped, filtered).
+
+    Accepts a Python list (reference subgraph.yaml-style fixed seed config) or
+    a DataFrame with a `raw_url` column — at 10^10-URL scale seed lists are
+    tables, never driver memory."""
+    if isinstance(seed_urls, DataFrame):
+        raw = seed_urls.select(F.col("raw_url"))
+    else:
+        raw = spark.createDataFrame([(u,) for u in seed_urls], "raw_url string")
     canon = raw.select(canonicalize_udf("raw_url").alias("url")).filter(
         F.col("url").isNotNull()
     )
@@ -133,20 +160,24 @@ def run_round(
 
     # 1. schedule: top-K per host, paced on the simulated round clock
     selected = select_for_fetch(
-        queued, hosts, round_no, cfg.default_delay_ms, cfg.default_max_parallel
+        queued, hosts, round_no, cfg.default_delay_ms, cfg.default_max_parallel,
+        salt_buckets=cfg.scheduler_salt_buckets,
     ).cache()
 
-    # 2. simulated fetch: broadcast the (small) selected set, stream pages
+    # 2. simulated fetch: join selected ⋈ pages on canonical url. NO forced
+    #    broadcast: politeness caps `selected` at hosts × max_parallel, which
+    #    is tiny for deep crawls but can be millions of rows on a wide
+    #    frontier — a forced broadcast would serialize those through the
+    #    driver. AQE picks broadcast when selected is actually small and a
+    #    shuffle join when it isn't (both sides hash on the url key).
     fetched = (
-        pages_canon.join(F.broadcast(selected), on=pages_canon["url_canon"] == selected["url"], how="inner")
+        pages_canon.join(selected, on=pages_canon["url_canon"] == selected["url"], how="inner")
         .drop("url_canon")
         .cache()
     )
     # misses = selected minus the fetch hits — anti-join against the (small,
     # cached) fetched set, NOT a second full scan of pages
-    misses = selected.join(
-        F.broadcast(fetched.select("url")), on="url", how="left_anti"
-    )
+    misses = selected.join(fetched.select("url"), on="url", how="left_anti")
     fetch_rows = (
         fetched.select(
             "url", "host", "depth", "fetch_ts",
@@ -210,26 +241,39 @@ def run_round(
     if cfg.allow_hosts is not None:
         discovered = discovered.filter(F.col("host").isin(cfg.allow_hosts))
     # cache: the extract→resolve→canon chain is the round's CPU hot path and
-    # feeds both the count and the seen anti-join — never compute it twice
+    # feeds both the lineage counts and the seen anti-join — never twice
     discovered = apply_robots(discovered, robots).cache()
-    n_discovered = discovered.count()
 
-    # 5. add-if-absent vs the persistent seen set (bloom prefilter at scale)
-    bloom = None
-    if cfg.use_bloom and seen.count() >= cfg.bloom_min_seen:
-        bloom = build_bloom(seen)
-    new = filter_unseen(discovered, seen, bloom=bloom).select(
-        [f.name for f in S.FRONTIER.fields]
-    )
+    # 5. add-if-absent vs the persistent seen set. Three physical strategies,
+    #    same semantics (tests assert identical fetch logs across all three):
+    #    exact anti-join; broadcast-bloom prefilter; per-partition cuckoo
+    #    filters (no broadcast of seen state — the 10^10-URL shape). The
+    #    cumulative seen size is tracked in snapshot counters so strategy
+    #    gates cost zero Spark jobs.
+    seen_total = store.last_counter("seen_total", 0)
+    mode = "bloom" if (cfg.use_bloom and cfg.seen_filter == "exact") else cfg.seen_filter
+    cuckoo = None
+    if mode == "cuckoo":
+        cuckoo = store.read(spark, "cuckoo", CUCKOO_SCHEMA)
+        new = filter_unseen_cuckoo(
+            discovered, cuckoo, seen, cfg.cuckoo_partitions
+        )
+    elif mode == "bloom" and seen_total >= cfg.bloom_min_seen:
+        new = filter_unseen(discovered, seen, bloom=build_bloom(seen, n=seen_total))
+    else:
+        new = filter_unseen(discovered, seen, bloom=None)
+    new = new.select([f.name for f in S.FRONTIER.fields])
     # dedup within the round is already done by the groupBy; anti-join vs
     # seen covers queued too because seen ⊇ enqueued (loop invariant)
     new = new.cache()
+    n_new = new.count()
 
     # 6. next frontier = leftover queued ∪ newly discovered
     leftover = queued.join(selected.select("url"), on="url", how="left_anti")
     next_frontier = leftover.unionByName(new)
 
-    # 7. lineage per host (DataProof analog, base_handler.go:16-26)
+    # 7. lineage per host (DataProof analog, base_handler.go:16-26) — all
+    #    counts derive from cached frames inside the single lineage write job
     lineage = (
         selected.groupBy("host")
         .agg(
@@ -243,23 +287,36 @@ def run_round(
             on="host", how="left",
         )
         .join(new.groupBy("host").agg(F.count("*").alias("urls_discovered")), on="host", how="left")
+        .join(
+            discovered.groupBy("host").agg(F.count("*").alias("urls_discovered_all")),
+            on="host", how="left",
+        )
         .select(
             F.lit(round_no).alias("round"),
             "host", "depth",
             F.coalesce("urls_in", F.lit(0)).cast("long").alias("urls_in"),
             F.coalesce("urls_fetched", F.lit(0)).cast("long").alias("urls_fetched"),
             F.coalesce("urls_discovered", F.lit(0)).cast("long").alias("urls_discovered"),
-            F.lit(0).cast("long").alias("urls_deduped"),
+            (
+                F.coalesce("urls_discovered_all", F.lit(0))
+                - F.coalesce("urls_discovered", F.lit(0))
+            ).cast("long").alias("urls_deduped"),
         )
-        .withColumn("urls_deduped", F.lit(int(n_discovered)) - F.col("urls_discovered"))
     )
 
-    counters = {
-        "selected": selected.count(),
-        "fetched_ok": fetch_rows.filter(F.col("status") == "OK").count(),
-        "discovered": int(n_discovered),
-        "new": new.count(),
-    }
+    counters = {"new": n_new, "seen_total": seen_total + n_new}
+    if cfg.collect_counters:
+        counters.update(
+            selected=selected.count(),
+            fetched_ok=fetch_rows.filter(F.col("status") == "OK").count(),
+            discovered=discovered.count(),
+        )
+    replaces = {"frontier": next_frontier}
+    if mode == "cuckoo":
+        # updated filters commit atomically with the seen delta they cover
+        replaces["cuckoo"] = update_filters(
+            cuckoo, new.select("url_hash"), cfg.cuckoo_partitions
+        )
     store.commit(
         round_no,
         appends={
@@ -267,7 +324,7 @@ def run_round(
             "url_seen": _seen_delta(new, cfg.n_host_buckets),
             "lineage": lineage,
         },
-        replaces={"frontier": next_frontier},
+        replaces=replaces,
         counters=counters,
     )
     selected.unpersist()
@@ -296,13 +353,20 @@ def run_crawl(
 
     last = store.last_round() if resume else None
     if last is None:
-        seeds_df = prepare_seeds(spark, seed_urls, cfg, robots)
+        seeds_df = prepare_seeds(spark, seed_urls, cfg, robots).cache()
+        n_seeds = seeds_df.count()
+        replaces = {"frontier": seeds_df}
+        if cfg.seen_filter == "cuckoo":
+            replaces["cuckoo"] = build_filters(
+                seeds_df.select("url_hash"), cfg.cuckoo_partitions
+            )
         store.commit(
             -1,
             appends={"url_seen": _seen_delta(seeds_df, cfg.n_host_buckets)},
-            replaces={"frontier": seeds_df},
-            counters={"seeds": seeds_df.count()},
+            replaces=replaces,
+            counters={"seeds": n_seeds, "seen_total": n_seeds},
         )
+        seeds_df.unpersist()
         start_round = 0
     else:
         start_round = last + 1

@@ -1,0 +1,169 @@
+"""Cuckoo-filter unit properties + seen-strategy equivalence.
+
+The three physical seen-set strategies (exact anti-join / broadcast bloom /
+per-partition cuckoo) and the salted scheduler MUST all reproduce the
+sequential simulator's fetch log bit-for-bit — the physical plan may change,
+the crawl may not (SURVEY.md §7 hard-item (e))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark import schema as S
+from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+from layerg_crawler_v2_spark.operators.cuckoo import (
+    CuckooFilter,
+    build_filters,
+    filter_unseen_cuckoo,
+    update_filters,
+)
+from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+RNG = np.random.default_rng(42)
+
+
+# --- pure filter properties ---------------------------------------------------
+
+
+def test_insert_then_contains():
+    keys = RNG.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    f = CuckooFilter.for_capacity(len(keys))
+    f.insert_many(np.sort(keys))
+    assert f.contains(keys).all()
+
+
+def test_false_positive_rate_bounded():
+    keys = RNG.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    other = RNG.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    other = np.setdiff1d(other, keys)
+    f = CuckooFilter.for_capacity(len(keys))
+    f.insert_many(np.sort(keys))
+    fpp = f.contains(other).mean()
+    # 16-bit fingerprints, 4-slot buckets: theoretical fpp ~ 2*4/2^16 ≈ 0.012%
+    assert fpp < 0.005, fpp
+
+
+def test_delete_removes_membership():
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    f = CuckooFilter.for_capacity(len(keys))
+    f.insert_many(keys)
+    dropped = keys[:100]
+    assert f.delete_many(dropped) == 100
+    assert not f.contains(dropped).any() or f.contains(dropped).mean() < 0.01
+    assert f.contains(keys[100:]).all()
+
+
+def test_add_if_absent_idempotent():
+    keys = np.arange(500, dtype=np.int64)
+    f = CuckooFilter.for_capacity(2000)
+    assert f.insert_many(keys) == 500
+    assert f.insert_many(keys) == 0  # duplicates never double-insert
+    assert f.n_keys == 500
+
+
+def test_serialization_roundtrip_bytes_identical():
+    keys = RNG.integers(-(2**62), 2**62, size=3000, dtype=np.int64)
+    f = CuckooFilter.for_capacity(len(keys))
+    f.insert_many(np.sort(keys))
+    blob = f.to_bytes()
+    g = CuckooFilter.from_bytes(blob)
+    assert g.to_bytes() == blob
+    assert g.contains(keys).all()
+    assert g.n_keys == f.n_keys
+
+
+def test_overfull_raises():
+    f = CuckooFilter(2)  # 4 buckets * 4 slots = 16 capacity
+    with pytest.raises(RuntimeError):
+        f.insert_many(np.arange(64, dtype=np.int64))
+
+
+# --- Spark surface ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seen_df(spark):
+    return spark.range(0, 2000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("http://h.example.com/d/"), F.col("id")).alias("url"),
+        F.lit(0).alias("first_depth"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("partition_id"),
+    ).cache()
+
+
+def test_build_and_check_filters(spark, seen_df):
+    filters = build_filters(seen_df.select("url_hash"), n_partitions=8).cache()
+    rows = filters.collect()
+    assert {r["partition_id"] for r in rows} <= set(range(8))
+    assert sum(r["n_keys"] for r in rows) == 2000
+
+    # discovered = 1000 seen + 1000 novel
+    discovered = spark.range(1000, 3000).select(
+        F.concat(F.lit("http://h.example.com/d/"), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    new = filter_unseen_cuckoo(
+        discovered, filters, seen_df.select("url_hash", "url"), n_partitions=8
+    )
+    got = sorted(r["url"] for r in new.collect())
+    want = sorted(f"http://h.example.com/d/{i}" for i in range(2000, 3000))
+    assert got == want
+
+
+def test_update_filters_accumulates(spark, seen_df):
+    filters = build_filters(seen_df.select("url_hash"), n_partitions=8)
+    new_keys = spark.range(5000, 5500).select(F.xxhash64("id").alias("url_hash"))
+    updated = update_filters(filters, new_keys, n_partitions=8).cache()
+    assert updated.agg(F.sum("n_keys")).collect()[0][0] == 2500
+    # both old and new keys are now members
+    probe = spark.range(0, 5500).filter((F.col("id") < 2000) | (F.col("id") >= 5000)).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    none_new = filter_unseen_cuckoo(
+        probe, updated,
+        probe.select("url_hash", "url"),  # exact set = everything -> no new
+        n_partitions=8,
+    )
+    assert none_new.count() == 0
+
+
+# --- end-to-end strategy equivalence -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, sf_dir):
+    return build_pages(spark, sf_dir).cache()
+
+
+def _crawl_log(spark, pages_df, seeds, tmp, cfg):
+    store = SnapshotStore(tmp)
+    run_crawl(spark, pages_df, seeds, store, cfg)
+    rows = (
+        store.read(spark, "fetch_log", S.FETCH_LOG).orderBy("round", "seq").collect()
+    )
+    seen = sorted(
+        r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect()
+    )
+    return [(r["round"], r["seq"], r["url"], r["status"]) for r in rows], seen
+
+
+def test_seen_strategies_identical_crawl(spark, pages_df, tmp_path):
+    n = pages_df.count()
+    seeds = seed_urls(n, n_seeds=5)
+    base_log, base_seen = _crawl_log(
+        spark, pages_df, seeds, str(tmp_path / "exact"),
+        CrawlConfig(rounds=3, seen_filter="exact"),
+    )
+    assert len(base_log) > 0
+    for name, cfg in [
+        ("bloom", CrawlConfig(rounds=3, use_bloom=True, bloom_min_seen=0)),
+        ("cuckoo", CrawlConfig(rounds=3, seen_filter="cuckoo", cuckoo_partitions=8)),
+        ("salted", CrawlConfig(rounds=3, scheduler_salt_buckets=4)),
+    ]:
+        log, seen = _crawl_log(spark, pages_df, seeds, str(tmp_path / name), cfg)
+        assert log == base_log, name
+        assert seen == base_seen, name
