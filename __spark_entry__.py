@@ -63,6 +63,72 @@ def _q(name: str, sql: str | None):
 # --- §2.2 projections / filters / predicates --------------------------------
 
 @_q(
+    "p1_projection_pruning",
+    "SELECT p_partkey, p_brand FROM part WHERE p_size > 40",
+)
+def p1(spark, sf):
+    """P1 selection-set projection (query_resolver.go:135-178): only the
+    requested columns reach the scan — Catalyst column pruning shows
+    ReadSchema<p_partkey,p_brand,p_size> in the physical plan."""
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") > 40)
+        .select("p_partkey", "p_brand")
+    )
+
+
+@_q(
+    "p3_sig_dispatch",
+    """SELECT event_id, event_type,
+              CASE event_type
+                WHEN 'purchase' THEN 'handle_transfer'
+                WHEN 'signup' THEN 'handle_mint'
+                ELSE 'unrouted' END AS handler
+       FROM events WHERE event_type IN ('purchase', 'signup', 'click')""",
+)
+def p3(spark, sf):
+    """P3 topic-signature dispatch (generated/router/router.go:35-74): the
+    switch on topic0 becomes a when/otherwise tag column + isin filter
+    (purchase≈Transfer, signup≈Mint, click≈unrouted)."""
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type").isin("purchase", "signup", "click"))
+        .select(
+            "event_id", "event_type",
+            F.when(F.col("event_type") == "purchase", "handle_transfer")
+            .when(F.col("event_type") == "signup", "handle_mint")
+            .otherwise("unrouted")
+            .alias("handler"),
+        )
+    )
+
+
+@_q(
+    "p6_null_semantics",
+    """SELECT event_id, user_id,
+              CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                   THEN 'absent' ELSE 'present' END AS k_state
+       FROM events
+       WHERE props IS NOT NULL
+         AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95""",
+)
+def p6(spark, sf):
+    """P6 null semantics (query_resolver.go:554-556, 262-274): absent JSON
+    keys scan as NULL (sql.Null* analog) and never match value predicates;
+    present keys filter normally."""
+    e = _t(spark, sf, "events")
+    return e.filter(
+        F.col("props").isNotNull()
+        & (F.get_json_object("props", "$.k").cast("int") >= 95)
+    ).select(
+        "event_id", "user_id",
+        F.when(F.get_json_object("props", "$.missing").isNull(), "absent")
+        .otherwise("present")
+        .alias("k_state"),
+    )
+
+
+@_q(
     "p4_comparison_filter",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
        FROM lineitem WHERE l_quantity >= 30 AND l_discount < 0.05""",
@@ -377,6 +443,29 @@ def w3(spark, sf):
 # --- §2.6 sorts / top-n / pagination ---------------------------------------------
 
 @_q(
+    "o1_order_passthrough",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 50""",
+)
+def o1(spark, sf):
+    """O1 whitelist-validated ORDER BY via the QueryBuilder
+    (query_resolver.go:221-223; querybuilder.go:19-21) — Column composition,
+    never string splicing."""
+    from layerg_crawler_v2_spark.plans.query import Entity, QueryBuilder
+
+    qb = QueryBuilder(
+        {"customer": _t(spark, sf, "customer")},
+        {"customer": Entity(table="customer", id_field="c_custkey")},
+    )
+    return qb.resolve(
+        "customer",
+        select=["c_custkey", "c_name", "c_acctbal"],
+        order=[("c_acctbal", "desc"), ("c_custkey", "asc")],
+        limit=50,
+    )
+
+
+@_q(
     "o2_topn_by_time",
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od, o_totalprice
        FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""",
@@ -445,6 +534,58 @@ def set_union(spark, sf):
 
 
 # --- §2.8 scalar functions ---------------------------------------------------------
+
+@_q(
+    "f3_lower_normalize",
+    """SELECT DISTINCT lower(c_mktsegment) AS seg_key FROM customer""",
+)
+def f3(spark, sf):
+    """F3 lowercase key normalization before compare/store
+    (cmd/onchain.go:70,98; cmd/crawler_cmd.go:101) — the seed of URL
+    canonicalization's lowercase-host step."""
+    return _t(spark, sf, "customer").select(
+        F.lower("c_mktsegment").alias("seg_key")
+    ).distinct()
+
+
+@_q(
+    "f4_fixed_width_slice",
+    """SELECT doc_id, substr(text, 1, 32) AS word0, substr(text, 33, 32) AS word1
+       FROM documents WHERE length(text) >= 64""",
+)
+def f4(spark, sf):
+    """F4 fixed-width word slicing of a payload (event_handlers.go:99-104
+    slices log.Data[off:off+32]; here the payload is text bytes)."""
+    d = _t(spark, sf, "documents").filter(F.length("text") >= 64)
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 32).alias("word0"),
+        F.substring("text", 33, 32).alias("word1"),
+    )
+
+
+@_q(
+    "f5_bigint_string_arith",
+    """SELECT o_orderkey,
+              CAST(CAST(o_orderkey AS DECIMAL(38,0)) * 1000000000000000000
+                   + 42 AS VARCHAR) AS wei_value
+       FROM orders WHERE o_orderkey < 50""",
+)
+def f5(spark, sf):
+    """F5 arbitrary-precision arithmetic kept exact (transfer_handler.go:
+    298-303 big.Int add/sub on string-carried uint256): DecimalType(38,0)
+    ops, emitted as canonical decimal strings — the reference's exact
+    string strategy (model_generator.go:71-72)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 50)
+    return o.select(
+        "o_orderkey",
+        (
+            F.col("o_orderkey").cast("decimal(38,0)")
+            * F.lit(1000000000000000000).cast("decimal(38,0)")
+            + F.lit(42)
+        ).cast("string").alias("wei_value"),
+    )
+
 
 @_q(
     "f2_hex_encode",
@@ -900,6 +1041,53 @@ def crawl_q(spark, sf):
         F.date_format("fetch_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("fetch_ts"),
         "bytes", "status",
     )
+
+
+@_q("frontier_lineage", None)
+def lineage_q(spark, sf):
+    """Per-host per-round lineage counters (S8 DataProof analog,
+    cmd/handlers/base_handler.go:16-26): urls_in/fetched/discovered/deduped,
+    committed atomically with each snapshot."""
+    from layerg_crawler_v2_spark import schema as S
+    from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+    pages = build_pages(spark, sf)
+    n = pages.count()
+    store = SnapshotStore(tempfile.mkdtemp(prefix="lineageq_"))
+    run_crawl(spark, pages, seed_urls(n), store, CrawlConfig(rounds=2))
+    return (
+        store.read(spark, "lineage", S.LINEAGE)
+        .orderBy("round", "host")
+        .select("round", "host", "depth", "urls_in", "urls_fetched",
+                "urls_discovered", "urls_deduped")
+    )
+
+
+@_q("politeness_audit", None)
+def politeness_q(spark, sf):
+    """W3 lag-window audit over a real crawl's fetch_log: rows = per-host
+    consecutive fetches closer than the delay budget (empty == polite).
+    Returned with a sentinel count row so the driver sees a stable non-void
+    schema."""
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark import schema as S
+    from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+    from layerg_crawler_v2_spark.operators.scheduler import politeness_violations
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+    pages = build_pages(spark, sf)
+    n = pages.count()
+    store = SnapshotStore(tempfile.mkdtemp(prefix="politeq_"))
+    run_crawl(spark, pages, seed_urls(n), store, CrawlConfig(rounds=2))
+    log = store.read(spark, "fetch_log", S.FETCH_LOG)
+    violations = politeness_violations(log, hosts=None)
+    return spark.createDataFrame(
+        [("violations", 0)], "check string, expected int"
+    ).withColumn("actual", F.lit(violations.count()).cast("int"))
 
 
 @_q("canon_surt_hash", None)

@@ -192,6 +192,15 @@ def host_udf(urls: pd.Series) -> pd.Series:
     return urls.map(host_of, na_action="ignore")
 
 
+def host_col_native(canon_col: Column | str) -> Column:
+    """Host (netloc incl. port) of an ALREADY-CANONICAL URL — pure JVM
+    string ops (whole-stage codegen), no Python. canonicalize() guarantees
+    `scheme://netloc/path`, so netloc = text between '://' and the first '/'.
+    Equals host_of() on canonical input (asserted by crawl-parity tests)."""
+    c = F.col(canon_col) if isinstance(canon_col, str) else canon_col
+    return F.substring_index(F.substring_index(c, "://", -1), "/", 1)
+
+
 def url_hash_col(canon_col: Column | str) -> Column:
     """xxhash64 of the canonical URL — native JVM expression, no Python.
 

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # zstd halves parquet bytes vs snappy on URL/text-heavy tables; its
+        # CPU cost is per-task (parallel) while disk bandwidth is shared —
+        # the right trade at every cluster size
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # v2 commit: task-side renames — the v1 committer serializes every
+        # output-file rename through the driver (hurts multi-table commits)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

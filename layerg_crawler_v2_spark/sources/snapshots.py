@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -75,14 +76,30 @@ class SnapshotStore:
             "replace": {},
             "counters": counters or {},
         }
-        for name, df in (appends or {}).items():
-            path = os.path.join(self.base, "tables", name, snapshot_id)
-            df.write.mode("overwrite").parquet(path)
-            entry["append"][name] = path
-        for name, df in (replaces or {}).items():
-            path = os.path.join(self.base, "tables", name, snapshot_id)
-            df.write.mode("overwrite").parquet(path)
-            entry["replace"][name] = path
+        # the table writes are independent Spark jobs on disjoint paths —
+        # submit them concurrently (Spark's scheduler interleaves their
+        # stages) so the commit's wall is max(write), not sum(write). The
+        # manifest swap below stays the single serial commit point.
+        writes: list[tuple[str, str, str]] = []
+        for kind, tables in (("append", appends or {}), ("replace", replaces or {})):
+            for name, df in tables.items():
+                path = os.path.join(self.base, "tables", name, snapshot_id)
+                writes.append((kind, name, path))
+                entry[kind][name] = path
+        dfs = {**(appends or {}), **(replaces or {})}
+        if len(writes) > 1:
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                futs = [
+                    pool.submit(
+                        dfs[name].write.mode("overwrite").parquet, path
+                    )
+                    for _, name, path in writes
+                ]
+                for f in futs:
+                    f.result()
+        else:
+            for _, name, path in writes:
+                dfs[name].write.mode("overwrite").parquet(path)
         manifest = self._load()
         # idempotent replay: drop any snapshot for the same round (a retried
         # round replaces its partial predecessor — exactly-once on resume)

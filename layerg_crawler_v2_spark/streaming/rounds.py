@@ -27,16 +27,21 @@ oracle):
   * seen ⊇ everything ever enqueued, so one anti-join covers both the seen
     and the queued set.
 
-Scale notes: the selected set per round is ≤ hosts × max_parallel — tiny next
-to pages — so the fetch join broadcasts `selected` and streams `pages`
-(never the reverse). State (frontier/seen) is re-read from the snapshot
+Scale notes: the fetch join builds its hash table from the politeness-capped
+`selected` side (shuffle_hash hint) and STREAMS pages; with a
+canonical_pages()-bucketed page store the multi-GB html side is never
+re-shuffled or sorted. State (frontier/seen) is re-read from the snapshot
 store each round, which truncates logical-plan lineage and is exactly the
 resume path. At 10^10 URLs the seen anti-join is the big shuffle: the bloom
-prefilter (operators/seen.py) keeps its left side small, and both sides hash
-on url_hash."""
+prefilter (operators/seen.py) or per-partition cuckoo filters
+(operators/cuckoo.py — no broadcast state at all) keep its left side small,
+and both sides hash on url_hash. Independent per-round branches (fetch-log
+ranking vs discovery) and the commit's table writes are submitted as
+concurrent Spark jobs."""
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -48,7 +53,7 @@ from pyspark.sql.types import StringType
 from ..functions.canon import (
     canonicalize_udf,
     host_bucket_col,
-    host_udf,
+    host_col_native,
     resolve,
     url_hash_col,
 )
@@ -122,7 +127,7 @@ def prepare_seeds(
     frontier = dedup.select(
         "url",
         url_hash_col("url").alias("url_hash"),
-        host_udf("url").alias("host"),
+        host_col_native("url").alias("host"),  # url is canonical here
         F.lit(0).alias("depth"),
         F.col("priority").cast("long"),
         F.lit(0).alias("discovered_round"),
@@ -170,48 +175,56 @@ def run_round(
     #    frontier — a forced broadcast would serialize those through the
     #    driver. AQE picks broadcast when selected is actually small and a
     #    shuffle join when it isn't (both sides hash on the url key).
+    #    shuffle_hash hint: build the hash table from the (politeness-capped)
+    #    selected side and STREAM pages — no per-round sort of the multi-GB
+    #    html side, and a canonical_pages()-partitioned table needs no
+    #    exchange at all. Catalyst would default to sort-merge here.
     fetched = (
-        pages_canon.join(selected, on=pages_canon["url_canon"] == selected["url"], how="inner")
+        pages_canon.join(
+            selected.hint("shuffle_hash"),
+            on=pages_canon["url_canon"] == selected["url"],
+            how="inner",
+        )
         .drop("url_canon")
         .cache()
     )
     # misses = selected minus the fetch hits — anti-join against the (small,
     # cached) fetched set, NOT a second full scan of pages
     misses = selected.join(fetched.select("url"), on="url", how="left_anti")
-    fetch_rows = (
-        fetched.select(
+    # html-free projection: the log/lineage never need the payload, so the
+    # multi-GB html bytes live ONLY in the `fetched` cache (extract reads
+    # them there) — never copied into a second cache
+    fetch_rows = fetched.select(
+        "url", "host", "depth", "fetch_ts",
+        F.octet_length("html").cast("long").alias("bytes"),
+        F.lit("OK").alias("status"),
+        "priority",
+    ).unionByName(
+        misses.select(
             "url", "host", "depth", "fetch_ts",
-            F.octet_length("html").cast("long").alias("bytes"),
-            F.lit("OK").alias("status"),
-            "priority", "html",
+            F.lit(0).cast("long").alias("bytes"),
+            F.lit("MISS").alias("status"),
+            "priority",
         )
-        .unionByName(
-            misses.select(
-                "url", "host", "depth", "fetch_ts",
-                F.lit(0).cast("long").alias("bytes"),
-                F.lit("MISS").alias("status"),
-                "priority",
-                F.lit(None).cast("binary").alias("html"),
-            )
-        )
-        .cache()
     )
 
-    # 3. fetch log with a scalable deterministic global sequence
-    fetch_log = with_global_seq(
-        fetch_rows.select("url", "host", "depth", "fetch_ts", "bytes", "status"),
-        [F.asc("fetch_ts"), F.asc("host"), F.asc("url")],
-        seq_col="seq",
-    ).select(
-        F.lit(round_no).alias("round"),
-        F.col("seq").cast("int"),
-        "url", "host", "depth", "fetch_ts", "bytes", "status",
-    )
+    # 3. fetch log with a scalable deterministic global sequence — BUILT
+    #    CONCURRENTLY with step 5's materialization below (independent
+    #    branches off the cached fetch_rows; Spark interleaves their jobs)
+    def _build_fetch_log() -> DataFrame:
+        return with_global_seq(
+            fetch_rows.select("url", "host", "depth", "fetch_ts", "bytes", "status"),
+            [F.asc("fetch_ts"), F.asc("host"), F.asc("url")],
+            seq_col="seq",
+        ).select(
+            F.lit(round_no).alias("round"),
+            F.col("seq").cast("int"),
+            "url", "host", "depth", "fetch_ts", "bytes", "status",
+        )
 
     # 4. outlink discovery: Arrow-UDF extract + resolve + canonicalize,
     #    then one groupBy merges OPIC cash (sum) and depth (min)
-    ok = fetch_rows.filter(F.col("status") == "OK")
-    links = ok.select(
+    links = fetched.select(
         "url", "depth", "priority",
         extract_outlinks_udf("html").alias("hrefs"),
     ).withColumn("n_out", F.size("hrefs"))
@@ -232,7 +245,7 @@ def run_round(
     )
     discovered = (
         discovered.withColumn("url_hash", url_hash_col("url"))
-        .withColumn("host", host_udf("url"))
+        .withColumn("host", host_col_native("url"))  # resolve() output is canonical
         .withColumn("host_bucket", host_bucket_col("host", cfg.n_host_buckets))
         .withColumn("depth", F.col("depth").cast("int"))
         .withColumn("discovered_round", F.lit(round_no + 1))
@@ -266,7 +279,15 @@ def run_round(
     # dedup within the round is already done by the groupBy; anti-join vs
     # seen covers queued too because seen ⊇ enqueued (loop invariant)
     new = new.cache()
-    n_new = new.count()
+
+    # materialize the two independent heavy branches concurrently: the fetch
+    # log's parallel ranking and the discovery/anti-join chain both hang off
+    # cached fetch_rows (block-level cache locks make the race benign)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_log = pool.submit(_build_fetch_log)
+        fut_new = pool.submit(new.count)
+        fetch_log = fut_log.result()
+        n_new = fut_new.result()
 
     # 6. next frontier = leftover queued ∪ newly discovered
     leftover = queued.join(selected.select("url"), on="url", how="left_anti")
@@ -281,9 +302,7 @@ def run_round(
             F.count("*").alias("urls_in"),
         )
         .join(
-            fetch_rows.filter(F.col("status") == "OK")
-            .groupBy("host")
-            .agg(F.count("*").alias("urls_fetched")),
+            fetched.groupBy("host").agg(F.count("*").alias("urls_fetched")),
             on="host", how="left",
         )
         .join(new.groupBy("host").agg(F.count("*").alias("urls_discovered")), on="host", how="left")
@@ -308,7 +327,7 @@ def run_round(
     if cfg.collect_counters:
         counters.update(
             selected=selected.count(),
-            fetched_ok=fetch_rows.filter(F.col("status") == "OK").count(),
+            fetched_ok=fetched.count(),
             discovered=discovered.count(),
         )
     replaces = {"frontier": next_frontier}
@@ -329,27 +348,49 @@ def run_round(
     )
     selected.unpersist()
     fetched.unpersist()
-    fetch_rows.unpersist()
     discovered.unpersist()
     new.unpersist()
     return counters
 
 
+def canonical_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """pages -> (url_canon, html), hash-partitioned on the join key.
+
+    The repartition is the sandbox analog of storing the pages table BUCKETED
+    by canonical url (Common-Crawl indexes are SURT-keyed for the same
+    reason): every round's fetch join then reuses this partitioning and only
+    shuffles the small `selected` side — the multi-GB html payload never
+    moves again. At Iceberg scale: `PARTITIONED BY (bucket(N, url))`."""
+    spark = pages.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        pages.select(canonicalize_udf("url").alias("url_canon"), "html")
+        .filter(F.col("url_canon").isNotNull())
+        .repartition(n, "url_canon")
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
-    seed_urls: list[str],
+    seed_urls: list[str] | DataFrame,
     store: SnapshotStore,
     cfg: CrawlConfig | None = None,
     hosts: DataFrame | None = None,
     robots: DataFrame | None = None,
     resume: bool = True,
+    pages_are_canonical: bool = False,
 ) -> SnapshotStore:
-    """Run (or resume) a multi-round crawl against a pages table."""
+    """Run (or resume) a multi-round crawl against a pages table.
+
+    Pass `pages_are_canonical=True` when `pages` is already a
+    `canonical_pages()` output (caller-cached) — the production shape, where
+    the page store is keyed by canonical URL up front."""
     cfg = cfg or CrawlConfig()
-    pages_canon = pages.select(
-        canonicalize_udf("url").alias("url_canon"), "html"
-    ).filter(F.col("url_canon").isNotNull()).cache()
+    if pages_are_canonical:
+        pages_canon = pages
+    else:
+        pages_canon = canonical_pages(pages).cache()
 
     last = store.last_round() if resume else None
     if last is None:
@@ -373,5 +414,6 @@ def run_crawl(
 
     for r in range(start_round, cfg.rounds):
         run_round(spark, store, pages_canon, hosts, robots, r, cfg)
-    pages_canon.unpersist()
+    if not pages_are_canonical:
+        pages_canon.unpersist()
     return store

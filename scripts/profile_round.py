@@ -10,7 +10,7 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 from pyspark.sql import functions as F
 
 from layerg_crawler_v2_spark.session import get_spark
-from layerg_crawler_v2_spark.datagen import build_pages_synthetic, seed_urls
+from layerg_crawler_v2_spark.datagen import build_pages_synthetic, seed_df
 from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
 from layerg_crawler_v2_spark.streaming import rounds as R
 from layerg_crawler_v2_spark import schema as S
@@ -25,7 +25,7 @@ def lap(msg):
     print(f"{msg:45s} {now - t:7.2f}s", flush=True)
     t = now
 
-pages = build_pages_synthetic(spark, N).cache()
+pages = build_pages_synthetic(spark, N, partitions=64).cache()
 pages.count()
 lap("build+cache pages")
 
@@ -36,8 +36,8 @@ pages_canon.count()
 lap("canonicalize pages (cache)")
 
 store = SnapshotStore(tempfile.mkdtemp(prefix="prof_"))
-cfg = R.CrawlConfig(rounds=2, default_max_parallel=64, n_host_buckets=256, use_bloom=True)
-seeds_df = R.prepare_seeds(spark, seed_urls(N, n_seeds=max(64, N // 10)), cfg, None)
+cfg = R.CrawlConfig(rounds=2, default_max_parallel=256, n_host_buckets=256, use_bloom=True, collect_counters=False)
+seeds_df = R.prepare_seeds(spark, seed_df(spark, N, N, partitions=64), cfg, None)
 store.commit(-1, appends={"url_seen": R._seen_delta(seeds_df, cfg.n_host_buckets)},
              replaces={"frontier": seeds_df}, counters={})
 lap("seed commit")
@@ -49,12 +49,12 @@ for rnd in (0, 1):
     n_sel = selected.count()
     lap(f"r{rnd} select_for_fetch ({n_sel})")
 
-    fetched = (pages_canon.join(F.broadcast(selected), on=pages_canon["url_canon"] == selected["url"], how="inner")
+    fetched = (pages_canon.join(selected, on=pages_canon["url_canon"] == selected["url"], how="inner")
                .drop("url_canon").cache())
     nf = fetched.count()
     lap(f"r{rnd} fetch join ({nf})")
 
-    misses = selected.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
+    misses = selected.join(fetched.select("url"), on="url", how="left_anti")
     fetch_rows = (fetched.select("url", "host", "depth", "fetch_ts",
                                  F.octet_length("html").cast("long").alias("bytes"),
                                  F.lit("OK").alias("status"), "priority", "html")

@@ -121,3 +121,33 @@ def test_robots_deny(spark, pages_df, pages_dict, seeds, tmp_path):
         for (r, q, u, h, d, ts, b, st) in sim.fetch_log
     ]
     assert got == want
+
+
+def test_per_host_config_parity(spark, pages_df, pages_dict, seeds, tmp_path):
+    """Custom per-host delay/max_parallel dim (chains.block_time analog,
+    cmd/crawler_cmd.go:84): engine matches simulator, budgets enforced."""
+    hosts_list = sorted({u.split("/")[2] for u in pages_dict})
+    slow, narrow = hosts_list[0], hosts_list[2]
+    delay = {slow: 2000}
+    maxp = {narrow: 2}
+    sim = simulate(pages_dict, seeds, ROUNDS, delay_ms=delay, max_parallel=maxp)
+
+    hosts_df = spark.createDataFrame(
+        [(slow, 2000, None), (narrow, None, 2)],
+        "host string, delay_ms int, max_parallel int",
+    )
+    store = SnapshotStore(str(tmp_path / "hosts"))
+    run_crawl(
+        spark, pages_df, seeds, store, CrawlConfig(rounds=ROUNDS), hosts=hosts_df
+    )
+    got = fetch_log_tuples(spark, store)
+    want = [
+        (r, q, u, h, d, ts.replace(tzinfo=None), b, st)
+        for (r, q, u, h, d, ts, b, st) in sim.fetch_log
+    ]
+    assert got == want
+    # budgets actually enforced
+    log = store.read(spark, "fetch_log", S.FETCH_LOG)
+    assert politeness_violations(log, hosts_df).count() == 0
+    per = log.groupBy("round", "host").agg(F.count("*").alias("n"))
+    assert per.filter((F.col("host") == narrow) & (F.col("n") > 2)).count() == 0
