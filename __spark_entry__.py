@@ -289,13 +289,21 @@ def j5(spark, sf):
 @_q(
     "j6_get_or_create_anti",
     """SELECT DISTINCT e.user_id AS id FROM events e
-       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""",
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 <> 0)""",
 )
 def j6(spark, sf):
     """J6 GetOrCreate: left-anti finds the to-insert set
-    (db/graphqldb/custom.sql.go:29-42)."""
+    (db/graphqldb/custom.sql.go:29-42). The entity side is restricted to a
+    modular slice (custkey % 3 != 0) to model a PARTIALLY materialized user
+    table — on the driver fixture every event user already exists, which made
+    the unfiltered anti-join vacuously empty (VERDICT r1 #2)."""
     e = _t(spark, sf, "events").select(F.col("user_id").alias("id")).distinct()
-    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
     return e.join(c, "id", "left_anti")
 
 
@@ -512,12 +520,20 @@ def o3(spark, sf):
 @_q(
     "set_anti_seen_diff",
     """SELECT DISTINCT user_id FROM events
-       WHERE user_id NOT IN (SELECT c_custkey FROM customer)""",
+       WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                             WHERE c_custkey % 4 <> 1)""",
 )
 def set_anti(spark, sf):
-    """Seen-set diff: discovered LEFT ANTI seen (unique-set batch form)."""
+    """Seen-set diff: discovered LEFT ANTI seen (unique-set batch form). The
+    seen side is a modular slice (custkey % 4 != 1) so the diff has survivors
+    on the driver fixture — the unfiltered form returned 0 rows and proved
+    nothing (VERDICT r1 #2)."""
     e = _t(spark, sf, "events").select("user_id").distinct()
-    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"))
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 4 != 1)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
     return e.join(c, "user_id", "left_anti")
 
 
@@ -1003,8 +1019,8 @@ def ann_brute(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), query, k=10)
 
 
-@_q("ann_lsh_topk", None)  # bucketed ANN: rows-only (recall tested in pytest)
-def ann_lsh_q(spark, sf):
+@_q("ann_lsh_topk", None)  # bucketed ANN: rows-only (recall asserted by
+def ann_lsh_q(spark, sf):  # tests/test_similarity.py::test_lsh_topk_recall)
     from layerg_crawler_v2_spark.operators.similarity import lsh_topk
 
     dim = 64
@@ -1012,13 +1028,42 @@ def ann_lsh_q(spark, sf):
     return lsh_topk(_t(spark, sf, "embeddings"), query, k=10)
 
 
-@_q("embedding_near_dup", None)  # applyInPandas: rows-only
+def _augmented_embeddings(spark, sf):
+    """embeddings ∪ planted exact-copy vectors (vec_id+100000 for vec_id<20).
+
+    The driver fixture has no natural near-dups (max pairwise cosine ≈ 0.51),
+    so the near-dup gate was vacuous (VERDICT r1 #2). Planting copies keeps
+    the result exact for the LSH-bucketed operator too: identical vectors
+    share every LSH bucket, so recall on the planted set is 1 by
+    construction, while cosine ≥ 0.9 excludes every natural pair by a wide
+    margin."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(dup)
+
+
+@_q(
+    "embedding_near_dup",
+    """WITH aug AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+       )
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""",
+)
 def emb_near_dup_q(spark, sf):
+    """LSH-bucketed near-dup pairs on the planted corpus. The id pair set is
+    emitted without the float similarity so the oracle hash is immune to
+    float32-vs-double rounding differences between engines."""
     from layerg_crawler_v2_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.5, n_planes=4
-    )
+        _augmented_embeddings(spark, sf), threshold=0.9, n_planes=4
+    ).select("id_a", "id_b")
 
 
 # --- frontier/crawl (non-SQL rows-only; goldens live in pytest) -----------------------

@@ -80,6 +80,25 @@ def url_variant(doc_id: int, n_docs: int, variant: int) -> str:
     return f"http://{host}./d/{doc_id}"  # trailing-dot host
 
 
+def adversarial_urls() -> list[str]:
+    """Already-canonical URLs with hostile shapes — '://', '?', '/' and '#'
+    escapes inside query payloads (all survive canonicalize() unchanged).
+    Parity tests assert the native JVM host/path expressions agree with the
+    Python host_of()/path parsing on every one of these; a last-'://' split
+    bug (VERDICT r1 #1) mis-buckets them onto the embedded host."""
+    return [
+        "http://a.com/r?next=http://b.com/x",
+        "http://a.com/p?u=https://c.org/y&v=1",
+        "http://a.com:8080/r?next=http://b.com/x",
+        "http://a.com/p?u=http://b.com",
+        "http://h0.example.com/d/1?ref=http://h9.example.com/d/2",
+        "http://a.com/q?path=/slash/deep/path",
+        "http://a.com/q?frag=%23notfrag",
+        "http://a.com/",
+        "http://a.com/deep/path/x?a=://&z=9",
+    ]
+
+
 def outlink_doc_ids(doc_id: int, n_docs: int) -> list[int]:
     """2-5 deterministic outlinks; doc 0 is a hub target (many in-links)."""
     if n_docs <= 1:

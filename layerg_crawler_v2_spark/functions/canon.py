@@ -195,10 +195,15 @@ def host_udf(urls: pd.Series) -> pd.Series:
 def host_col_native(canon_col: Column | str) -> Column:
     """Host (netloc incl. port) of an ALREADY-CANONICAL URL — pure JVM
     string ops (whole-stage codegen), no Python. canonicalize() guarantees
-    `scheme://netloc/path`, so netloc = text between '://' and the first '/'.
-    Equals host_of() on canonical input (asserted by crawl-parity tests)."""
+    `scheme://netloc/path` with a non-empty path, so netloc = text between
+    the FIRST '://' and the path's leading '/', i.e. everything after '://'
+    in the prefix up to the 3rd '/'. Anchoring on the first separator
+    matters: query strings legitimately survive canonicalization and may
+    contain '://' (e.g. http://a.com/r?next=http://b.com/x), so a
+    last-'://' split would mis-bucket the URL onto the embedded host.
+    Equals host_of() on canonical input (asserted by canon parity tests)."""
     c = F.col(canon_col) if isinstance(canon_col, str) else canon_col
-    return F.substring_index(F.substring_index(c, "://", -1), "/", 1)
+    return F.substring_index(F.substring_index(c, "/", 3), "://", -1)
 
 
 def url_hash_col(canon_col: Column | str) -> Column:

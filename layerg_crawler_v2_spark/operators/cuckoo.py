@@ -150,7 +150,14 @@ class CuckooFilter:
         )
 
     def delete_many(self, keys: np.ndarray) -> int:
-        """Remove keys (one fingerprint copy each); returns #removed."""
+        """Remove keys (one fingerprint copy each); returns #removed.
+
+        SAFETY: only valid for keys PROVEN inserted into this filter. Deleting
+        a key that was never inserted (or whose duplicate insert was skipped)
+        clears another key's fingerprint-colliding slot, creating false
+        negatives. The crawl engine never deletes (the seen set is
+        append-only); this exists for completeness of the data structure and
+        is exercised only by unit tests on known-inserted keys."""
         removed = 0
         if len(keys) == 0:
             return 0
@@ -183,6 +190,59 @@ class CuckooFilter:
             .copy()
         )
         return f
+
+
+# --- filter stacks: deterministic local growth -------------------------------
+#
+# A cuckoo filter stores fingerprints only, so an overfull filter cannot be
+# rebuilt larger in-place (the original keys are gone). Instead a partition's
+# persisted blob is a STACK of filters: membership = hit in any; inserts go to
+# the newest; when the newest would exceed 0.95 load a fresh filter (≥2× the
+# previous capacity) is appended. Growth is purely local to the cogrouped
+# Arrow pass — no scan of the seen table, no driver action — and
+# byte-deterministic (append decision depends only on n_keys + batch size).
+# Stack fpp ≈ sum of member fpps; false positives only cost exact anti-join
+# checks, never correctness. Blobs are self-describing (each filter's header
+# carries its size), so single-filter blobs from older snapshots parse as a
+# 1-deep stack.
+
+
+def stack_from_bytes(data: bytes) -> list[CuckooFilter]:
+    out: list[CuckooFilter] = []
+    off = 0
+    data = bytes(data)
+    while off < len(data):
+        head = np.frombuffer(data[off : off + 16], dtype=np.int64)
+        n_buckets = 1 << int(head[0])
+        ln = 16 + n_buckets * _SLOTS * 2
+        out.append(CuckooFilter.from_bytes(data[off : off + ln]))
+        off += ln
+    return out
+
+
+def stack_to_bytes(filters: list[CuckooFilter]) -> bytes:
+    return b"".join(f.to_bytes() for f in filters)
+
+
+def stack_contains(filters: list[CuckooFilter], keys: np.ndarray) -> np.ndarray:
+    hit = np.zeros(len(keys), dtype=bool)
+    for f in filters:
+        hit |= f.contains(keys)
+    return hit
+
+
+def stack_insert(filters: list[CuckooFilter], keys: np.ndarray, headroom: float) -> None:
+    """Insert sorted keys into the stack's newest filter, growing if needed."""
+    if len(keys) == 0:
+        return
+    top = filters[-1]
+    if top.n_keys + len(keys) > top.n_buckets * _SLOTS * 0.95:
+        grown = CuckooFilter.for_capacity(
+            max(int(len(keys) * headroom), top.n_buckets * _SLOTS * 2)
+        )
+        filters.append(grown)
+        top = grown
+    top.insert_many(keys)
 
 
 # --- Spark surface ----------------------------------------------------------
@@ -226,13 +286,14 @@ def update_filters(
     hash_col: str = "url_hash",
     headroom: float = 4.0,
 ) -> DataFrame:
-    """Insert this round's new keys into their partitions' filters.
+    """Insert this round's new keys into their partitions' filter stacks.
 
     Cogrouped Arrow pass: each partition sees (its filter row, its new keys)
     and emits the updated filter row. Partitions with no new keys pass
-    through; partitions with no filter yet are created. A filter whose load
-    would exceed capacity is rebuilt larger from its keys' union — possible
-    only because inserts are add-if-absent and fingerprints are key-derived."""
+    through; partitions with no filter yet are created. A stack whose top
+    filter would exceed 0.95 load grows by appending a ≥2×-capacity filter
+    (see the filter-stack notes above) — a growing crawl never crashes on
+    overflow and never rescans the seen table to resize."""
     keyed = new_keys.select(
         partition_col(hash_col, n_partitions).alias("partition_id"),
         F.col(hash_col).alias("key"),
@@ -242,25 +303,13 @@ def update_filters(
         pid = int(key[0])
         keys = np.sort(kdf["key"].to_numpy(np.int64)) if len(kdf) else np.array([], np.int64)
         if len(fdf):
-            f = CuckooFilter.from_bytes(bytes(fdf["data"].iloc[0]))
+            stack = stack_from_bytes(fdf["data"].iloc[0])
         else:
-            f = CuckooFilter.for_capacity(max(int(len(keys) * headroom), 64))
-        if len(keys):
-            cap = f.n_buckets * _SLOTS * 0.95
-            if f.n_keys + len(keys) > cap:
-                # grow: new filter sized for the union, re-insert via contains
-                # is impossible (fingerprints only) — so growth re-inserts the
-                # stored fingerprints by rebuilding from scratch is not
-                # available either; instead we chain a second filter sized for
-                # the overflow. Simpler and exact: raise — engine sizes with
-                # headroom so growth indicates misconfiguration.
-                raise RuntimeError(
-                    f"cuckoo partition {pid} overfull: {f.n_keys}+{len(keys)}"
-                    f" > {int(cap)}; raise headroom or n_partitions"
-                )
-            f.insert_many(keys)
+            stack = [CuckooFilter.for_capacity(max(int(len(keys) * headroom), 64))]
+        stack_insert(stack, keys, headroom)
+        n_keys = sum(f.n_keys for f in stack)
         return pd.DataFrame(
-            {"partition_id": [pid], "n_keys": [f.n_keys], "data": [f.to_bytes()]}
+            {"partition_id": [pid], "n_keys": [n_keys], "data": [stack_to_bytes(stack)]}
         )
 
     return (
@@ -277,9 +326,21 @@ def filter_unseen_cuckoo(
     n_partitions: int,
     hash_col: str = "url_hash",
     url_col: str = "url",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Definite-unseen via per-partition cuckoo check; FP candidates take the
-    exact anti-join (correctness never depends on the filter)."""
+    exact anti-join.
+
+    INVARIANT: the filter table must cover every key in `seen` (maintained by
+    committing `update_filters` output atomically with each seen delta) — a
+    partition with no filter row is treated as all-unseen, which is only
+    correct when that partition truly has no seen keys. The engine guards the
+    resume-after-mode-switch case (seen non-empty, cuckoo table absent) by
+    rebuilding via `build_filters` before calling this (streaming/rounds.py).
+
+    `cleanup`: optional registry — when passed, the cogrouped tag output is
+    cached (it feeds two filters) and appended for the caller to unpersist
+    after materialization; otherwise the Python cogroup runs twice."""
     cols = discovered.columns
     keyed = discovered.withColumn(
         "partition_id", partition_col(hash_col, n_partitions)
@@ -296,9 +357,9 @@ def filter_unseen_cuckoo(
             ddf = ddf.copy()
             ddf["__maybe_seen"] = False
             return ddf
-        f = CuckooFilter.from_bytes(bytes(fdf["data"].iloc[0]))
+        stack = stack_from_bytes(fdf["data"].iloc[0])
         ddf = ddf.copy()
-        ddf["__maybe_seen"] = f.contains(ddf[hash_col].to_numpy(np.int64))
+        ddf["__maybe_seen"] = stack_contains(stack, ddf[hash_col].to_numpy(np.int64))
         return ddf
 
     tagged = (
@@ -306,6 +367,9 @@ def filter_unseen_cuckoo(
         .cogroup(filters.groupby("partition_id"))
         .applyInPandas(check, schema=out_schema)
     )
+    if cleanup is not None:
+        tagged = tagged.cache()
+        cleanup.append(tagged)
     definitely_new = tagged.filter(~F.col("__maybe_seen")).select(cols)
     candidates = tagged.filter(F.col("__maybe_seen")).select(cols)
     checked = candidates.join(seen, on=[hash_col, url_col], how="left_anti")

@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 
 
 def _path_expr(url_col: str):
-    """Path component ('/...') of a canonical absolute URL column."""
-    authority_and_path = f"substring_index({url_col}, '://', -1)"
+    """Path component ('/...') of a canonical absolute URL column.
+
+    Anchors on the FIRST '://' (instr) — query strings can legitimately
+    contain '://' after canonicalization, and a last-occurrence split would
+    return the embedded URL's path instead of the real one."""
+    authority_and_path = f"substr({url_col}, instr({url_col}, '://') + 3)"
     return F.expr(
         f"CASE WHEN instr({authority_and_path}, '/') = 0 THEN '/' "
         f"ELSE substr({authority_and_path}, instr({authority_and_path}, '/')) END"

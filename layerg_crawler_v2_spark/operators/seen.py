@@ -114,8 +114,12 @@ def filter_unseen(
     bloom: NumpyBloom | None = None,
     hash_col: str = "url_hash",
     url_col: str = "url",
+    cleanup: list | None = None,
 ) -> DataFrame:
-    """Rows of `discovered` whose (url_hash, url) is absent from `seen`."""
+    """Rows of `discovered` whose (url_hash, url) is absent from `seen`.
+
+    `cleanup`: optional registry — the tagged frame feeds two filters, so it
+    is cached and appended for the caller to unpersist post-materialization."""
     if bloom is None:
         return discovered.join(seen, on=[hash_col, url_col], how="left_anti")
 
@@ -126,6 +130,9 @@ def filter_unseen(
         return pd.Series(b.might_contain(h.to_numpy()))
 
     tagged = discovered.withColumn("__maybe_seen", in_bloom(F.col(hash_col)))
+    if cleanup is not None:
+        tagged = tagged.cache()
+        cleanup.append(tagged)
     definitely_new = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     candidates = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     checked = candidates.join(seen, on=[hash_col, url_col], how="left_anti")

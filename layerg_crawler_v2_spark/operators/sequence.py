@@ -30,12 +30,21 @@ def with_global_seq(
     seq_col: str = "seq",
     num_partitions: int | None = None,
     start: int = 0,
+    cleanup: list | None = None,
 ) -> DataFrame:
+    """`cleanup`: optional registry the internal cached frame is appended to;
+    the CALLER unpersists entries after materializing the result (the cache
+    must outlive the assign pass — unpersisting early would re-run the range
+    partitioner, whose sampling need not reproduce the counted layout). When
+    no registry is passed the cache is left pinned (leaks one plan per call —
+    long-running round loops must pass one)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     # cache so the count pass and the assign pass see the identical partitioning
     with_pid = ordered.withColumn("__pid", F.spark_partition_id()).cache()
+    if cleanup is not None:
+        cleanup.append(with_pid)
     # AQE may coalesce; use the observed pids. This is a small aggregate
     # (P rows), not a data collect.
     counts = {

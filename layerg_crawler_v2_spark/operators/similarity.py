@@ -94,26 +94,59 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     return bucket
 
 
+def lsh_candidate_udf(query: list[float], n_planes: int, n_tables: int, seed: int):
+    """pandas UDF: embedding -> bool, true iff the vector shares the query's
+    bucket in ≥1 of the L hash tables (vectorized sign-matrix pass)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    dim = len(query)
+    planes = _planes(dim, n_planes * n_tables, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qv = np.asarray(query, dtype=np.float64)
+    qbuckets = np.array(
+        [
+            int(((planes[t * n_planes : (t + 1) * n_planes] @ qv) >= 0) @ weights)
+            for t in range(n_tables)
+        ],
+        dtype=np.int64,
+    )
+
+    @pandas_udf(BooleanType())
+    def is_candidate(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes.T) >= 0  # (n, m*L)
+        hit = np.zeros(len(embs), dtype=bool)
+        for t in range(n_tables):
+            b = signs[:, t * n_planes : (t + 1) * n_planes] @ weights
+            hit |= b == qbuckets[t]
+        return pd.Series(hit)
+
+    return is_candidate
+
+
 def lsh_topk(
     df: DataFrame, query: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
-    n_planes: int = 8, seed: int = 42,
+    n_planes: int = 4, n_tables: int = 24, seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: score only the probe bucket (+ Hamming-1 neighbor buckets).
+    """ANN top-k via multi-TABLE random-hyperplane LSH: a vector is a
+    candidate iff it matches the query's bucket in ≥1 of L independent
+    m-plane tables (recall ≈ 1-(1-p^m)^L, p = 1-angle/π). Exact cosine +
+    TakeOrderedAndProject run only on candidates.
 
-    Multi-probe keeps recall high while scanning ~ (n_planes+1)/2^n_planes of
-    the data; at 100 TB the bucket column is precomputed and the table is
-    partitioned by it, so a probe prunes to a few partitions."""
-    dim = len(query)
-    planes = _planes(dim, n_planes, seed)
-    qv = np.asarray(query, dtype=np.float64)
-    qsigns = (planes @ qv) >= 0
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    qbucket = int((qsigns @ weights))
-    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
-
-    bucketed = df.withColumn("__bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col)))
-    cand = bucketed.filter(F.col("__bucket").isin(probes))
+    At 100-TB scale the L bucket ids are precomputed columns and the table is
+    partitioned by (table_id, bucket), so a probe prunes to L partitions; the
+    single-pass candidate UDF here is the sandbox analog of that pruned scan.
+    Scan fraction depends on neighbor strength: near-dup-grade neighbors
+    (cos ≥ 0.9) allow m=8+ at tiny scan fractions, while weak neighbors
+    (cos ≈ 0.5, the driver fixture) need m=4, L=24 for ≥0.9 recall — recall
+    and the planted-neighbor behavior are asserted in tests/test_similarity.py."""
+    cand = df.filter(
+        lsh_candidate_udf(query, n_planes, n_tables, seed)(F.col(vec_col))
+    )
     return (
         cand.select(
             F.col(id_col),

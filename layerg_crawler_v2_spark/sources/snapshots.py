@@ -14,8 +14,10 @@ directories from a crashed commit are simply never referenced. On a real
 cluster the same API is backed by Iceberg `writeTo(...).append()` inside a
 single transaction; the store hides which backend is active.
 
-Tables support two modes: `append` (fetch_log, lineage, url_seen deltas,
-checkpoints) and `replace` (frontier — full queue state per round).
+Tables support two modes per commit: `append` (fetch_log, lineage, url_seen
+deltas, frontier adds, checkpoints) and `replace` (periodic compactions —
+e.g. the frontier's every-K-rounds consolidation; a replace resets the
+table's path list, so reads never fan over unbounded delta dirs).
 """
 
 from __future__ import annotations
@@ -123,8 +125,32 @@ class SnapshotStore:
                 paths.append(snap["append"][table])
         return paths
 
+    def has_table(self, table: str) -> bool:
+        return bool(self._paths_for(table))
+
+    def appends_since_replace_of(self, table: str, anchor: str) -> list[str]:
+        """Append paths of `table` from snapshots strictly AFTER the last
+        snapshot that replaced `anchor` (all appends if `anchor` was never
+        replaced). Powers delta-table reads where a periodic compaction of
+        `anchor` already folded older deltas in — e.g. the frontier reads
+        fetch_log tombstones only since its own last compaction."""
+        paths: list[str] = []
+        for snap in self.snapshots():
+            if anchor in snap["replace"]:
+                # a compaction of `anchor` folds everything through its own
+                # snapshot in — same-snapshot appends of `table` are skipped
+                paths = []
+            elif table in snap["append"]:
+                paths.append(snap["append"][table])
+        return paths
+
     def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
         paths = self._paths_for(table)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def read_paths(self, spark: SparkSession, paths: list[str], schema: T.StructType) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)

@@ -12,8 +12,19 @@ reference's sequential per-block loop (cmd/onchain.go:52-124):
         ─ anti-join URL-seen (↔ unique-set add-if-absent,
           cmd/helpers/unique-set-onchain.go:28-31)
         ─▶ one atomic snapshot: fetch_log + seen delta + lineage +
-           checkpoint + next frontier  (fixes the replay window of
+           checkpoint + frontier ADD-delta  (fixes the replay window of
            cmd/onchain.go:114-119)
+
+Frontier storage is append-delta, not rewrite: a URL enters the frontier
+exactly once (add-if-absent), so each round appends only its new discoveries,
+and consumption needs no separate tombstone table — a frontier row is
+consumed iff its url appears in fetch_log (every selected URL lands there as
+OK or MISS). The queued set is adds ⟂ fetch_log (left anti), and every K
+rounds the round's commit REPLACES the frontier with the materialized queued
+set so reads never fan over unbounded delta dirs. Per-round frontier write
+cost is O(new discoveries); the old full-rewrite was O(|frontier|) — a
+multi-TB write per round at 10^10 URLs regardless of round size (VERDICT r1
+perf #1).
 
 Semantics (mirrored 1:1 by tests/reference_sim.py, the <200-LoC sequential
 oracle):
@@ -87,7 +98,13 @@ class CrawlConfig:
     # the snapshot (the 10^10-scale deployment shape: no broadcast of seen
     # state, each partition checks its own few-MB filter)
     seen_filter: str = "exact"
-    cuckoo_partitions: int = 64
+    # None = derived from the seen-set size at seed time (≈8M keys — a ~16 MB
+    # stacked filter — per partition, min 64) and pinned in snapshot counters;
+    # partition count must stay constant for the life of a store.
+    cuckoo_partitions: int | None = None
+    # REPLACE (compact) the frontier every K rounds; other rounds append only
+    # the add-delta. 0 = never compact (reads fan over one dir per round).
+    frontier_compact_every: int = 16
     # >0 = hot-host skew split: salted pre-top-K window (identical output)
     scheduler_salt_buckets: int = 0
     allow_hosts: list[str] | None = None
@@ -141,6 +158,25 @@ def prepare_seeds(
     return frontier.select([f.name for f in S.FRONTIER.fields])
 
 
+def _derive_cuckoo_partitions(n_keys: int) -> int:
+    """Partition count keeping each stacked filter ≈ ≤16 MB (~8M keys)."""
+    return max(64, -(-n_keys // 8_000_000))
+
+
+def read_frontier_queued(spark: SparkSession, store: SnapshotStore) -> DataFrame:
+    """Current QUEUED frontier = frontier add-deltas minus consumed URLs.
+
+    Consumed = appeared in fetch_log since the frontier's last compaction
+    (column-pruned scan: only `url` is read from the log). No per-round
+    full-frontier write exists anywhere — see the module docstring."""
+    adds = store.read(spark, "frontier", S.FRONTIER).filter(F.col("state") == "QUEUED")
+    consumed_paths = store.appends_since_replace_of("fetch_log", anchor="frontier")
+    if consumed_paths:
+        consumed = store.read_paths(spark, consumed_paths, S.FETCH_LOG).select("url")
+        adds = adds.join(consumed, on="url", how="left_anti")
+    return adds
+
+
 def _seen_delta(frontier_rows: DataFrame, n_buckets: int) -> DataFrame:
     return frontier_rows.select(
         "url_hash",
@@ -160,8 +196,9 @@ def run_round(
     cfg: CrawlConfig,
 ) -> dict[str, int]:
     """Execute one frontier round and commit it atomically."""
-    queued = store.read(spark, "frontier", S.FRONTIER).filter(F.col("state") == "QUEUED")
+    queued = read_frontier_queued(spark, store)
     seen = store.read(spark, "url_seen", S.URL_SEEN)
+    caches: list[DataFrame] = []  # intermediates to unpersist post-commit
 
     # 1. schedule: top-K per host, paced on the simulated round clock
     selected = select_for_fetch(
@@ -216,6 +253,7 @@ def run_round(
             fetch_rows.select("url", "host", "depth", "fetch_ts", "bytes", "status"),
             [F.asc("fetch_ts"), F.asc("host"), F.asc("url")],
             seq_col="seq",
+            cleanup=caches,
         ).select(
             F.lit(round_no).alias("round"),
             F.col("seq").cast("int"),
@@ -266,13 +304,28 @@ def run_round(
     seen_total = store.last_counter("seen_total", 0)
     mode = "bloom" if (cfg.use_bloom and cfg.seen_filter == "exact") else cfg.seen_filter
     cuckoo = None
+    cuckoo_parts = 0
     if mode == "cuckoo":
-        cuckoo = store.read(spark, "cuckoo", CUCKOO_SCHEMA)
+        cuckoo_parts = (
+            store.last_counter("cuckoo_partitions", 0)
+            or cfg.cuckoo_partitions
+            or _derive_cuckoo_partitions(seen_total)
+        )
+        if not store.has_table("cuckoo") and seen_total > 0:
+            # resume-after-mode-switch guard: a store created in exact/bloom
+            # mode has seen keys but no filters; an empty filter table would
+            # mark every discovery definitely-unseen (ADVICE r1). Rebuild
+            # from the authoritative seen table before trusting the filters.
+            cuckoo = build_filters(seen, cuckoo_parts)
+        else:
+            cuckoo = store.read(spark, "cuckoo", CUCKOO_SCHEMA)
         new = filter_unseen_cuckoo(
-            discovered, cuckoo, seen, cfg.cuckoo_partitions
+            discovered, cuckoo, seen, cuckoo_parts, cleanup=caches
         )
     elif mode == "bloom" and seen_total >= cfg.bloom_min_seen:
-        new = filter_unseen(discovered, seen, bloom=build_bloom(seen, n=seen_total))
+        new = filter_unseen(
+            discovered, seen, bloom=build_bloom(seen, n=seen_total), cleanup=caches
+        )
     else:
         new = filter_unseen(discovered, seen, bloom=None)
     new = new.select([f.name for f in S.FRONTIER.fields])
@@ -289,9 +342,15 @@ def run_round(
         fetch_log = fut_log.result()
         n_new = fut_new.result()
 
-    # 6. next frontier = leftover queued ∪ newly discovered
-    leftover = queued.join(selected.select("url"), on="url", how="left_anti")
-    next_frontier = leftover.unionByName(new)
+    # 6. frontier delta: normally just append `new` (consumption is implied
+    #    by this round's fetch_log append — every selected URL is in it); on
+    #    compaction rounds materialize queued-minus-selected ∪ new as a
+    #    REPLACE so the frontier's path list resets to one dir
+    compact = (
+        cfg.frontier_compact_every > 0
+        and round_no > 0
+        and round_no % cfg.frontier_compact_every == 0
+    )
 
     # 7. lineage per host (DataProof analog, base_handler.go:16-26) — all
     #    counts derive from cached frames inside the single lineage write job
@@ -324,32 +383,33 @@ def run_round(
     )
 
     counters = {"new": n_new, "seen_total": seen_total + n_new}
+    if mode == "cuckoo":
+        counters["cuckoo_partitions"] = cuckoo_parts
     if cfg.collect_counters:
         counters.update(
             selected=selected.count(),
             fetched_ok=fetched.count(),
             discovered=discovered.count(),
         )
-    replaces = {"frontier": next_frontier}
+    appends = {
+        "fetch_log": fetch_log,
+        "url_seen": _seen_delta(new, cfg.n_host_buckets),
+        "lineage": lineage,
+    }
+    replaces: dict[str, DataFrame] = {}
+    if compact:
+        leftover = queued.join(selected.select("url"), on="url", how="left_anti")
+        replaces["frontier"] = leftover.unionByName(new)
+    else:
+        appends["frontier"] = new
     if mode == "cuckoo":
         # updated filters commit atomically with the seen delta they cover
         replaces["cuckoo"] = update_filters(
-            cuckoo, new.select("url_hash"), cfg.cuckoo_partitions
+            cuckoo, new.select("url_hash"), cuckoo_parts
         )
-    store.commit(
-        round_no,
-        appends={
-            "fetch_log": fetch_log,
-            "url_seen": _seen_delta(new, cfg.n_host_buckets),
-            "lineage": lineage,
-        },
-        replaces=replaces,
-        counters=counters,
-    )
-    selected.unpersist()
-    fetched.unpersist()
-    discovered.unpersist()
-    new.unpersist()
+    store.commit(round_no, appends=appends, replaces=replaces, counters=counters)
+    for c in (selected, fetched, discovered, new, *caches):
+        c.unpersist()
     return counters
 
 
@@ -396,16 +456,20 @@ def run_crawl(
     if last is None:
         seeds_df = prepare_seeds(spark, seed_urls, cfg, robots).cache()
         n_seeds = seeds_df.count()
-        replaces = {"frontier": seeds_df}
+        counters = {"seeds": n_seeds, "seen_total": n_seeds}
+        replaces: dict[str, DataFrame] = {}
         if cfg.seen_filter == "cuckoo":
-            replaces["cuckoo"] = build_filters(
-                seeds_df.select("url_hash"), cfg.cuckoo_partitions
-            )
+            p = cfg.cuckoo_partitions or _derive_cuckoo_partitions(n_seeds)
+            counters["cuckoo_partitions"] = p
+            replaces["cuckoo"] = build_filters(seeds_df.select("url_hash"), p)
         store.commit(
             -1,
-            appends={"url_seen": _seen_delta(seeds_df, cfg.n_host_buckets)},
+            appends={
+                "frontier": seeds_df,
+                "url_seen": _seen_delta(seeds_df, cfg.n_host_buckets),
+            },
             replaces=replaces,
-            counters={"seeds": n_seeds, "seen_total": n_seeds},
+            counters=counters,
         )
         seeds_df.unpersist()
         start_round = 0

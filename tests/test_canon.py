@@ -65,6 +65,53 @@ def test_resolve():
     assert resolve("http://e.com/a", "//other.com/p") == "http://other.com/p"
 
 
+def test_adversarial_urls_are_canonical():
+    from layerg_crawler_v2_spark.datagen import adversarial_urls
+
+    for u in adversarial_urls():
+        assert canonicalize(u) == u, u
+
+
+def test_host_col_native_parity(spark):
+    """Native JVM host expression == Python host_of on hostile canonical URLs
+    (the '://'-in-query class from VERDICT r1 #1)."""
+    import pyspark.sql.functions as F
+
+    from layerg_crawler_v2_spark.datagen import adversarial_urls
+    from layerg_crawler_v2_spark.functions.canon import host_col_native
+
+    urls = adversarial_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["h"]
+        for r in df.select("url", host_col_native("url").alias("h")).collect()
+    }
+    for u in urls:
+        assert got[u] == host_of(u), u
+    assert got["http://a.com/r?next=http://b.com/x"] == "a.com"
+
+
+def test_robots_path_expr_parity(spark):
+    """Native path expression anchors on the FIRST '://' — path of
+    http://a.com/r?next=http://b.com/x is /r?next=..., not /x."""
+    from layerg_crawler_v2_spark.datagen import adversarial_urls
+    from layerg_crawler_v2_spark.operators.robots import _path_expr
+
+    def py_path(u: str) -> str:
+        rest = u.split("://", 1)[1]
+        return rest[rest.index("/"):] if "/" in rest else "/"
+
+    urls = adversarial_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["p"]
+        for r in df.select("url", _path_expr("url").alias("p")).collect()
+    }
+    for u in urls:
+        assert got[u] == py_path(u), u
+    assert got["http://a.com/r?next=http://b.com/x"] == "/r?next=http://b.com/x"
+
+
 def test_spark_udf_matches_pure(spark):
     import pyspark.sql.functions as F
 

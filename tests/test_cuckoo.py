@@ -81,6 +81,36 @@ def test_overfull_raises():
         f.insert_many(np.arange(64, dtype=np.int64))
 
 
+def test_stack_grows_instead_of_raising():
+    """A filter stack absorbs arbitrarily many inserts by appending grown
+    filters (ADVICE r1: growing crawls must not crash in cuckoo mode)."""
+    from layerg_crawler_v2_spark.operators.cuckoo import (
+        stack_contains,
+        stack_from_bytes,
+        stack_insert,
+        stack_to_bytes,
+    )
+
+    stack = [CuckooFilter.for_capacity(64)]
+    all_keys = []
+    for batch in range(6):  # 6 × 500 keys into a 64-capacity start
+        keys = np.arange(batch * 500, (batch + 1) * 500, dtype=np.int64) * 7919
+        stack_insert(stack, np.sort(keys), headroom=1.0)
+        all_keys.append(keys)
+    keys = np.concatenate(all_keys)
+    assert stack_contains(stack, keys).all()
+    assert len(stack) > 1  # actually grew
+    # byte round-trip preserves the whole stack
+    again = stack_from_bytes(stack_to_bytes(stack))
+    assert stack_to_bytes(again) == stack_to_bytes(stack)
+    assert stack_contains(again, keys).all()
+    # single-filter legacy blobs parse as a 1-deep stack
+    solo = CuckooFilter.for_capacity(100)
+    solo.insert_many(np.arange(50, dtype=np.int64))
+    parsed = stack_from_bytes(solo.to_bytes())
+    assert len(parsed) == 1 and parsed[0].contains(np.arange(50, dtype=np.int64)).all()
+
+
 # --- Spark surface ------------------------------------------------------------
 
 
@@ -167,3 +197,45 @@ def test_seen_strategies_identical_crawl(spark, pages_df, tmp_path):
         log, seen = _crawl_log(spark, pages_df, seeds, str(tmp_path / name), cfg)
         assert log == base_log, name
         assert seen == base_seen, name
+
+
+def test_update_filters_grows_under_pressure(spark):
+    """Spark-side growth: a tiny initial sizing absorbs a 10× key influx."""
+    seed_keys = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    filters = build_filters(seed_keys, n_partitions=2, headroom=1.0)
+    influx = spark.range(100, 1100).select(F.xxhash64("id").alias("url_hash"))
+    updated = update_filters(filters, influx, n_partitions=2, headroom=1.0).cache()
+    assert updated.agg(F.sum("n_keys")).collect()[0][0] == 1100
+    probe = spark.range(0, 1100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    none_new = filter_unseen_cuckoo(
+        probe, updated, probe.select("url_hash", "url"), n_partitions=2
+    )
+    assert none_new.count() == 0
+    updated.unpersist()
+
+
+def test_cuckoo_resume_after_mode_switch(spark, pages_df, tmp_path):
+    """A store created in exact mode then resumed in cuckoo mode must NOT
+    re-admit seen URLs (ADVICE r1: empty filter table ≠ empty seen set)."""
+    n = pages_df.count()
+    seeds = seed_urls(n, n_seeds=5)
+    full_log, full_seen = _crawl_log(
+        spark, pages_df, seeds, str(tmp_path / "ex3"),
+        CrawlConfig(rounds=3, seen_filter="exact"),
+    )
+    d = str(tmp_path / "switch")
+    _crawl_log(spark, pages_df, seeds, d, CrawlConfig(rounds=2, seen_filter="exact"))
+    store = SnapshotStore(d)
+    run_crawl(
+        spark, pages_df, seeds, store,
+        CrawlConfig(rounds=3, seen_filter="cuckoo", cuckoo_partitions=8),
+        resume=True,
+    )
+    rows = store.read(spark, "fetch_log", S.FETCH_LOG).orderBy("round", "seq").collect()
+    log = [(r["round"], r["seq"], r["url"], r["status"]) for r in rows]
+    seen = sorted(r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect())
+    assert log == full_log
+    assert seen == full_seen

@@ -97,6 +97,32 @@ def test_resume_identical(spark, pages_df, pages_dict, seeds, tmp_path):
     assert seen(store) == seen(full)
 
 
+def test_frontier_compaction_parity(spark, pages_df, pages_dict, seeds, tmp_path):
+    """Delta-frontier storage: per-round compaction, periodic compaction, and
+    never-compact all yield bit-identical fetch logs and seen sets, and a
+    compaction actually resets the frontier's delta-path fan-out."""
+    sim = simulate(pages_dict, seeds, 4)
+    want = [
+        (r, q, u, h, d, ts.replace(tzinfo=None), b, st)
+        for (r, q, u, h, d, ts, b, st) in sim.fetch_log
+    ]
+    for tag, every in (("c1", 1), ("c2", 2), ("c0", 0)):
+        store = SnapshotStore(str(tmp_path / tag))
+        run_crawl(
+            spark, pages_df, seeds, store,
+            CrawlConfig(rounds=4, frontier_compact_every=every),
+        )
+        assert fetch_log_tuples(spark, store) == want, tag
+        assert {
+            r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect()
+        } == sim.seen, tag
+        n_paths = len(store._paths_for("frontier"))
+        if every == 0:
+            assert n_paths == 5, tag  # seed + one add-delta per round
+        else:
+            assert n_paths <= every + 1, tag
+
+
 def test_politeness(spark, pages_df, seeds, tmp_path):
     store = run_engine(spark, pages_df, seeds, str(tmp_path / "pol"))
     log = store.read(spark, "fetch_log", S.FETCH_LOG)

@@ -1,0 +1,83 @@
+"""ANN recall and embedding near-dup behavior (VERDICT r1 #4: back the
+claims with tests).
+
+Ground truth is brute_force_topk / numpy exact cosine; the fixture is the
+driver's embeddings.parquet at sf0.001 (500 × 64-dim, no natural near-dups —
+max pairwise cosine ≈ 0.51), so near-dup positives are planted copies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _queries():
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    e0 = [1.0] + [0.0] * 63
+    return [
+        e0,
+        list(mat[7]),
+        list(np.ones(64) / 8.0),
+        list(mat[123]),
+        list(np.eye(64)[5] + np.eye(64)[9]),
+    ]
+
+
+def test_lsh_topk_recall(spark, emb):
+    """Multi-table LSH top-k recall vs brute force ≥ 0.9 mean, ≥ 0.8 each,
+    at the operator defaults (m=4 planes, L=24 tables) — the exact config
+    the driver entry `ann_lsh_topk` runs."""
+    k = 10
+    recalls = []
+    for q in _queries():
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=k).collect()}
+        approx = {r["vec_id"] for r in lsh_topk(emb, q, k=k).collect()}
+        recalls.append(len(exact & approx) / k)
+    assert min(recalls) >= 0.8, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_near_dup_planted_pairs(spark, emb):
+    """Planted exact copies are found with recall 1 (identical vectors share
+    every LSH bucket) and nothing else crosses the 0.9 threshold."""
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    pairs = embedding_near_dup_pairs(aug, threshold=0.9, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 100000) for i in range(20)}
+
+
+def test_near_dup_precision_exact_cosine(spark, emb):
+    """Every emitted pair really has exact cosine ≥ threshold (precision 1 —
+    the operator computes exact cosine inside buckets, LSH only blocks)."""
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    ids = {int(v): i for i, v in enumerate(t["vec_id"].to_numpy())}
+    threshold = 0.45  # below the fixture's max natural cosine → >0 rows
+    pairs = embedding_near_dup_pairs(
+        emb.select("vec_id", "embedding"), threshold=threshold, n_planes=2
+    ).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        a, b = mat[ids[r["id_a"]]], mat[ids[r["id_b"]]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= threshold - 1e-9, (r, cos)
