@@ -26,6 +26,11 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 # blocks dropped wholesale (content-free for a crawler): head, script, style, nav
+# KNOWN LIMIT: the non-greedy regex stops at the FIRST closing tag, so nested
+# same-name blocks (<nav><nav></nav>X</nav>) leak the tail — fine for the
+# controlled generator whose pages never nest these (datagen.render_html),
+# and deterministic either way; a real-HTML deployment swaps this stage for a
+# proper tree parser behind the same pandas-UDF signature.
 _DROP_RE = re.compile(
     rb"<(head|script|style|nav)\b[^>]*>.*?</\1\s*>",
     re.S | re.I,

@@ -71,8 +71,13 @@ def parse_where(df: DataFrame, where: dict | None) -> Column | None:
             if sub:
                 conds.append(reduce(lambda a, b: a | b, sub))
         else:
-            fld, _, op = key.rpartition("_")
-            if op not in _OPS or not fld:
+            # longest-suffix-first so multi-token ops parse ("x_is_null" is
+            # op is_null on field x, not op "null" on field "x_is")
+            for op in sorted(_OPS, key=len, reverse=True):
+                if key.endswith("_" + op) and len(key) > len(op) + 1:
+                    fld = key[: -(len(op) + 1)]
+                    break
+            else:
                 fld, op = key, "eq"
             if fld not in df.columns:
                 raise KeyError(f"unknown filter field: {fld}")

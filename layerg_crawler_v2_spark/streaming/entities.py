@@ -1,0 +1,130 @@
+"""Event → entity materialization: the reference's indexer write path.
+
+Graft analog of the handler chain that turns each decoded log into entity
+upserts — get-or-create User, signed-delta Balance update
+(cmd/handlers/transfer_handler.go:91-172, 288-378; ON CONFLICT upserts in
+db/graphqldb/custom.sql.go:29-120). The reference does a read-modify-write
+PER EVENT; here one batch is two set operations:
+
+  * users: batch's distinct ids LEFT ANTI existing → append only the new
+    rows (get-or-create, the unique-set add-if-absent shape);
+  * balances: batch's signed deltas (groupBy sum, exact DECIMAL arithmetic —
+    order-independent, so any partitioning replays identically) FULL OUTER
+    merged with the current table → MERGE-style upsert.
+
+Both tables commit atomically with the batch cursor through SnapshotStore,
+so a killed indexer resumes at the next batch with exact state — the replay
+window the reference absorbs with ON CONFLICT (cmd/onchain.go:114-119) is
+closed by construction.
+
+Scale notes: `users` is append-delta (cost ∝ new users per batch). The
+`balances` merge rewrites the table per batch — correct here because entity
+tables are bounded by |users| (orders of magnitude below the event stream);
+on Iceberg this commit is `MERGE INTO`, which rewrites only matched-partition
+files. The invariant tested (tests/test_entities.py and the driver oracle):
+batch-by-batch incremental replay == one-shot aggregate over all events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.snapshots import SnapshotStore
+
+USERS = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("created_batch", T.IntegerType(), False),
+    ]
+)
+
+BALANCES = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("balance", T.DecimalType(30, 2), False),
+    ]
+)
+
+def _zero() -> F.Column:
+    # built lazily — Column construction needs an active session, and this
+    # module must import before one exists (verify-skill gotcha #4)
+    return F.lit(0).cast("decimal(30,2)")
+
+
+def signed_delta(value_col, type_col) -> F.Column:
+    """purchase adds, error refunds, everything else is balance-neutral
+    (the Transfer from/to signing rule, transfer_handler.go:288-378)."""
+    v = value_col.cast("decimal(30,2)")
+    return (
+        F.when(type_col == "purchase", v)
+        .when(type_col == "error", -v)
+        .otherwise(_zero())
+    )
+
+
+def with_week_batch(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Deterministic batch id: calendar week-of-month of the event ts — the
+    block-range batching analog for the driver's January-spanning fixture."""
+    return events.withColumn(
+        "batch", F.floor((F.dayofmonth(ts_col) - 1) / 7).cast("int")
+    )
+
+
+def materialize_batch(
+    spark: SparkSession, store: SnapshotStore, batch_df: DataFrame, batch_no: int
+) -> None:
+    users = store.read(spark, "users", USERS)
+    balances = store.read(spark, "balances", BALANCES)
+
+    new_users = (
+        batch_df.select(F.col("user_id").alias("id"))
+        .distinct()
+        .join(users, on="id", how="left_anti")
+        .withColumn("created_batch", F.lit(batch_no))
+    )
+
+    deltas = batch_df.groupBy("user_id").agg(
+        F.sum(signed_delta(F.col("value"), F.col("event_type"))).alias("delta")
+    )
+    merged = (
+        balances.join(deltas, on="user_id", how="full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("balance", _zero()) + F.coalesce("delta", _zero()))
+            .cast("decimal(30,2)")
+            .alias("balance"),
+        )
+    )
+    store.commit(
+        batch_no,
+        appends={"users": new_users},
+        replaces={"balances": merged},
+        counters={"batch": batch_no},
+    )
+
+
+def materialize_events(
+    spark: SparkSession,
+    events: DataFrame,
+    store: SnapshotStore,
+    batch_col: str = "batch",
+    resume: bool = True,
+) -> SnapshotStore:
+    """Replay events batch-by-batch (ascending batch id) into entity tables.
+
+    The per-batch loop is the reference's block loop; each iteration's state
+    lives in the store, not the driver, and a killed run resumes at
+    last_round()+1."""
+    batches = sorted(
+        r[0] for r in events.select(batch_col).distinct().collect()
+    )
+    last = store.last_round() if resume else None
+    for b in batches:
+        if last is not None and b <= last:
+            continue
+        materialize_batch(
+            spark, store, events.filter(F.col(batch_col) == b), b
+        )
+    return store

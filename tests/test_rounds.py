@@ -13,7 +13,13 @@ from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
 from layerg_crawler_v2_spark.functions.canon import canonicalize
 from layerg_crawler_v2_spark.operators.scheduler import politeness_violations
 from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
-from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+from layerg_crawler_v2_spark.streaming.rounds import (
+    CrawlConfig,
+    add_seeds,
+    compact_store,
+    read_frontier_queued,
+    run_crawl,
+)
 
 from .reference_sim import simulate
 
@@ -130,6 +136,107 @@ def test_politeness(spark, pages_df, seeds, tmp_path):
     # no host exceeds max_parallel per round
     per = log.groupBy("round", "host").agg(F.count("*").alias("n"))
     assert per.filter(F.col("n") > 8).count() == 0
+
+
+def test_add_seeds_mid_crawl(spark, pages_df, pages_dict, seeds, tmp_path):
+    """T7 dynamic source addition: seeds added between rounds get crawled;
+    re-added known URLs are add-if-absent no-ops (cmd/crawler_cmd.go:149-205)."""
+    from layerg_crawler_v2_spark.datagen import url_variant
+
+    n = len(pages_dict)
+    cfg = CrawlConfig(rounds=2)
+    store = SnapshotStore(str(tmp_path / "addseeds"))
+    run_crawl(spark, pages_df, seeds, store, cfg)
+    seen_before = {
+        r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect()
+    }
+    # a doc id high enough to be undiscovered so far
+    fresh = [u for i in range(n) if (u := url_variant(i, n, 1))
+             and canonicalize(u) not in seen_before][:3]
+    assert fresh
+    res = add_seeds(spark, store, fresh + seeds[:2], cfg, robots=None)
+    assert res["seeds_added"] == len(fresh)  # known seeds dropped
+    cfg2 = CrawlConfig(rounds=store.last_round() + 2)
+    run_crawl(spark, pages_df, seeds, store, cfg2, resume=True)
+    log_urls = {
+        r["url"] for r in store.read(spark, "fetch_log", S.FETCH_LOG).collect()
+    }
+    for u in fresh:
+        assert canonicalize(u) in log_urls, u
+    # no URL ever fetched twice (seen invariant survives the mid-crawl add)
+    log = store.read(spark, "fetch_log", S.FETCH_LOG)
+    assert log.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_compact_store_preserves_state(spark, pages_df, pages_dict, seeds, tmp_path):
+    """Maintenance compaction folds all delta dirs without changing any
+    table's contents, and the crawl resumes identically after it."""
+    sim = simulate(pages_dict, seeds, ROUNDS + 1)
+    a = str(tmp_path / "nocompact")
+    run_engine(spark, pages_df, seeds, a, rounds=ROUNDS)
+    store = SnapshotStore(a)
+    queued_before = sorted(
+        r["url"] for r in read_frontier_queued(spark, store).collect()
+    )
+    seen_before = sorted(
+        r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect()
+    )
+    log_before = fetch_log_tuples(spark, store)
+    compact_store(spark, store, CrawlConfig())
+    assert len(store._paths_for("frontier")) == 1
+    assert len(store._paths_for("url_seen")) == 1
+    assert len(store._paths_for("fetch_log")) == 1
+    assert sorted(
+        r["url"] for r in read_frontier_queued(spark, store).collect()
+    ) == queued_before
+    assert sorted(
+        r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect()
+    ) == seen_before
+    assert fetch_log_tuples(spark, store) == log_before
+    # continue crawling past the compaction: still matches the simulator
+    run_crawl(
+        spark, pages_df, seeds, store,
+        CrawlConfig(rounds=store.last_round() + 2), resume=True,
+    )
+    want = [
+        (r, q, u, h, d, ts.replace(tzinfo=None), b, st)
+        for (r, q, u, h, d, ts, b, st) in sim.fetch_log
+    ]
+    # rounds after compaction get shifted round numbers (compaction consumes
+    # one), so compare on the order-defining fields
+    got = [(u, h, d, b, st) for (_, _, u, h, d, _, b, st) in fetch_log_tuples(spark, store)]
+    assert got == [(u, h, d, b, st) for (_, _, u, h, d, _, b, st) in want]
+
+
+def test_discovered_hook_applied(spark, pages_df, pages_dict, seeds, tmp_path):
+    """U4 user mapping hook: a priority-demotion hook changes enqueue
+    priorities deterministically (two runs bit-identical)."""
+    hosts = sorted({u.split("/")[2] for u in pages_dict})
+    victim = hosts[0]
+
+    def demote(df):
+        return df.withColumn(
+            "priority",
+            F.when(F.col("host") == victim, F.lit(0).cast("long")).otherwise(
+                F.col("priority")
+            ),
+        )
+
+    logs = []
+    for tag in ("h1", "h2"):
+        store = SnapshotStore(str(tmp_path / tag))
+        run_crawl(
+            spark, pages_df, seeds, store,
+            CrawlConfig(rounds=ROUNDS, discovered_hook=demote),
+        )
+        pri = {
+            r["url"]: r["priority"]
+            for r in store.read(spark, "frontier", S.FRONTIER).collect()
+            if r["host"] == victim and r["discovered_round"] > 0
+        }
+        assert all(p == 0 for p in pri.values())
+        logs.append(fetch_log_tuples(spark, store))
+    assert logs[0] == logs[1]
 
 
 def test_robots_deny(spark, pages_df, pages_dict, seeds, tmp_path):
