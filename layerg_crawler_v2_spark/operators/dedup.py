@@ -45,35 +45,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_hashes: int = 12, shingle_n: int = 3,
+    n_hashes: int = 12, shingle_n: int = 3, hash_family: str = "md5",
 ) -> DataFrame:
-    """(id, minhash_0..k-1) — minhash_i = min(md5(i || ':' || shingle)).
+    """(id, minhash_0..k-1) — minhash_i = min(hash_i(shingle)).
 
-    md5-per-permutation is slower than xxhash but bit-portable to the DuckDB
-    oracle; swap the hash family for xxhash64 in production via `hash_expr`."""
+    Two JVM-native hash families, same semantics:
+      * 'md5'     — min(md5(i||':'||shingle)) as hex strings; slower but
+        bit-portable to the DuckDB oracle (the correctness gate);
+      * 'xxhash64'— min(xxhash64(shingle, seed=i)) as int64; the production
+        family (one 64-bit mix per shingle instead of a full digest —
+        the r1 bench's #2 cost was md5×8 per shingle). Signature equality
+        semantics are identical (tests assert exact-dup parity across
+        families), only the bytes differ."""
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+    if hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_family == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return shingled.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, n_bands: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, n_bands: int = 4,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal band-hash in ≥1 band (a < b, distinct)."""
+    """Candidate near-dup pairs: equal band-hash in ≥1 band (a < b, distinct).
+
+    Band hash follows the signature family: md5-of-concat for the
+    oracle-portable path, one native xxhash64 over the band's columns for
+    production (no string materialization at all)."""
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "xxhash64":
+            band_hash = F.xxhash64(*cols)
+        else:
+            band_hash = F.md5(F.concat_ws("|", *cols))
         bands.append(
             sigs.select(
                 F.col(id_col),
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                band_hash.alias("band_hash"),
             )
         )
     stacked = bands[0]

@@ -99,6 +99,87 @@ def extract_features(df: DataFrame, fake: bool = True, n_feat: int = 8) -> DataF
     )
 
 
+RESIZE_SCHEMA = "media_id long, width int, height int, pixels binary"
+
+
+def resize_image(df: DataFrame, width: int = 8, height: int = 8, fake: bool = True) -> DataFrame:
+    """media rows -> fixed-size thumbnails. REAL path needs an image codec
+    (stubbed, like decode_image); the fake path treats the payload bytes as a
+    row-major gray image and area-averages into width×height — deterministic,
+    same Arrow batch shape and output schema as a real resampler."""
+    if not fake:
+        decode_image(None)  # raises: real codecs unavailable here
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                if not b:
+                    out.append(bytes(width * height))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                cells = np.array_split(arr, width * height)
+                thumb = np.array(
+                    [int(c.mean()) if len(c) else 0 for c in cells], dtype=np.uint8
+                )
+                out.append(thumb.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(per_batch, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_no int, offset_ms int, frame_hash long"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """video rows -> one row per sampled frame (media_id, frame_no,
+    offset_ms, frame_hash). REAL decode is stubbed; the fake path slices the
+    payload evenly across meta.duration_ms and hashes each slice — the
+    explode-shaped output (rows ∝ duration) and batch sizing are exactly the
+    real pipeline's."""
+    if not fake:
+        decode_image(None)  # raises: real codecs unavailable here
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fnos, offs, hashes = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                d = int(dur) if dur is not None and dur == dur else 0
+                n = max(1, d // every_ms) if b else 0
+                for f in range(n):
+                    lo = len(b) * f // n
+                    hi = len(b) * (f + 1) // n
+                    h = 0xCBF29CE484222325
+                    for byte in b[lo : min(hi, lo + 1024)]:
+                        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                    mids.append(mid)
+                    fnos.append(f)
+                    offs.append(f * every_ms)
+                    hashes.append(h - 2**63)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "offset_ms": pd.Series(offs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    flat = df.select("media_id", "payload", "meta.duration_ms")
+    return flat.mapInPandas(per_batch, schema=FRAME_SCHEMA)
+
+
 def build_media_from_pages(pages: DataFrame) -> DataFrame:
     """Derive a media table from pages.html payloads (kind=image stand-in) —
     exercises the binary-column pipeline with real bytes."""

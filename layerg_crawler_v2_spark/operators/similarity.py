@@ -157,6 +157,99 @@ def lsh_topk(
     )
 
 
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+
+def train_centroids(
+    df: DataFrame, n_clusters: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id", sample_cap: int = 4096, iters: int = 5,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: stride-sample ≤sample_cap vectors
+    (vec_id-keyed, so any partitioning yields the same sample), then a few
+    Lloyd iterations in driver numpy. Only the (k×dim) centroid matrix ever
+    leaves the executors; at 100-TB scale the same loop runs on a TABLESAMPLE
+    and the centroids are still a broadcast-sized artifact."""
+    n = df.count()
+    stride = max(1, n // sample_cap)
+    sample_rows = (
+        df.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    C = sample[:n_clusters].copy()
+    for _ in range(iters):
+        sims = (sample @ C.T) / np.maximum(
+            np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(C, axis=1),
+            1e-12,
+        )
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_clusters):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> nearest-centroid cluster id (cosine)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    C = centroids
+    normC = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+
+    @pandas_udf(IntegerType())
+    def assign(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        sims = (mat @ C.T) / (
+            np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12) * normC
+        )
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_clusters: int = 16, nprobe: int = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: score only the nprobe clusters nearest the query
+    (scan ≈ nprobe/n_clusters of the data when clusters balance). At 100-TB
+    scale the cluster id is a precomputed column and the table is
+    PARTITIONED BY it, so a probe prunes to nprobe partitions.
+
+    Recall physics (asserted in tests/test_similarity.py): planted strong
+    neighbors (near-dup grade) share the base vector's cluster and are found
+    reliably at small nprobe; structureless corpora (the driver fixture,
+    top-k cosine ≈ 0.5) need nprobe/n_clusters → 1 for high recall — IVF,
+    like LSH, only prunes when neighbors are actually near."""
+    if centroids is None:
+        centroids = train_centroids(df, n_clusters, vec_col, id_col)
+    qv = np.asarray(query, dtype=np.float64)
+    qsims = (centroids @ qv) / np.maximum(
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv), 1e-12
+    )
+    probes = [int(x) for x in np.argsort(-qsims)[:nprobe]]
+    assigned = df.withColumn(
+        "__cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+    )
+    cand = assigned.filter(F.col("__cluster").isin(probes))
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity_col(F.col(vec_col), query).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95,
     vec_col: str = "embedding", id_col: str = "vec_id",

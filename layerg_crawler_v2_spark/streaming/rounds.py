@@ -230,24 +230,30 @@ def run_round(
     #    selected side and STREAM pages — no per-round sort of the multi-GB
     #    html side, and a canonical_pages()-partitioned table needs no
     #    exchange at all. Catalyst would default to sort-merge here.
+    #    The html payload is consumed in the SAME pass as the join: length +
+    #    outlink extraction (Arrow UDF) run while the joined rows stream, and
+    #    only the extraction RESULTS (hrefs, bytes) are cached — the multi-GB
+    #    html bytes never enter any cache or shuffle, so per-round memory/disk
+    #    traffic is O(links), not O(corpus). (r1 cached the joined rows WITH
+    #    html; writing+rereading that cache was pure memory-bandwidth cost.)
     fetched = (
         pages_canon.join(
             selected.hint("shuffle_hash"),
             on=pages_canon["url_canon"] == selected["url"],
             how="inner",
         )
-        .drop("url_canon")
+        .select(
+            "url", "host", "depth", "fetch_ts", "priority",
+            F.octet_length("html").cast("long").alias("bytes"),
+            extract_outlinks_udf("html").alias("hrefs"),
+        )
         .cache()
     )
     # misses = selected minus the fetch hits — anti-join against the (small,
     # cached) fetched set, NOT a second full scan of pages
     misses = selected.join(fetched.select("url"), on="url", how="left_anti")
-    # html-free projection: the log/lineage never need the payload, so the
-    # multi-GB html bytes live ONLY in the `fetched` cache (extract reads
-    # them there) — never copied into a second cache
     fetch_rows = fetched.select(
-        "url", "host", "depth", "fetch_ts",
-        F.octet_length("html").cast("long").alias("bytes"),
+        "url", "host", "depth", "fetch_ts", "bytes",
         F.lit("OK").alias("status"),
         "priority",
     ).unionByName(
@@ -274,12 +280,12 @@ def run_round(
             "url", "host", "depth", "fetch_ts", "bytes", "status",
         )
 
-    # 4. outlink discovery: Arrow-UDF extract + resolve + canonicalize,
-    #    then one groupBy merges OPIC cash (sum) and depth (min)
-    links = fetched.select(
-        "url", "depth", "priority",
-        extract_outlinks_udf("html").alias("hrefs"),
-    ).withColumn("n_out", F.size("hrefs"))
+    # 4. outlink discovery: extraction already happened in the join pass —
+    #    resolve + canonicalize the cached hrefs, then one groupBy merges
+    #    OPIC cash (sum) and depth (min)
+    links = fetched.select("url", "depth", "priority", "hrefs").withColumn(
+        "n_out", F.size("hrefs")
+    )
     exploded = links.filter(F.col("n_out") > 0).select(
         F.col("url").alias("base_url"),
         (F.col("depth") + 1).alias("child_depth"),

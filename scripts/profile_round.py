@@ -38,12 +38,20 @@ lap("canonicalize pages (cache)")
 store = SnapshotStore(tempfile.mkdtemp(prefix="prof_"))
 cfg = R.CrawlConfig(rounds=2, default_max_parallel=256, n_host_buckets=256, use_bloom=True, collect_counters=False)
 seeds_df = R.prepare_seeds(spark, seed_df(spark, N, N, partitions=64), cfg, None)
-store.commit(-1, appends={"url_seen": R._seen_delta(seeds_df, cfg.n_host_buckets)},
-             replaces={"frontier": seeds_df}, counters={})
-lap("seed commit")
+from layerg_crawler_v2_spark.operators.seen import (
+    BLOOM_SCHEMA, broadcast_blooms, build_bloom_buckets, filter_unseen,
+    update_bloom_buckets,
+)
+store.commit(-1,
+             appends={"frontier": seeds_df,
+                      "url_seen": R._seen_delta(seeds_df, cfg.n_host_buckets)},
+             replaces={"bloom": build_bloom_buckets(seeds_df.select("url_hash"),
+                                                    cfg.bloom_buckets)},
+             counters={})
+lap("seed commit (frontier+seen deltas + bloom buckets)")
 
 for rnd in (0, 1):
-    queued = store.read(spark, "frontier", S.FRONTIER).filter(F.col("state") == "QUEUED")
+    queued = R.read_frontier_queued(spark, store)
     seen = store.read(spark, "url_seen", S.URL_SEEN)
     selected = R.select_for_fetch(queued, None, rnd, cfg.default_delay_ms, cfg.default_max_parallel).cache()
     n_sel = selected.count()
@@ -100,19 +108,14 @@ for rnd in (0, 1):
     nd = discovered.count()
     lap(f"r{rnd} extract+resolve+groupBy ({nd})")
 
-    from layerg_crawler_v2_spark.operators.seen import build_bloom, filter_unseen
-    bloom = None
-    ns = seen.count()
-    if ns >= cfg.bloom_min_seen:
-        bloom = build_bloom(seen)
-    lap(f"r{rnd} bloom build (seen={ns})")
+    blooms_tbl = store.read(spark, "bloom", BLOOM_SCHEMA)
+    bloom = broadcast_blooms(spark, blooms_tbl, cfg.bloom_buckets)
+    lap(f"r{rnd} bloom broadcast (persistent buckets)")
 
     new = filter_unseen(discovered, seen, bloom=bloom).select([f.name for f in S.FRONTIER.fields]).cache()
     nn = new.count()
     lap(f"r{rnd} anti-join seen ({nn})")
 
-    leftover = queued.join(selected.select("url"), on="url", how="left_anti")
-    next_frontier = leftover.unionByName(new)
     lineage = (selected.groupBy("host").agg(F.min("depth").alias("depth"), F.count("*").alias("urls_in"))
                .join(fetch_rows.filter(F.col("status") == "OK").groupBy("host").agg(F.count("*").alias("urls_fetched")), on="host", how="left")
                .join(new.groupBy("host").agg(F.count("*").alias("urls_discovered")), on="host", how="left")
@@ -123,9 +126,12 @@ for rnd in (0, 1):
                        F.lit(0).cast("long").alias("urls_deduped")))
     store.commit(rnd, appends={"fetch_log": fetch_log,
                                "url_seen": R._seen_delta(new, cfg.n_host_buckets),
-                               "lineage": lineage},
-                 replaces={"frontier": next_frontier}, counters={})
-    lap(f"r{rnd} commit (3 writes + frontier)")
+                               "lineage": lineage,
+                               "frontier": new},
+                 replaces={"bloom": update_bloom_buckets(
+                     blooms_tbl, new.select("url_hash"), cfg.bloom_buckets)},
+                 counters={})
+    lap(f"r{rnd} commit (4 append deltas + bloom)")
     for df in (selected, fetched, fetch_rows, discovered, new):
         df.unpersist()
 

@@ -107,9 +107,7 @@ def simulate(
                 else:
                     discovered[child] = (share, depth + 1)
 
-        for url, (units, depth) in (
-            (u, (s, d)) for u, (s, d) in discovered.items()
-        ):
+        for url, (units, depth) in discovered.items():
             h = host_of(url)
             if allow_hosts is not None and h not in allow_hosts:
                 continue

@@ -49,6 +49,30 @@ def test_distinct_docs_large_hamming(hashes):
             assert d > 6, (a, b, d)
 
 
+def test_minhash_family_parity_on_exact_dups(spark):
+    """Both hash families (md5 oracle-portable, xxhash64 production) give
+    identical signatures for identical texts, and their LSH band joins both
+    surface the exact-dup pair."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(1, synth_text(3)), (2, synth_text(3)), (3, synth_text(4)),
+            (4, synth_text(5))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        sigs = minhash_signatures(df, n_hashes=8, shingle_n=3, hash_family=fam)
+        by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+                 for r in sigs.collect()}
+        assert by_id[1] == by_id[2], fam          # exact dups: equal sigs
+        assert by_id[1] != by_id[3], fam          # distinct docs: differ
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4,
+                                     hash_family=fam).collect()}
+        assert (1, 2) in pairs, fam
+
+
 def test_hamming64_column_matches_python(spark, hashes):
     pairs = [(hashes[a], hashes[b]) for a in LONG_IDS[:3] for b in LONG_IDS[3:6]]
     df = spark.createDataFrame(pairs, "a long, b long")
