@@ -97,12 +97,20 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles — all JVM higher-order functions, no Python."""
+    """Array of n-word shingles — all JVM higher-order functions, no Python.
+
+    Shape matters: shingles are built by zip_with over n SHIFTED SLICES of
+    the token array, so the expensive normalize+split expression is
+    evaluated a constant number of times per row (codegen subexpression
+    elimination collapses the identical copies) and each lambda touches only
+    its two elements. Referencing `toks` INSIDE a transform lambda instead
+    (via slice(toks, i, n) or element_at(toks, i+j)) re-evaluates the regex
+    split per produced element — O(len²) per document, which dominated the
+    whole minhash pipeline on long documents."""
     toks = F.split(normalize_text(text), " ")
     k = F.size(toks) - F.lit(n - 1)
-    return F.when(k <= 0, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    parts = [F.slice(toks, j + 1, k) for j in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(acc)
