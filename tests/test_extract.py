@@ -47,6 +47,56 @@ def test_drops_script_style_comment():
     assert extract_text(raw) == "visible"
 
 
+def test_nested_same_name_drop_blocks():
+    # the r1/r2 regex stage leaked "X" here (first-close stop); the tree
+    # parser drops the whole nested block
+    raw = b"<html><body><nav><nav>inner</nav>X</nav>kept</body></html>"
+    assert extract_text(raw) == "kept"
+
+
+def test_nested_mixed_drop_blocks():
+    raw = b"<body><nav>a<style>p{}</style>b</nav>visible</body>"
+    assert extract_text(raw) == "visible"
+
+
+def test_unclosed_p_tags_keep_text():
+    assert extract_text(b"<body><p>one<p>two</body>") == "onetwo"
+
+
+def test_unclosed_nav_drops_to_eof():
+    # browser-tree semantics: an unclosed drop block swallows the rest
+    assert extract_text(b"<body>pre<nav>menu<p>item</body>") == "pre"
+
+
+def test_end_tag_recovery_closes_inner_unclosed():
+    # </nav> closes the nav even though the inner <p> never closed
+    raw = b"<body><nav><p>menu</nav>after</body>"
+    assert extract_text(raw) == "after"
+
+
+def test_attribute_containing_gt():
+    # the old <[^>]*> strip ended the tag at the quoted '>' and leaked 'b">'
+    raw = b'<body><a title="a>b">link</a> text</body>'
+    assert extract_text(raw) == "link text"
+
+
+def test_drop_tag_attribute_containing_gt():
+    raw = b'<body><nav data-x="1>2">menu</nav>kept</body>'
+    assert extract_text(raw) == "kept"
+
+
+def test_script_cdata_stops_at_first_close():
+    # CDATA mode: content runs to the first </script>, like browsers
+    raw = b'<body><script>var s = "x";</script>kept</body>'
+    assert extract_text(raw) == "kept"
+
+
+def test_bare_lt_in_text_is_data():
+    # malformed '< ' is text, not a tag opener (the old regex ate to the
+    # next '>')
+    assert extract_text(b"<body>5 < 6 and 7 > 2</body>") == "5 < 6 and 7 > 2"
+
+
 def test_outlinks_order_and_resolution():
     n = 100
     did = 7
