@@ -176,6 +176,66 @@ def resolve(base: str, href: str) -> str | None:
 
 # --- vectorized Spark surface -------------------------------------------------
 
+# Native-eligibility for href resolution (JVM fast path; see resolve_fast_col).
+# An absolute candidate URL is fast-path eligible iff canonicalization reduces
+# to: lowercase scheme+host, strip fragment, drop the scheme's default port,
+# strip ONE trailing host dot, empty path -> "/". That holds exactly when:
+#   * scheme is http/https (any case), host is ASCII [A-Za-z0-9.-] ending in
+#     an alphanumeric (plus at most one trailing dot) — no userinfo, no empty
+#     host, no multi-dot tail, no IDN (JVM lower() vs Python .lower() can
+#     disagree outside ASCII);
+#   * the only port present is the scheme's default (:80 / :443) — non-default
+#     ports stay on the slow path so the strip below can be unconditional;
+#   * the path contains no '%' (pct-normalization), no '?' (query sort) and
+#     no "." / ".." segments (dot-segment removal);
+#   * anything from the first '#' on is fragment (dropped; first-# split,
+#     same as canonicalize()).
+_HOST_ELIG = r"[A-Za-z0-9.-]*[A-Za-z0-9]\.?"
+_FAST_ELIG_RE = (
+    rf"^((?i:http)://{_HOST_ELIG}(:80)?|(?i:https)://{_HOST_ELIG}(:443)?)"
+    rf"(/[^?#%]*)?(#[\s\S]*)?$"
+)
+_DOT_SEG_RE = r"(?s)^[^#]*?/\.\.?(/|$|#)"  # "." or ".." path segment pre-fragment
+
+
+def resolve_fast_col(base_col: Column | str, href_col: Column | str) -> Column:
+    """JVM fast path for `resolve(base, href)` — NULL when not eligible.
+
+    Covers the shapes that dominate real link graphs (and 4 of the
+    generator's 6 variants): already-canonical absolute URLs, absolute URLs
+    needing only case/port/fragment/trailing-dot normalization, and
+    host-relative ("/p") or protocol-relative ("//h/p") hrefs against an
+    ALREADY-CANONICAL base. Everything else (relative paths, dot segments,
+    pct-escapes, queries, exotic hosts) returns NULL and must be routed
+    through the pandas-UDF resolve. Guarantee (pinned by
+    tests/test_canon.py): wherever this is non-NULL it equals
+    resolve(base, href). Whole-stage-codegen expressions only — the crawl's
+    discovery hot path stops paying Arrow transfer + Python parse for the
+    common case (VERDICT r2 next-round #3)."""
+    base = F.col(base_col) if isinstance(base_col, str) else base_col
+    href = F.col(href_col) if isinstance(href_col, str) else href_col
+    h = F.trim(href)
+    is_abs = h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    is_proto_rel = h.startswith("//")
+    is_host_rel = h.startswith("/") & ~is_proto_rel
+    base_pre = F.substring_index(base, "/", 3)  # canonical scheme://host[:port]
+    base_scheme = F.substring_index(base, "://", 1)
+    cand = (
+        F.when(is_abs, h)
+        .when(is_proto_rel, F.concat(base_scheme, F.lit(":"), h))
+        .when(is_host_rel, F.concat(base_pre, h))
+    )
+    eligible = cand.rlike(_FAST_ELIG_RE) & ~cand.rlike(_DOT_SEG_RE)
+    u = F.substring_index(cand, "#", 1)  # first-# fragment strip
+    pre = F.lower(F.substring_index(u, "/", 3))
+    # default-port strip is safe unconditionally: eligibility pairs :80 with
+    # http and :443 with https; then at most one trailing host dot
+    pre = F.regexp_replace(pre, r":(80|443)$", "")
+    pre = F.regexp_replace(pre, r"\.$", "")
+    path = F.regexp_extract(u, r"^[^/]*//[^/]*(/[\s\S]*)?$", 1)
+    fast = F.concat(pre, F.when(path == "", "/").otherwise(path))
+    return F.when(eligible, fast)
+
 
 @pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:

@@ -67,6 +67,7 @@ from ..functions.canon import (
     host_bucket_col,
     host_col_native,
     resolve,
+    resolve_fast_col,
     url_hash_col,
 )
 from ..functions.extract import extract_outlinks_udf
@@ -293,10 +294,29 @@ def run_round(
         F.expr("priority div n_out").alias("child_units"),
         F.explode("hrefs").alias("href"),
     )
-    resolved = exploded.select(
-        _resolve_udf(F.col("base_url"), F.col("href")).alias("url"),
-        "child_depth", "child_units",
-    ).filter(F.col("url").isNotNull())
+    # href resolution splits by shape: the native-eligible majority (absolute
+    # or host-relative hrefs needing only case/port/fragment/trailing-dot
+    # normalization) resolves entirely in whole-stage codegen; only the
+    # remainder (relative paths, dot segments, pct-escapes, queries) crosses
+    # the Arrow boundary into the Python resolver. Both branches re-derive
+    # the cheap explode from the CACHED fetched set, so the Python path's
+    # Arrow transfer is O(slow rows), not O(all links) (VERDICT r2 #3).
+    # union is a narrow no-op — the downstream groupBy shuffles either way.
+    with_fast = exploded.withColumn(
+        "url_fast", resolve_fast_col(F.col("base_url"), F.col("href"))
+    )
+    resolved_fast = with_fast.filter(F.col("url_fast").isNotNull()).select(
+        F.col("url_fast").alias("url"), "child_depth", "child_units"
+    )
+    resolved_slow = (
+        with_fast.filter(F.col("url_fast").isNull())
+        .select(
+            _resolve_udf(F.col("base_url"), F.col("href")).alias("url"),
+            "child_depth", "child_units",
+        )
+        .filter(F.col("url").isNotNull())
+    )
+    resolved = resolved_fast.unionByName(resolved_slow)
     discovered = resolved.groupBy("url").agg(
         F.sum("child_units").alias("priority"),
         F.min("child_depth").alias("depth"),

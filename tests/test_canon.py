@@ -112,6 +112,83 @@ def test_robots_path_expr_parity(spark):
     assert got["http://a.com/r?next=http://b.com/x"] == "/r?next=http://b.com/x"
 
 
+def test_resolve_fast_col_parity(spark):
+    """Wherever the JVM fast path is non-NULL it must equal resolve(); and it
+    must actually COVER the generator's native-eligible variants (0,1,2,5),
+    protocol-relative and host-relative hrefs — else the fast path silently
+    degrades to never-eligible and the crawl quietly slows down."""
+    from layerg_crawler_v2_spark.datagen import (
+        adversarial_urls,
+        canonical_url,
+        url_variant,
+    )
+    from layerg_crawler_v2_spark.functions.canon import resolve_fast_col
+
+    n = 200
+    pairs: list[tuple[str, str]] = []
+    # every generator variant as an absolute href, many docs
+    for did in range(0, n, 7):
+        base = canonical_url((did * 5 + 3) % n, n)
+        for v in range(6):
+            pairs.append((base, url_variant(did, n, v)))
+    # host-relative / protocol-relative / relative-path / hostile shapes
+    base = "http://example.com/a/b"
+    pairs += [
+        (base, "/c"),
+        (base, "/c/d e"),          # space in path (kept by canonicalize)
+        (base, "//other.com/p"),
+        (base, "//OTHER.com:80/p"),
+        (base, "c"),               # relative path -> slow
+        (base, "../c"),            # dot segment -> slow
+        (base, "/c/./d"),          # dot segment -> slow
+        (base, "/c?b=2&a=1"),      # query sort -> slow
+        (base, "/c%41"),           # pct -> slow
+        (base, "HTTPS://H.com:443/x"),
+        (base, "http://h.com:8080/x"),   # non-default port -> slow
+        (base, "http://h.com.:80/x"),    # dot before port
+        (base, "http://h..com/x"),       # inner double dot (fast ok: kept)
+        (base, "http://h.com../x"),      # multi trailing dot -> slow
+        (base, "http://h.com/x#a#b"),    # first-# split
+        (base, "http://h.com#f"),        # no path + fragment
+        (base, "http://h.com"),          # no path
+        (base, "ftp://h.com/x"),         # unsupported scheme -> slow (None)
+        (base, "mailto:x@h.com"),
+        (base, ""),
+        (base, "  http://h.com/y  "),    # needs trim
+    ]
+    for u in adversarial_urls():
+        pairs.append((base, u))
+
+    df = spark.createDataFrame(pairs, "base string, href string")
+    rows = df.select(
+        "base", "href", resolve_fast_col("base", "href").alias("fast")
+    ).collect()
+    fast_hits = 0
+    for r in rows:
+        expected = resolve(r["base"], r["href"])
+        if r["fast"] is not None:
+            assert r["fast"] == expected, (r["base"], r["href"], r["fast"], expected)
+            fast_hits += 1
+    # coverage: variants 0,1,2,5 (4 of 6) of the absolute hrefs + the
+    # host/protocol-relative cases must take the fast path
+    n_variant_pairs = len(range(0, n, 7)) * 6
+    assert fast_hits >= n_variant_pairs * 4 // 6 + 4, fast_hits
+
+
+def test_resolve_fast_col_variant_coverage(spark):
+    """Pin exactly WHICH generator variants are native-eligible."""
+    from layerg_crawler_v2_spark.datagen import url_variant
+    from layerg_crawler_v2_spark.functions.canon import resolve_fast_col
+
+    n = 100
+    rows = spark.createDataFrame(
+        [(v, "http://example.com/", url_variant(17, n, v)) for v in range(6)],
+        "v int, base string, href string",
+    ).select("v", resolve_fast_col("base", "href").alias("fast")).collect()
+    got = {r["v"]: r["fast"] is not None for r in rows}
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False, 5: True}
+
+
 def test_spark_udf_matches_pure(spark):
     import pyspark.sql.functions as F
 
