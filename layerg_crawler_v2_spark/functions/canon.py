@@ -176,46 +176,51 @@ def resolve(base: str, href: str) -> str | None:
 
 # --- vectorized Spark surface -------------------------------------------------
 
-# Native-eligibility for href resolution (JVM fast path; see resolve_fast_col).
-# An absolute candidate URL is fast-path eligible iff canonicalization reduces
-# to: lowercase scheme+host, strip fragment, drop the scheme's default port,
-# strip ONE trailing host dot, empty path -> "/". That holds exactly when:
-#   * scheme is http/https (any case), host is ASCII [A-Za-z0-9.-] ending in
-#     an alphanumeric (plus at most one trailing dot) — no userinfo, no empty
-#     host, no multi-dot tail, no IDN (JVM lower() vs Python .lower() can
-#     disagree outside ASCII);
-#   * the only port present is the scheme's default (:80 / :443) — non-default
-#     ports stay on the slow path so the strip below can be unconditional;
-#   * the path contains no '%' (pct-normalization), no '?' (query sort) and
-#     no "." / ".." segments (dot-segment removal);
-#   * anything from the first '#' on is fragment (dropped; first-# split,
-#     same as canonicalize()).
-_HOST_ELIG = r"[A-Za-z0-9.-]*[A-Za-z0-9]\.?"
-_FAST_ELIG_RE = (
-    rf"^((?i:http)://{_HOST_ELIG}(:80)?|(?i:https)://{_HOST_ELIG}(:443)?)"
-    rf"(/[^?#%]*)?(#[\s\S]*)?$"
-)
-_DOT_SEG_RE = r"(?s)^[^#]*?/\.\.?(/|$|#)"  # "." or ".." path segment pre-fragment
-
-
 def resolve_fast_col(base_col: Column | str, href_col: Column | str) -> Column:
     """JVM fast path for `resolve(base, href)` — NULL when not eligible.
 
     Covers the shapes that dominate real link graphs (and 4 of the
     generator's 6 variants): already-canonical absolute URLs, absolute URLs
-    needing only case/port/fragment/trailing-dot normalization, and
-    host-relative ("/p") or protocol-relative ("//h/p") hrefs against an
-    ALREADY-CANONICAL base. Everything else (relative paths, dot segments,
-    pct-escapes, queries, exotic hosts) returns NULL and must be routed
-    through the pandas-UDF resolve. Guarantee (pinned by
-    tests/test_canon.py): wherever this is non-NULL it equals
-    resolve(base, href). Whole-stage-codegen expressions only — the crawl's
-    discovery hot path stops paying Arrow transfer + Python parse for the
-    common case (VERDICT r2 next-round #3)."""
+    needing only scheme/host-case, default-port, fragment, or
+    single-trailing-host-dot normalization, and host-relative ("/p") or
+    protocol-relative ("//h/p") hrefs against an ALREADY-CANONICAL base.
+    Everything else (relative paths, dot segments, pct-escapes, queries,
+    userinfo, non-default ports, non-ASCII, multi-dot host tails) returns
+    NULL and must be routed through the pandas-UDF resolve.
+
+    Guarantee (pinned by tests/test_canon.py): wherever this is non-NULL it
+    equals resolve(base, href).
+
+    Performance contract: NO regex anywhere — only contains / startswith /
+    endswith / locate / substring_index / lower / trim, all single-scan
+    codegen expressions. (A first cut used rlike with alternation + lazy
+    quantifiers and was SLOWER than the Python resolver it replaced:
+    5.2 s vs 10.7 s per 3M rows for the whole chain at local[4] — regex
+    backtracking ate the win.)
+
+    Eligibility reasoning, step by step against canonicalize():
+      * fragment = everything from the FIRST '#' (same split);
+      * ASCII-only (octet_length == char length), so JVM lower() ==
+        Python str.lower() and char positions == byte positions;
+      * no '%' (pct-normalization), '?' (query sort), or '@' (userinfo)
+        anywhere before the fragment;
+      * no "." / ".." path segments: excludes "/./", "/../" and the
+        trailing "/." / "/.." forms ("host./d" is safe — that dot has no
+        '/' before it);
+      * scheme+host[:port] = text before the 3rd '/'; any ':' past
+        position 6 must be the scheme's default port (http :80 /
+        https :443), which is then dropped; at most ONE trailing host dot
+        (".." tail -> slow, canonicalize strips all); host nonempty after
+        the strip;
+      * empty path -> "/"; the path (positions past the 3rd '/') is
+        copied verbatim — path case, inner '//' and ':' are all kept by
+        canonicalize too."""
     base = F.col(base_col) if isinstance(base_col, str) else base_col
     href = F.col(href_col) if isinstance(href_col, str) else href_col
     h = F.trim(href)
-    is_abs = h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    pfx7 = F.lower(h.substr(1, 7))
+    pfx8 = F.lower(h.substr(1, 8))
+    is_abs = (pfx7 == "http://") | (pfx8 == "https://")
     is_proto_rel = h.startswith("//")
     is_host_rel = h.startswith("/") & ~is_proto_rel
     base_pre = F.substring_index(base, "/", 3)  # canonical scheme://host[:port]
@@ -225,15 +230,35 @@ def resolve_fast_col(base_col: Column | str, href_col: Column | str) -> Column:
         .when(is_proto_rel, F.concat(base_scheme, F.lit(":"), h))
         .when(is_host_rel, F.concat(base_pre, h))
     )
-    eligible = cand.rlike(_FAST_ELIG_RE) & ~cand.rlike(_DOT_SEG_RE)
     u = F.substring_index(cand, "#", 1)  # first-# fragment strip
-    pre = F.lower(F.substring_index(u, "/", 3))
-    # default-port strip is safe unconditionally: eligibility pairs :80 with
-    # http and :443 with https; then at most one trailing host dot
-    pre = F.regexp_replace(pre, r":(80|443)$", "")
-    pre = F.regexp_replace(pre, r"\.$", "")
-    path = F.regexp_extract(u, r"^[^/]*//[^/]*(/[\s\S]*)?$", 1)
-    fast = F.concat(pre, F.when(path == "", "/").otherwise(path))
+    ascii_ok = F.octet_length(cand) == F.length(cand)
+    no_special = (
+        ~u.contains("%") & ~u.contains("?") & ~u.contains("@")
+    )
+    no_dotseg = (
+        ~u.contains("/./") & ~u.contains("/../")
+        & ~u.endswith("/.") & ~u.endswith("/..")
+    )
+    pre_raw = F.substring_index(u, "/", 3)  # whole string when no path
+    pre = F.lower(pre_raw)
+    port80 = pre.endswith(":80") & pre.startswith("http://")
+    port443 = pre.endswith(":443") & pre.startswith("https://")
+    port_ok = (F.locate(":", pre, 7) == 0) | port80 | port443
+    pre2 = (
+        F.when(port80, pre.substr(F.lit(1), F.length(pre) - 3))
+        .when(port443, pre.substr(F.lit(1), F.length(pre) - 4))
+        .otherwise(pre)
+    )
+    single_dot_tail = ~pre2.endswith("..")
+    pre3 = F.when(
+        pre2.endswith("."), pre2.substr(F.lit(1), F.length(pre2) - 1)
+    ).otherwise(pre2)
+    host_ok = (pre3 != "http://") & (pre3 != "https://")
+    eligible = (
+        ascii_ok & no_special & no_dotseg & port_ok & single_dot_tail & host_ok
+    )
+    path = u.substr(F.length(pre_raw) + 1, F.length(u))
+    fast = F.concat(pre3, F.when(path == "", "/").otherwise(path))
     return F.when(eligible, fast)
 
 
