@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs_xx",  # MinHash+LSH band join (xxhash64 family —
                                    # production hash; the md5 twin exists for
                                    # DuckDB-oracle bit-parity, not speed)
+    "dedup_simhash",           # JVM simhash (r3: explode→xxhash64→bit-majority;
+                               # new headline entry per VERDICT r2 #4)
     "ann_cosine_topk",         # brute-force cosine top-k over embeddings
 ]
 

@@ -3,7 +3,10 @@ operator had no correctness signal).
 
 All inputs are seed-fixed (datagen.synth_text), so the assertions are exact,
 not statistical: exact duplicates hash identically, 2-word edits of ≥40-word
-docs stay within hamming 6, distinct docs from the shared vocab sit at ≥7.
+docs stay within hamming K, distinct docs from the shared vocab sit above K.
+K is token-hash-family dependent — with the pd.util.hash_array (siphash)
+family the measured distributions are near-dup ≤ 5 vs distinct ≥ 7, so
+K = 6 (margin 1 on each side).
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from layerg_crawler_v2_spark.datagen import synth_text
 from layerg_crawler_v2_spark.operators.dedup import hamming64, simhash
 
 LONG_IDS = [i for i in range(200) if len(synth_text(i).split()) >= 40][:10]
+K = 6  # near-dup/distinct hamming cut (siphash family; see module docstring)
 
 
 @pytest.fixture(scope="module")
@@ -39,14 +43,14 @@ def test_exact_dup_identical_simhash(hashes):
 def test_near_dup_small_hamming(hashes):
     for i in LONG_IDS:
         d = bin((hashes[i] ^ hashes[i + 20_000]) & (2**64 - 1)).count("1")
-        assert d <= 6, (i, d)
+        assert d <= K, (i, d)
 
 
 def test_distinct_docs_large_hamming(hashes):
     for a in LONG_IDS[:5]:
         for b in LONG_IDS[5:]:
             d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
-            assert d > 6, (a, b, d)
+            assert d > K, (a, b, d)
 
 
 def test_minhash_family_parity_on_exact_dups(spark):
