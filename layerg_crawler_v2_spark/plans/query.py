@@ -42,7 +42,10 @@ _OPS = {
 
 @dataclass
 class Entity:
-    """Declared entity: table + key + relations (schema.graphql analog)."""
+    """Declared entity: table + key + relations (schema.graphql analog).
+
+    Usually derived from a SchemaDef declaration (plans/schema_def.py
+    entity_graph()) rather than hand-built — the generator analog."""
 
     table: str
     id_field: str
@@ -50,10 +53,19 @@ class Entity:
     relations: dict[str, tuple[str, str]] = field(default_factory=dict)
     # field -> (child entity, fk column on the CHILD table) [J2, @derivedFrom]
     derived: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # declared WhereInput surface (query-prepare.go:41-123 analog); None
+    # falls back to the table's physical columns
+    filterable: frozenset[str] | None = None
 
 
-def parse_where(df: DataFrame, where: dict | None) -> Column | None:
-    """Recursive filter dict -> one Column expression (processWhere analog)."""
+def parse_where(
+    df: DataFrame, where: dict | None, allowed: frozenset[str] | None = None
+) -> Column | None:
+    """Recursive filter dict -> one Column expression (processWhere analog).
+
+    Fields validate against `allowed` (the entity's declared WhereInput
+    whitelist) when given, else against the physical columns — never
+    string-spliced either way."""
     if not where:
         return None
     conds: list[Column] = []
@@ -61,12 +73,12 @@ def parse_where(df: DataFrame, where: dict | None) -> Column | None:
         if val is None:  # nil filters are skipped (query_resolver.go:554-556)
             continue
         if key == "AND":
-            sub = [parse_where(df, w) for w in val]
+            sub = [parse_where(df, w, allowed) for w in val]
             sub = [s for s in sub if s is not None]
             if sub:
                 conds.append(reduce(lambda a, b: a & b, sub))
         elif key == "OR":
-            sub = [parse_where(df, w) for w in val]
+            sub = [parse_where(df, w, allowed) for w in val]
             sub = [s for s in sub if s is not None]
             if sub:
                 conds.append(reduce(lambda a, b: a | b, sub))
@@ -79,7 +91,7 @@ def parse_where(df: DataFrame, where: dict | None) -> Column | None:
                     break
             else:
                 fld, op = key, "eq"
-            if fld not in df.columns:
+            if fld not in (allowed if allowed is not None else df.columns):
                 raise KeyError(f"unknown filter field: {fld}")
             conds.append(_OPS[op](F.col(fld), val))
     if not conds:
@@ -108,7 +120,7 @@ class QueryBuilder:
         ent = self.entities[entity]
         df = self._df(entity)
 
-        cond = parse_where(df, where)
+        cond = parse_where(df, where, ent.filterable)
         if cond is not None:
             df = df.filter(cond)
 
