@@ -1187,13 +1187,16 @@ def _augmented_embeddings(spark, sf):
        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""",
 )
 def emb_near_dup_q(spark, sf):
-    """LSH-bucketed near-dup pairs on the planted corpus. The id pair set is
-    emitted without the float similarity so the oracle hash is immune to
-    float32-vs-double rounding differences between engines."""
+    """Multi-table LSH-blocked near-dup pairs on the planted corpus (r3:
+    union of per-table bucket groups — sub-identical near-dups recalled too,
+    tests/test_similarity.py::test_near_dup_perturbed_pairs_multi_table).
+    The id pair set is emitted without the float similarity so the oracle
+    hash is immune to float32-vs-double rounding differences between
+    engines."""
     from layerg_crawler_v2_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _augmented_embeddings(spark, sf), threshold=0.9, n_planes=4
+        _augmented_embeddings(spark, sf), threshold=0.9, n_planes=4, n_tables=8
     ).select("id_a", "id_b")
 
 
