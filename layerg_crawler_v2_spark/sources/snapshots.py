@@ -31,6 +31,8 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .. import schema as S
+
 
 class SnapshotStore:
     def __init__(self, base_dir: str):
@@ -68,9 +70,35 @@ class SnapshotStore:
         appends: dict[str, DataFrame],
         replaces: dict[str, DataFrame] | None = None,
         counters: dict[str, int] | None = None,
+        checkpoint: dict[str, int] | None = None,
     ) -> str:
-        """Write all deltas, then atomically publish one snapshot."""
+        """Write all deltas, then atomically publish one snapshot.
+
+        `checkpoint` (keys frontier_count/seen_count/fetched_count) appends a
+        one-row `checkpoints` table IN the same snapshot — the queryable
+        analog of the reference's chains.latest_block cursor row
+        (cmd/onchain.go:115-119), except it can never run ahead of or behind
+        the data it describes: the row and the deltas publish in one manifest
+        swap. Counts come from the caller's incremental counters, so the row
+        costs no extra Spark jobs beyond its own 1-row write."""
         snapshot_id = f"snap-{round_no}-{uuid.uuid4().hex[:12]}"
+        appends = dict(appends or {})
+        if checkpoint is not None:
+            spark = next(
+                iter({**appends, **(replaces or {})}.values())
+            ).sparkSession
+            appends["checkpoints"] = spark.createDataFrame(
+                [
+                    (
+                        round_no,
+                        snapshot_id,
+                        int(checkpoint["frontier_count"]),
+                        int(checkpoint["seen_count"]),
+                        int(checkpoint["fetched_count"]),
+                    )
+                ],
+                S.CHECKPOINTS,
+            )
         entry: dict = {
             "snapshot_id": snapshot_id,
             "round": round_no,

@@ -434,11 +434,16 @@ def run_round(
     # materialize the two independent heavy branches concurrently: the fetch
     # log's parallel ranking and the discovery/anti-join chain both hang off
     # cached fetch_rows (block-level cache locks make the race benign)
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         fut_log = pool.submit(_build_fetch_log)
         fut_new = pool.submit(new.count)
+        # checkpoint bookkeeping: |fetch_log this round| == |selected| (every
+        # selected URL lands as OK or MISS) — a count on the cached,
+        # politeness-capped frame, interleaved with the heavy branches
+        fut_sel = pool.submit(selected.count)
         fetch_log = fut_log.result()
         n_new = fut_new.result()
+        n_sel = fut_sel.result()
 
     # 6. frontier delta: normally just append `new` (consumption is implied
     #    by this round's fetch_log append — every selected URL is in it); on
@@ -480,7 +485,16 @@ def run_round(
         )
     )
 
-    counters = {"new": n_new, "seen_total": seen_total + n_new}
+    counters = {
+        "new": n_new,
+        "selected": n_sel,
+        "seen_total": seen_total + n_new,
+        # running table sizes, maintained incrementally (no table scans):
+        # queued frontier grows by this round's discoveries and shrinks by
+        # its consumed (selected) rows; fetch_log only grows
+        "frontier_total": store.last_counter("frontier_total", 0) + n_new - n_sel,
+        "fetched_total": store.last_counter("fetched_total", 0) + n_sel,
+    }
     if mode == "cuckoo":
         counters["cuckoo_partitions"] = cuckoo_parts
         counters["cuckoo_synced"] = seen_total + n_new
@@ -488,7 +502,6 @@ def run_round(
         counters["bloom_synced"] = seen_total + n_new
     if cfg.collect_counters:
         counters.update(
-            selected=selected.count(),
             fetched_ok=fetched.count(),
             discovered=discovered.count(),
         )
@@ -512,7 +525,17 @@ def run_round(
         replaces["bloom"] = update_bloom_buckets(
             blooms_tbl, new.select("url_hash"), cfg.bloom_buckets
         )
-    store.commit(round_no, appends=appends, replaces=replaces, counters=counters)
+    store.commit(
+        round_no,
+        appends=appends,
+        replaces=replaces,
+        counters=counters,
+        checkpoint={
+            "frontier_count": counters["frontier_total"],
+            "seen_count": counters["seen_total"],
+            "fetched_count": counters["fetched_total"],
+        },
+    )
     for c in (selected, fetched, discovered, new, *caches):
         c.unpersist()
     if bloom_bc is not None:
@@ -545,7 +568,12 @@ def add_seeds(
         "url_seen": _seen_delta(new, cfg.n_host_buckets),
     }
     replaces: dict[str, DataFrame] = {}
-    counters = {"seeds_added": n, "seen_total": seen_total + n}
+    counters = {
+        "seeds_added": n,
+        "seen_total": seen_total + n,
+        "frontier_total": store.last_counter("frontier_total", 0) + n,
+        "fetched_total": store.last_counter("fetched_total", 0),
+    }
     if store.has_table("cuckoo"):
         p = (
             store.last_counter("cuckoo_partitions", 0)
@@ -568,7 +596,17 @@ def add_seeds(
                 new.select("url_hash"),
                 cfg.bloom_buckets,
             )
-    store.commit(round_no, appends=appends, replaces=replaces, counters=counters)
+    store.commit(
+        round_no,
+        appends=appends,
+        replaces=replaces,
+        counters=counters,
+        checkpoint={
+            "frontier_count": counters["frontier_total"],
+            "seen_count": counters["seen_total"],
+            "fetched_count": counters["fetched_total"],
+        },
+    )
     new.unpersist()
     return counters
 
@@ -591,6 +629,7 @@ def compact_store(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig) -
         ("url_seen", S.URL_SEEN),
         ("fetch_log", S.FETCH_LOG),
         ("lineage", S.LINEAGE),
+        ("checkpoints", S.CHECKPOINTS),
     ):
         if store.has_table(table):
             replaces[table] = store.read(spark, table, schema)
@@ -599,6 +638,8 @@ def compact_store(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig) -
         appends={},
         replaces=replaces,
         counters={"seen_total": store.last_counter("seen_total", 0),
+                  "frontier_total": store.last_counter("frontier_total", 0),
+                  "fetched_total": store.last_counter("fetched_total", 0),
                   "compacted": 1},
     )
 
@@ -646,7 +687,12 @@ def run_crawl(
     if last is None:
         seeds_df = prepare_seeds(spark, seed_urls, cfg, robots).cache()
         n_seeds = seeds_df.count()
-        counters = {"seeds": n_seeds, "seen_total": n_seeds}
+        counters = {
+            "seeds": n_seeds,
+            "seen_total": n_seeds,
+            "frontier_total": n_seeds,
+            "fetched_total": 0,
+        }
         replaces: dict[str, DataFrame] = {}
         mode = _resolve_seen_mode(cfg, n_seeds)
         if mode == "cuckoo":
@@ -667,6 +713,11 @@ def run_crawl(
             },
             replaces=replaces,
             counters=counters,
+            checkpoint={
+                "frontier_count": n_seeds,
+                "seen_count": n_seeds,
+                "fetched_count": 0,
+            },
         )
         seeds_df.unpersist()
         start_round = 0

@@ -284,3 +284,49 @@ def test_per_host_config_parity(spark, pages_df, pages_dict, seeds, tmp_path):
     assert politeness_violations(log, hosts_df).count() == 0
     per = log.groupBy("round", "host").agg(F.count("*").alias("n"))
     assert per.filter((F.col("host") == narrow) & (F.col("n") > 2)).count() == 0
+
+
+def test_checkpoints_row_per_commit(spark, pages_df, pages_dict, seeds, tmp_path):
+    """Every commit carries a one-row checkpoints append (FIXTURES §B2) whose
+    counts equal the actual table sizes at that snapshot — the queryable
+    chains.latest_block analog (reference cmd/onchain.go:115-119), atomic
+    with the data it describes."""
+    store = run_engine(spark, pages_df, seeds, str(tmp_path / "ckpt"))
+    cps = {
+        r["round"]: r
+        for r in store.read(spark, "checkpoints", S.CHECKPOINTS).collect()
+    }
+    # one row per commit: seed commit (-1) + each round
+    assert sorted(cps) == [-1] + list(range(ROUNDS))
+    # snapshot ids chain back to the manifest entries they committed with
+    manifest_ids = {s["round"]: s["snapshot_id"] for s in store.snapshots()}
+    for rnd, row in cps.items():
+        assert row["snapshot_id"] == manifest_ids[rnd], rnd
+    # final-round counts == actual table sizes (incremental counters don't drift)
+    last = cps[ROUNDS - 1]
+    assert last["frontier_count"] == read_frontier_queued(spark, store).count()
+    assert last["seen_count"] == store.read(spark, "url_seen", S.URL_SEEN).count()
+    assert last["fetched_count"] == store.read(spark, "fetch_log", S.FETCH_LOG).count()
+    # monotone invariants across rounds
+    order = [-1] + list(range(ROUNDS))
+    for a, b in zip(order, order[1:]):
+        assert cps[b]["seen_count"] >= cps[a]["seen_count"]
+        assert cps[b]["fetched_count"] >= cps[a]["fetched_count"]
+    # add_seeds and maintenance compaction preserve the checkpoint chain
+    from layerg_crawler_v2_spark.datagen import url_variant
+
+    n = len(pages_dict)
+    seen_urls = {r["url"] for r in store.read(spark, "url_seen", S.URL_SEEN).collect()}
+    fresh = [u for i in range(n) if (u := url_variant(i, n, 1))
+             and canonicalize(u) not in seen_urls][:2]
+    add_seeds(spark, store, fresh, CrawlConfig())
+    row = {
+        r["round"]: r
+        for r in store.read(spark, "checkpoints", S.CHECKPOINTS).collect()
+    }[store.last_round()]
+    assert row["frontier_count"] == read_frontier_queued(spark, store).count()
+    assert row["seen_count"] == store.read(spark, "url_seen", S.URL_SEEN).count()
+    compact_store(spark, store, CrawlConfig())
+    assert len(store._paths_for("checkpoints")) == 1
+    kept = store.read(spark, "checkpoints", S.CHECKPOINTS)
+    assert kept.count() == len(order) + 1  # unchanged rows, one dir
