@@ -45,25 +45,34 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
         )
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in engine_confs(shuffle_partitions).items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    ).config("spark.ui.enabled", "false")
+    return builder.getOrCreate()
+
+
+def engine_confs(shuffle_partitions: int) -> dict[str, str]:
+    """The engine's tuning confs, master-agnostic — shared by get_spark
+    (local/test) and scripts/submit_crawl.py (spark-submit --py-files on a
+    real cluster, where --master/--deploy-mode come from the submit line and
+    MUST NOT be set here)."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.default.parallelism": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
         # zstd halves parquet bytes vs snappy on URL/text-heavy tables; its
         # CPU cost is per-task (parallel) while disk bandwidth is shared —
         # the right trade at every cluster size
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        "spark.sql.parquet.compression.codec": "zstd",
         # v2 commit: task-side renames — the v1 committer serializes every
         # output-file rename through the driver (hurts multi-table commits)
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-    )
-    return builder.getOrCreate()
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+    }
