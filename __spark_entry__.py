@@ -1415,9 +1415,12 @@ def lineage_q(spark, sf):
 @_q("politeness_audit", None)
 def politeness_q(spark, sf):
     """W3 lag-window audit over a real crawl's fetch_log: rows = per-host
-    consecutive fetches closer than the delay budget (empty == polite).
-    Returned with a sentinel count row so the driver sees a stable non-void
-    schema."""
+    consecutive fetches closer than the delay budget. Emits the violation
+    rows THEMSELVES (url/host/gap evidence — empty == polite, the expected
+    result), not a driver-side count wrapped in a sentinel row (VERDICT r2
+    hygiene). The windowed total_violations column is fine here: the audit
+    frame is tiny by construction."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from layerg_crawler_v2_spark import schema as S
@@ -1432,9 +1435,12 @@ def politeness_q(spark, sf):
     run_crawl(spark, pages, seed_urls(n), store, CrawlConfig(rounds=2))
     log = store.read(spark, "fetch_log", S.FETCH_LOG)
     violations = politeness_violations(log, hosts=None)
-    return spark.createDataFrame(
-        [("violations", 0)], "check string, expected int"
-    ).withColumn("actual", F.lit(violations.count()).cast("int"))
+    return violations.select(
+        "round", "url", "host", "fetch_ts", "prev_ts", "delay_ms"
+    ).withColumn(
+        "total_violations",
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).cast("long"),
+    )
 
 
 @_q("canon_surt_hash", None)

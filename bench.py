@@ -212,6 +212,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=CRAWL_DOCS)
     ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--note", type=str, default="",
+                    help="label for this scaling session in the persistent "
+                         "BENCH/sessions.jsonl transparency log")
     ap.add_argument("--levels", type=str, default="1,4",
                     help="N,4N core counts for --scaling. 1,4 keeps the 4N "
                          "level below this shared host's ~35k urls/sec "
@@ -325,7 +328,56 @@ def run_scaling(args) -> None:
         "protocol": "interleaved best-of-N per level (noisy-neighbor sandbox)",
     }
     print(json.dumps(report))
+    _append_session(report, lo, hi, getattr(args, "note", "") or "")
     _write_bench_md(report, lo, hi)
+
+
+def _append_session(report: dict, lo: int, hi: int, note: str) -> None:
+    """Append this run to the persistent session log (BENCH/sessions.jsonl).
+
+    Every scaling run of every round lands here and is rendered into
+    BENCH/BASELINE.md, so the headline efficiency can never silently drift
+    behind a favorable level pair — the unflattering datapoints stay visible
+    (VERDICT r2 'keep the scaling evidence honest')."""
+    row = {
+        "note": note,
+        "docs": report["docs"],
+        "levels": f"{lo}/{hi}",
+        "best_n": report["levels"][str(lo)]["urls_per_sec"],
+        "best_4n": report["levels"][str(hi)]["urls_per_sec"],
+        "eff": report["value"],
+    }
+    with open(os.path.join(REPO, "BENCH", "sessions.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def _sessions_table() -> str:
+    """Render BENCH/sessions.jsonl (plus the pre-log r1/r2 history) as the
+    transparency table embedded in BENCH/BASELINE.md."""
+    # history predating the session log (from the r1/r2 BASELINE.md tables)
+    rows = [
+        {"note": "r1 final (full-frontier rewrite per round)", "docs": 4_000_000,
+         "levels": "2/8", "best_n": 10_681, "best_4n": 33_404, "eff": 0.782},
+        {"note": "r2 + append-delta frontier", "docs": 4_000_000,
+         "levels": "2/8", "best_n": 12_657, "best_4n": 35_920, "eff": 0.709},
+        {"note": "r2 + delta frontier, pair moved to 1/4", "docs": 8_000_000,
+         "levels": "1/4", "best_n": 7_692, "best_4n": 24_272, "eff": 0.792},
+        {"note": "r2 + html consumed in the join pass (never cached)",
+         "docs": 8_000_000, "levels": "1/4", "best_n": 7_692, "best_4n": 28_714,
+         "eff": 0.933},
+    ]
+    path = os.path.join(REPO, "BENCH", "sessions.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            rows += [json.loads(ln) for ln in f if ln.strip()]
+    out = ["| session | docs | levels | best N | best 4N | eff |",
+           "|---|---|---|---|---|---|"]
+    for r in rows:
+        out.append(
+            f"| {r['note'] or '(unlabeled)'} | {r['docs']:,} | {r['levels']} "
+            f"| {r['best_n']:,}/s | {r['best_4n']:,}/s | {r['eff']} |"
+        )
+    return "\n".join(out)
 
 
 def _write_bench_md(report: dict, lo: int = 1, hi: int = 4) -> None:
@@ -375,6 +427,13 @@ Config: PySpark local mode, AQE on, shuffle partitions 64, Arrow batch 10k,
 zstd parquet, file-committer v2, equal heap at both levels, seed-fixed
 input, append-delta frontier storage, persistent per-bucket bloom seen set.
 Reproduce: `python bench.py --scaling --docs {report['docs']} --rounds {report['rounds']} --repeats {report['repeats']} --levels {lo},{hi}`.
+
+## All scaling sessions
+
+Persistent log (BENCH/sessions.jsonl) — every run of every round, both
+level pairs, unflattering datapoints included:
+
+{_sessions_table()}
 """)
 
 
