@@ -84,9 +84,17 @@ class SnapshotStore:
         snapshot_id = f"snap-{round_no}-{uuid.uuid4().hex[:12]}"
         appends = dict(appends or {})
         if checkpoint is not None:
-            spark = next(
-                iter({**appends, **(replaces or {})}.values())
-            ).sparkSession
+            dfs_in = {**appends, **(replaces or {})}
+            if dfs_in:
+                spark = next(iter(dfs_in.values())).sparkSession
+            else:
+                # checkpoint-only commit (no table deltas): fall back to the
+                # active session instead of StopIteration (ADVICE r3)
+                spark = SparkSession.getActiveSession()
+                if spark is None:
+                    raise ValueError(
+                        "checkpoint-only commit requires an active SparkSession"
+                    )
             appends["checkpoints"] = spark.createDataFrame(
                 [
                     (
@@ -110,26 +118,28 @@ class SnapshotStore:
         # submit them concurrently (Spark's scheduler interleaves their
         # stages) so the commit's wall is max(write), not sum(write). The
         # manifest swap below stays the single serial commit point.
-        writes: list[tuple[str, str, str]] = []
+        # path carries the kind so a commit that BOTH replaces and appends the
+        # same table (e.g. compaction folding `checkpoints` while adding its
+        # own checkpoint row) writes two distinct directories
+        writes: list[tuple[str, DataFrame, str]] = []
         for kind, tables in (("append", appends or {}), ("replace", replaces or {})):
             for name, df in tables.items():
-                path = os.path.join(self.base, "tables", name, snapshot_id)
-                writes.append((kind, name, path))
+                path = os.path.join(
+                    self.base, "tables", name, f"{snapshot_id}-{kind}"
+                )
+                writes.append((kind, df, path))
                 entry[kind][name] = path
-        dfs = {**(appends or {}), **(replaces or {})}
         if len(writes) > 1:
             with ThreadPoolExecutor(max_workers=len(writes)) as pool:
                 futs = [
-                    pool.submit(
-                        dfs[name].write.mode("overwrite").parquet, path
-                    )
-                    for _, name, path in writes
+                    pool.submit(df.write.mode("overwrite").parquet, path)
+                    for _, df, path in writes
                 ]
                 for f in futs:
                     f.result()
         else:
-            for _, name, path in writes:
-                dfs[name].write.mode("overwrite").parquet(path)
+            for _, df, path in writes:
+                df.write.mode("overwrite").parquet(path)
         manifest = self._load()
         # idempotent replay: drop any snapshot for the same round (a retried
         # round replaces its partial predecessor — exactly-once on resume)

@@ -633,31 +633,66 @@ def compact_store(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig) -
     ):
         if store.has_table(table):
             replaces[table] = store.read(spark, table, schema)
+    carried = {
+        "seen_total": store.last_counter("seen_total", 0),
+        "frontier_total": store.last_counter("frontier_total", 0),
+        "fetched_total": store.last_counter("fetched_total", 0),
+    }
+    # the compaction commit carries its own checkpoint row (from the carried
+    # counters) so the one-checkpoint-row-per-commit invariant holds for
+    # EVERY commit kind and a resume's last-round checkpoint read never finds
+    # a gap (ADVICE r3)
     store.commit(
         last + 1,
         appends={},
         replaces=replaces,
-        counters={"seen_total": store.last_counter("seen_total", 0),
-                  "frontier_total": store.last_counter("frontier_total", 0),
-                  "fetched_total": store.last_counter("fetched_total", 0),
-                  "compacted": 1},
+        counters={**carried, "compacted": 1},
+        checkpoint={
+            "frontier_count": carried["frontier_total"],
+            "seen_count": carried["seen_total"],
+            "fetched_count": carried["fetched_total"],
+        },
     )
 
 
 def canonical_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """pages -> (url_canon, html), hash-partitioned on the join key.
+    """pages -> (url_canon, html), ONE row per canonical url, hash-partitioned
+    on the join key.
 
     The repartition is the sandbox analog of storing the pages table BUCKETED
     by canonical url (Common-Crawl indexes are SURT-keyed for the same
     reason): every round's fetch join then reuses this partitioning and only
     shuffles the small `selected` side — the multi-GB html payload never
-    moves again. At Iceberg scale: `PARTITIONED BY (bucket(N, url))`."""
+    moves again. At Iceberg scale: `PARTITIONED BY (bucket(N, url))`.
+
+    Dedup (ADVICE r3): a real pages table carries multiple captures of the
+    same URL (re-crawls, presentation variants); the fetch join must see
+    exactly one per canonical url, else every duplicate fans the join out
+    into extra fetch_log rows and the incrementally-maintained checkpoint
+    counters (|fetch_log per round| == |selected|) silently drift from the
+    data. Latest warc_ts wins; ties (and tables without a warc_ts column)
+    break on the byte-lexicographically greatest html — deterministic at
+    any partitioning.
+    `max_by` with a struct key runs as ObjectHashAggregate (no sort of the
+    html side), partial-aggregates map-side, and because the groupBy key
+    equals the repartition key it adds NO exchange beyond the bucketing
+    shuffle that was already here."""
     spark = pages.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    has_ts = "warc_ts" in pages.columns
+    cols = [canonicalize_udf("url").alias("url_canon"), "html"]
+    if has_ts:
+        cols.append("warc_ts")
+    canon = pages.select(*cols).filter(F.col("url_canon").isNotNull())
+    order_key = (
+        F.struct(F.col("warc_ts"), F.col("html"))
+        if has_ts
+        else F.struct(F.col("html"))
+    )
     return (
-        pages.select(canonicalize_udf("url").alias("url_canon"), "html")
-        .filter(F.col("url_canon").isNotNull())
-        .repartition(n, "url_canon")
+        canon.repartition(n, "url_canon")
+        .groupBy("url_canon")
+        .agg(F.max_by(F.col("html"), order_key).alias("html"))
     )
 
 

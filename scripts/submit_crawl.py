@@ -96,13 +96,19 @@ def main(argv: list[str] | None = None) -> dict:
     run_crawl(spark, pages, _load_seeds(args), store, cfg,
               hosts=hosts, robots=robots, resume=True)
 
-    last = store.last_round()
-    cp = (
+    # the LATEST checkpoint row, not the row at last_round(): maintenance
+    # commits (compact_store) and resubmits with already-satisfied rounds can
+    # leave last_round() ahead of the newest crawl round, and a missing-row
+    # crash here would hide a successful crawl (ADVICE r3)
+    cp_rows = (
         store.read(spark, "checkpoints", S.CHECKPOINTS)
-        .filter(f"round = {last}")
-        .collect()[0]
-        .asDict()
+        .orderBy("round", ascending=False)
+        .limit(1)
+        .collect()
     )
+    if not cp_rows:
+        raise SystemExit(f"store {args.store} has no checkpoint rows")
+    cp = cp_rows[0].asDict()
     result = {"store": args.store, **cp}
     print(json.dumps(result))
     return result

@@ -327,6 +327,87 @@ def test_checkpoints_row_per_commit(spark, pages_df, pages_dict, seeds, tmp_path
     assert row["frontier_count"] == read_frontier_queued(spark, store).count()
     assert row["seen_count"] == store.read(spark, "url_seen", S.URL_SEEN).count()
     compact_store(spark, store, CrawlConfig())
-    assert len(store._paths_for("checkpoints")) == 1
+    # compaction folds all prior rows into one dir AND (ADVICE r3) carries
+    # its own checkpoint row, so one-row-per-commit holds for every commit
+    # kind: folded replace dir + the compaction round's own append
+    assert len(store._paths_for("checkpoints")) == 2
     kept = store.read(spark, "checkpoints", S.CHECKPOINTS)
-    assert kept.count() == len(order) + 1  # unchanged rows, one dir
+    assert kept.count() == len(order) + 2
+    crow = {r["round"]: r for r in kept.collect()}[store.last_round()]
+    assert crow["frontier_count"] == read_frontier_queued(spark, store).count()
+    assert crow["seen_count"] == store.read(spark, "url_seen", S.URL_SEEN).count()
+    assert crow["fetched_count"] == store.read(spark, "fetch_log", S.FETCH_LOG).count()
+
+
+def _dup_capture_pages(spark):
+    """A pages table with MULTIPLE captures per canonical url (re-crawls +
+    presentation variants) — the real-world Common-Crawl shape ADVICE r3
+    flagged: url a (3 captures, distinct warc_ts/html), url b (1 capture)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://dup.example.com/d/1", t0, b"<body>old</body>", "old", "en"),
+        ("HTTP://DUP.EXAMPLE.COM:80/d/1", t0 + dt.timedelta(days=2),
+         b"<body>newest</body>", "newest", "en"),
+        ("http://dup.example.com/x/../d/./1", t0 + dt.timedelta(days=1),
+         b"<body>middle</body>", "middle", "en"),
+        ("http://dup.example.com/d/2", t0, b"<body>solo</body>", "solo", "en"),
+    ]
+    return spark.createDataFrame(rows, S.PAGES)
+
+
+def test_canonical_pages_dedupes_latest_capture(spark):
+    from layerg_crawler_v2_spark.streaming.rounds import canonical_pages
+
+    got = {
+        r["url_canon"]: bytes(r["html"])
+        for r in canonical_pages(_dup_capture_pages(spark)).collect()
+    }
+    assert got == {
+        "http://dup.example.com/d/1": b"<body>newest</body>",
+        "http://dup.example.com/d/2": b"<body>solo</body>",
+    }
+    # tables without warc_ts still dedupe deterministically
+    # (byte-lexicographically greatest html wins: b"short" > b"longer-bytes")
+    no_ts = spark.createDataFrame(
+        [("http://a.com/x", b"short"), ("http://a.com/x", b"longer-bytes")],
+        "url string, html binary",
+    )
+    got2 = canonical_pages(no_ts).collect()
+    assert len(got2) == 1 and bytes(got2[0]["html"]) == b"short"
+
+
+def test_duplicate_captures_keep_checkpoint_honest(spark, tmp_path):
+    """Duplicate canonical urls in pages must NOT fan out the fetch join:
+    one fetch_log row per selected url, checkpoint counts == table sizes,
+    and the fetched bytes are the latest capture's (ADVICE r3 medium)."""
+    pages = _dup_capture_pages(spark)
+    store = SnapshotStore(str(tmp_path / "dup"))
+    run_crawl(
+        spark, pages,
+        ["http://dup.example.com/d/1", "http://dup.example.com/d/2"],
+        store, CrawlConfig(rounds=1),
+    )
+    log = store.read(spark, "fetch_log", S.FETCH_LOG).collect()
+    assert len(log) == 2  # one row per selected url, no dup fan-out
+    by_url = {r["url"]: r for r in log}
+    assert by_url["http://dup.example.com/d/1"]["bytes"] == len(b"<body>newest</body>")
+    cp = {
+        r["round"]: r
+        for r in store.read(spark, "checkpoints", S.CHECKPOINTS).collect()
+    }[store.last_round()]
+    assert cp["fetched_count"] == len(log)
+    assert cp["seen_count"] == store.read(spark, "url_seen", S.URL_SEEN).count()
+
+
+def test_checkpoint_only_commit_uses_active_session(spark, tmp_path):
+    """A commit with no table deltas but a checkpoint row falls back to the
+    active session instead of raising StopIteration (ADVICE r3)."""
+    store = SnapshotStore(str(tmp_path / "cponly"))
+    store.commit(
+        0, appends={}, replaces={}, counters={},
+        checkpoint={"frontier_count": 1, "seen_count": 2, "fetched_count": 3},
+    )
+    rows = store.read(spark, "checkpoints", S.CHECKPOINTS).collect()
+    assert len(rows) == 1 and rows[0]["seen_count"] == 2
