@@ -128,3 +128,106 @@ def test_pages_table_extraction_parity(spark, sf_dir):
         ~(F.col("ex").eqNullSafe(F.col("text")))
     )
     assert bad.count() == 0
+
+
+# ---- tree-consistent outlink extraction (VERDICT r3 missing #1) ------------
+
+def _parser_only_outlinks(html: bytes) -> list[str]:
+    from layerg_crawler_v2_spark.functions.extract import _OutlinkExtractor
+
+    p = _OutlinkExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.hrefs
+
+
+def test_outlinks_skip_script_and_comment_contexts():
+    raw = (
+        b'<body><script>var s="<a href=\'http://evil/\'>";</script>'
+        b'<!-- <a href="http://hidden/"> -->'
+        b'<a href="http://ok/">x</a></body>'
+    )
+    assert extract_outlinks(raw) == ["http://ok/"]
+
+
+def test_outlinks_keep_nav_and_head_links():
+    """Deliberate drop-set asymmetry vs text extraction: nav/head anchors
+    are real DOM links a crawler follows (the generator corpus emits its
+    link block inside <nav>); only non-DOM contexts hide links."""
+    assert extract_outlinks(
+        b"<body><nav><a href=\"http://nav-link/\">n</a></nav></body>"
+    ) == ["http://nav-link/"]
+    assert extract_outlinks(
+        b"<head><a href=\"http://head-link/\">h</a></head>"
+    ) == ["http://head-link/"]
+
+
+def test_outlinks_unquoted_href():
+    # the r1-r3 regex required quotes; the tree parser accepts the HTML
+    # unquoted-attribute grammar
+    assert extract_outlinks(b"<body><a href=http://unquoted/>x</a></body>") == [
+        "http://unquoted/"
+    ]
+
+
+def test_outlinks_attr_containing_gt_before_href():
+    raw = b'<body><a title="a>b" href="http://after-gt/">x</a></body>'
+    assert extract_outlinks(raw) == ["http://after-gt/"]
+
+
+def test_outlinks_entity_in_value_unescaped_once():
+    # HTML attribute grammar: &amp; in a value means '&'
+    raw = b'<body><a href="http://a/?x=1&amp;y=2">x</a></body>'
+    assert extract_outlinks(raw) == ["http://a/?x=1&y=2"]
+
+
+def test_outlinks_bare_href_and_truncated_tag():
+    assert extract_outlinks(
+        b'<body><a href>bare</a><a href="http://v/">x</a></body>'
+    ) == ["http://v/"]
+    # doc truncated inside an open tag: parser semantics (dropped), and the
+    # fast path must not fire
+    raw = b'<body><a href="http://trunc'
+    assert extract_outlinks(raw) == _parser_only_outlinks(raw)
+
+
+def test_outlinks_enclosing_tag_swallow():
+    # an <a href> inside another tag's (malformed) attribute value is NOT a
+    # DOM link; the <[^>]*< risky check routes this to the parser
+    raw = (
+        b'<body><div title=<a href="http://swallow/">>'
+        b'<a href="http://real/">x</a></body>'
+    )
+    assert extract_outlinks(raw) == _parser_only_outlinks(raw)
+
+
+def test_generator_corpus_is_fast_eligible_and_unchanged():
+    """The generator emits quoted entity-free hrefs in '>'-terminated tags
+    with no script/comment constructs, so the fast path fires on every doc
+    and the crawl-order goldens are unchanged by the tree-consistency fix."""
+    from layerg_crawler_v2_spark.datagen import synth_text
+    from layerg_crawler_v2_spark.functions.extract import _RISKY_RE
+
+    for i in range(300):
+        doc = render_html(i, 10000, synth_text(i))
+        assert _RISKY_RE.search(doc) is None, i
+        assert extract_outlinks(doc) == _parser_only_outlinks(doc), i
+
+
+def test_outlinks_fast_path_fuzz_matches_parser():
+    """Property: the gated extractor is byte-identical to a pure html.parser
+    pass on arbitrary tag soup (the fast path only fires when provably
+    equivalent). Seeded, deterministic."""
+    import random
+
+    rng = random.Random(20240817)
+    alph = [
+        "<a ", "href", "=", '"', "'", ">", "<", " ", "x", "/", "&amp;", "&",
+        "<script>", "</script>", "<!--", "-->", "<nav>", "</nav>", "HREF",
+        "<a\n", "</a>", "=y", "<![CDATA[", "]]>", "<?", "<!", "b",
+    ]
+    for _ in range(4000):
+        s = "".join(
+            rng.choice(alph) for _ in range(rng.randint(1, 25))
+        ).encode()
+        assert extract_outlinks(s) == _parser_only_outlinks(s), s
