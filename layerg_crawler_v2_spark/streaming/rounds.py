@@ -216,8 +216,14 @@ def read_frontier_queued(spark: SparkSession, store: SnapshotStore) -> DataFrame
     adds = store.read(spark, "frontier", S.FRONTIER).filter(F.col("state") == "QUEUED")
     consumed_paths = store.appends_since_replace_of("fetch_log", anchor="frontier")
     if consumed_paths:
-        consumed = store.read_paths(spark, consumed_paths, S.FETCH_LOG).select("url")
-        adds = adds.join(consumed, on="url", how="left_anti")
+        # (url_hash, url) join key, matching the seen path (seen.py): the
+        # 8-byte hash leads the sort-merge comparison so most rows never
+        # touch the string compare; fetch_log urls are canonical, so
+        # xxhash64(url) reproduces the frontier's url_hash exactly.
+        consumed = store.read_paths(spark, consumed_paths, S.FETCH_LOG).select(
+            F.xxhash64("url").alias("url_hash"), "url"
+        )
+        adds = adds.join(consumed, on=["url_hash", "url"], how="left_anti")
     return adds
 
 

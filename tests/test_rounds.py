@@ -256,6 +256,41 @@ def test_robots_deny(spark, pages_df, pages_dict, seeds, tmp_path):
     assert got == want
 
 
+def test_robots_rule_selection_ties_and_plan(spark):
+    """Longest-prefix-wins with allow-beats-deny ties, and the max_by
+    formulation keeps the rank-free plan (VERDICT r3 wrong #3)."""
+    from layerg_crawler_v2_spark.operators.robots import apply_robots
+
+    cand = spark.createDataFrame(
+        [
+            ("http://a.com/x/y", "a.com", 1),  # /x allow vs /x deny tie
+            ("http://a.com/z", "a.com", 2),  # /z allow beats shorter / deny
+            ("http://a.com/w", "a.com", 3),  # only / deny matches
+            ("http://b.com/q", "b.com", 4),  # no rules for host
+        ],
+        "url string, host string, depth int",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "deny", "/x"),
+            ("a.com", "allow", "/x"),
+            ("a.com", "deny", "/"),
+            ("a.com", "allow", "/z"),
+        ],
+        "host string, rule_type string, path_prefix string",
+    )
+    out = apply_robots(cand, rules)
+    assert out.columns == cand.columns
+    got = sorted((r.url, r.depth) for r in out.collect())
+    assert got == [
+        ("http://a.com/x/y", 1),
+        ("http://a.com/z", 2),
+        ("http://b.com/q", 4),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower() and "Window" not in plan
+
+
 def test_per_host_config_parity(spark, pages_df, pages_dict, seeds, tmp_path):
     """Custom per-host delay/max_parallel dim (chains.block_time analog,
     cmd/crawler_cmd.go:84): engine matches simulator, budgets enforced."""
