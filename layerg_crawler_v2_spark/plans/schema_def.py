@@ -297,6 +297,77 @@ class SchemaDef:
                 raise SchemaError(f"refusing to drop entity {name}")
         return out
 
+    # -- snapshot persistence (migration_generator.go:62-82, 310-330) --------
+
+    def to_json(self) -> str:
+        """Stable, versioned serialization of the declaration — the analog
+        of the reference's on-disk schema_snapshot.json."""
+        payload = {
+            "version": 1,
+            "enums": {k: list(v) for k, v in sorted(self.enums.items())},
+            "entities": [
+                {
+                    "name": ent.name,
+                    "table": ent.table,
+                    "id_field": ent.id_field,
+                    "composite_indexes": [list(ix) for ix in ent.composite_indexes],
+                    "fields": [
+                        {
+                            "name": f.name,
+                            "type": f.type,
+                            "non_null": f.non_null,
+                            "indexed": f.indexed,
+                            "unique": f.unique,
+                            "is_list": f.is_list,
+                            "derived_from": f.derived_from,
+                            "fk": f.fk,
+                        }
+                        for f in ent.fields
+                    ],
+                }
+                for ent in self.entities.values()
+            ],
+        }
+        return json.dumps(payload, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SchemaDef":
+        payload = json.loads(text)
+        if payload.get("version") != 1:
+            raise SchemaError(f"unknown snapshot version {payload.get('version')!r}")
+        ents = [
+            EntityDef(
+                name=e["name"],
+                table=e.get("table"),
+                id_field=e.get("id_field", "id"),
+                composite_indexes=tuple(
+                    tuple(ix) for ix in e.get("composite_indexes", [])
+                ),
+                fields=tuple(FieldDef(**f) for f in e["fields"]),
+            )
+            for e in payload["entities"]
+        ]
+        return cls(ents, enums=payload.get("enums") or {})
+
+    def migrate_from_snapshot(self, path: str) -> list[str]:
+        """Incremental migration against the PERSISTED snapshot, then
+        rewrite it — the reference's generate flow: load schema_snapshot
+        (migration_generator.go:62-82), diff, emit adds only, store the new
+        snapshot (310-330). First run (no file) emits the full create_ddl."""
+        import os
+
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                old = SchemaDef.from_json(fh.read())
+            stmts = self.diff_ddl(old)
+        else:
+            stmts = self.create_ddl()
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(self.to_json())
+        os.replace(tmp, path)
+        return stmts
+
     def _closure(self, names: list[str]) -> list[EntityDef]:
         seen: set[str] = set()
 

@@ -122,6 +122,45 @@ def test_diff_ddl_add_column_and_new_table(schema):
         parse_schema("type Owner @entity {\n  id: ID!\n}").diff_ddl(schema)
 
 
+def test_snapshot_json_roundtrip(schema):
+    """to_json/from_json preserve the declaration exactly — derived DDL,
+    struct types, topo order, and re-serialization are all identical."""
+    back = SchemaDef.from_json(schema.to_json())
+    assert back.to_json() == schema.to_json()
+    assert back.create_ddl() == schema.create_ddl()
+    assert back.topo_order() == schema.topo_order()
+    for name in schema.entities:
+        assert back.struct_type(name) == schema.struct_type(name)
+    assert back.enums == schema.enums
+    with pytest.raises(SchemaError, match="version"):
+        SchemaDef.from_json('{"version": 99, "entities": []}')
+
+
+def test_migrate_from_snapshot_persisted_diff(tmp_path, schema):
+    """The persisted-snapshot flow (migration_generator.go:62-82, 310-330):
+    first run emits full DDL and stores the snapshot; an SDL edit then
+    yields exactly the expected ALTERs against the STORED file; a no-op
+    rerun yields nothing."""
+    snap = str(tmp_path / "schema_snapshot.json")
+    first = schema.migrate_from_snapshot(snap)
+    assert first == schema.create_ddl()
+    assert SchemaDef.from_json(open(snap).read()).to_json() == schema.to_json()
+    # no-op rerun: snapshot already matches
+    assert schema.migrate_from_snapshot(snap) == []
+    # SDL edit -> ALTERs derived from the persisted snapshot, not memory
+    widened = parse_schema(
+        SDL.replace(
+            "  weight: decimal(10,2)\n",
+            "  weight: decimal(10,2)\n  chipped: Boolean\n",
+        )
+    )
+    assert widened.migrate_from_snapshot(snap) == [
+        "ALTER TABLE pets ADD COLUMN chipped BOOLEAN"
+    ]
+    # snapshot advanced: rerunning the widened schema is now a no-op
+    assert widened.migrate_from_snapshot(snap) == []
+
+
 def test_entity_graph_relations_and_derived(schema):
     g = schema.entity_graph()
     assert g["pet"].table == "pets"
