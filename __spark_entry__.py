@@ -1301,15 +1301,15 @@ def entity_balances_q(spark, sf):
     a pass proves incremental upsert == global replay."""
     from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
     from layerg_crawler_v2_spark.streaming.entities import (
-        BALANCES,
         materialize_events,
+        read_balances,
         with_week_batch,
     )
 
     events = with_week_batch(_t(spark, sf, "events"))
     store = SnapshotStore(tempfile.mkdtemp(prefix="entq_"))
     materialize_events(spark, events, store)
-    return store.read(spark, "balances", BALANCES).select(
+    return read_balances(spark, store).select(
         "user_id", F.round(F.col("balance").cast("double"), 2).alias("balance")
     )
 
