@@ -12,8 +12,16 @@ print its JSON (used by --scaling via subprocesses so each parallelism level
 gets a fresh JVM — the sandbox proxy for the N vs 4N executor-cluster rule in
 BASELINE.json / BASELINE.md §protocol).
 
-`--scaling` mode: run the identical crawl input at local[8] and local[32],
-compute efficiency = (thr_32 / thr_8) / 4, and write BENCH/BASELINE.md.
+`--scaling` mode: run the identical crawl input at local[N] and local[4N],
+compute efficiency = (thr_4N / thr_N) / 4, and write BENCH/BASELINE.md.
+
+`--ab <git-ref>` mode: strictly-interleaved A/B of this tree vs the ref's
+own bench.py (detached worktree) on identical input — the one-command
+engine-vs-host-noise regression answer (VERDICT r3 next #1).
+
+Every timed window is bracketed by a fixed-work CPU probe whose wall time is
+published in the JSON (`probe_*` fields, `contended` flag), so a
+noise-contaminated record is self-identifying at record time.
 
 Queries are forced end-to-end with a `noop`-format write (full plan executes,
 zero driver collect cost) — the same discipline as Spark's own benchmarks.
@@ -52,6 +60,57 @@ HEADLINE = [
 
 CRAWL_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+
+# --- CPU-contention probe (VERDICT r3 'what's wrong' #1) ---------------------
+# Fixed-work scaler run immediately before/after every timed window: P
+# concurrent python processes each burn a fixed integer loop; the wall time
+# is stored next to every published number so a noise-contaminated record is
+# self-identifying at record time instead of needing a post-hoc A/B.
+PROBE_PROCS = int(os.environ.get("SPARK_GRAFT_PROBE_PROCS", "32"))
+PROBE_LOOPS = int(os.environ.get("SPARK_GRAFT_PROBE_LOOPS", "3000000"))
+# Nominal = best quiet-window wall for (32 procs x 3M loops) on this host,
+# calibrated with nothing else running (see BENCH/BASELINE.md). Override via
+# env if the fleet moves to different hardware.
+PROBE_NOMINAL_S = float(os.environ.get("SPARK_GRAFT_PROBE_NOMINAL", "0.95"))
+PROBE_CONTENDED_RATIO = 1.15  # WARN + contended:true above +15% of nominal
+
+_PROBE_SRC = (
+    "import sys\n"
+    "n = int(sys.argv[1]); x = 1\n"
+    "for i in range(n): x = (x * 1103515245 + 12345) & 0x7FFFFFFF\n"
+)
+
+
+def cpu_probe(procs: int = PROBE_PROCS, loops: int = PROBE_LOOPS) -> float:
+    """Wall seconds for `procs` concurrent fixed-work processes."""
+    t0 = time.perf_counter()
+    ps = [
+        subprocess.Popen([sys.executable, "-c", _PROBE_SRC, str(loops)])
+        for _ in range(procs)
+    ]
+    for p in ps:
+        p.wait()
+    return round(time.perf_counter() - t0, 3)
+
+
+def probe_report(samples: list[float]) -> dict:
+    """Summarize probe samples vs the calibrated nominal; WARN on contention."""
+    worst = max(samples) if samples else 0.0
+    ratio = round(worst / PROBE_NOMINAL_S, 3) if PROBE_NOMINAL_S else 0.0
+    contended = ratio > PROBE_CONTENDED_RATIO
+    if contended:
+        print(
+            f"WARNING: host contended during timed window(s): worst probe "
+            f"{worst}s vs nominal {PROBE_NOMINAL_S}s (x{ratio}) — treat the "
+            f"published numbers as lower bounds; re-run in a quiet window",
+            file=sys.stderr,
+        )
+    return {
+        "probe_nominal_s": PROBE_NOMINAL_S,
+        "probe_samples_s": samples,
+        "probe_worst_ratio": ratio,
+        "contended": contended,
+    }
 
 
 def _spark(cpus: int, fixed_shuffle: int | None = None):
@@ -150,9 +209,11 @@ def run_crawl_bench(spark, n_docs: int, rounds: int, pages_path: str | None = No
             n_host_buckets=256,
             collect_counters=False,
         )
+        probe_before = cpu_probe()
         t0 = time.perf_counter()
         run_crawl(spark, pages, seeds, store, cfg, pages_are_canonical=True)
         wall = time.perf_counter() - t0
+        probe_after = cpu_probe()
         log = store.read(spark, "fetch_log", S.FETCH_LOG)
         fetched = log.count()
         seen = store.last_counter("seen_total", 0)
@@ -167,14 +228,18 @@ def run_crawl_bench(spark, n_docs: int, rounds: int, pages_path: str | None = No
         "urls_per_sec": round(fetched / wall, 1) if wall > 0 else 0.0,
         "rounds": rounds,
         "n_docs": n_docs,
+        "probe_before_s": probe_before,
+        "probe_after_s": probe_after,
     }
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(spark, sf_dir: str, probes: list[float] | None = None) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out = {}
+    if probes is not None:
+        probes.append(cpu_probe())
     for name in HEADLINE:
         fn = qs[name]
         # best-of-2: this host's neighbor load swings identical queries 2×
@@ -187,6 +252,8 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+    if probes is not None:
+        probes.append(cpu_probe())
     return out
 
 
@@ -202,6 +269,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--ab", type=str, default=None, metavar="GIT_REF",
+                    help="interleaved A/B: alternate the frontier crawl "
+                         "between this tree and GIT_REF's own bench.py in a "
+                         "detached worktree, identical input, fresh JVM per "
+                         "run; reports the HEAD/ref throughput ratio")
     ap.add_argument("--gen-pages", action="store_true",
                     help="only materialize the canonical pages corpus to "
                          "--pages-path, then exit")
@@ -228,6 +300,9 @@ def main() -> None:
     if args.scaling:
         run_scaling(args)
         return
+    if args.ab:
+        run_ab(args)
+        return
 
     spark = _spark(args.cpus, fixed_shuffle=64 if (args.crawl_only or args.gen_pages) else None)
     try:
@@ -238,14 +313,16 @@ def main() -> None:
             return
         if args.crawl_only:
             crawl = run_crawl_bench(spark, args.docs, args.rounds, args.pages_path)
+            probe = probe_report([crawl["probe_before_s"], crawl["probe_after_s"]])
             print(json.dumps({"metric": "frontier_urls_per_sec",
                               "value": crawl["urls_per_sec"], "unit": "urls/sec",
-                              **crawl}))
+                              **crawl, **probe}))
             return
 
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         t0 = time.perf_counter()
-        queries = run_headline(spark, sf_dir)
+        probes: list[float] = []
+        queries = run_headline(spark, sf_dir, probes=probes)
         # best-of-2 for the crawl too (same noisy-host rationale as above)
         crawl = None
         for _ in range(2):
@@ -254,6 +331,7 @@ def main() -> None:
                 int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")),
                 args.rounds,
             )
+            probes += [c["probe_before_s"], c["probe_after_s"]]
             if crawl is None or c["urls_per_sec"] > crawl["urls_per_sec"]:
                 crawl = c
         queries["frontier_crawl"] = crawl["wall_s"]
@@ -271,9 +349,107 @@ def main() -> None:
             "crawl_urls_per_sec": crawl["urls_per_sec"],
             "crawl_urls_fetched": crawl["urls_fetched"],
             "cpus": args.cpus,
+            **probe_report(probes),
         }))
     finally:
         spark.stop()
+
+
+def _ensure_pages(docs: int, pages_path: str | None) -> str:
+    """Materialize the shared canonical-pages corpus once (untimed setup)."""
+    path = pages_path or f"/tmp/bench_pages_{docs}"
+    if not os.path.isdir(path):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
+        gen = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-pages",
+             "--cpus", "32", "--docs", str(docs),
+             "--pages-path", path],
+            capture_output=True, text=True, cwd=REPO, env=env,
+        )
+        assert os.path.isdir(path), gen.stderr[-2000:]
+    return path
+
+
+def _crawl_subprocess(cwd: str, cpus: int, docs: int, rounds: int,
+                      pages_path: str) -> dict:
+    """One fresh-JVM --crawl-only run of the bench.py living at `cwd`."""
+    env = dict(os.environ)
+    # EQUAL heap at every level/side: cores (or code) is the only variable
+    env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
+    cmd = [sys.executable, os.path.join(cwd, "bench.py"), "--crawl-only",
+           "--cpus", str(cpus), "--docs", str(docs),
+           "--rounds", str(rounds), "--pages-path", pages_path]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=cwd, env=env)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, (out.stderr or out.stdout)[-2000:]
+    return json.loads(lines[-1])
+
+
+def run_ab(args) -> None:
+    """Interleaved A/B: HEAD tree vs --ab <git-ref> on identical input.
+
+    The one-command regression answer VERDICT r3 prescribed: a detached
+    worktree of the ref runs ITS OWN bench.py, strictly alternated with this
+    tree's, same pre-generated corpus, fresh JVM and equal heap per run —
+    so 'did this round regress the engine?' separates from host noise at
+    record time (each side also carries its own contention probes)."""
+    ref = args.ab
+    rev = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", ref],
+        capture_output=True, text=True,
+    )
+    assert rev.returncode == 0, rev.stderr
+    short = rev.stdout.strip()
+    wt = tempfile.mkdtemp(prefix=f"bench_ab_{short}_")
+    os.rmdir(wt)  # `git worktree add` wants a fresh path
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--detach", wt, ref],
+        check=True, capture_output=True,
+    )
+    try:
+        pages_path = _ensure_pages(args.docs, args.pages_path)
+        sides = (("head", REPO), (short, wt))
+        best: dict[str, dict] = {}
+        for r in range(args.repeats):
+            for side, cwd in sides:
+                run = _crawl_subprocess(
+                    cwd, args.cpus, args.docs, args.rounds, pages_path
+                )
+                print(
+                    f"ab run {r} {side}: {run['urls_per_sec']} urls/sec "
+                    f"({run['wall_s']}s, probes {run.get('probe_before_s')}"
+                    f"/{run.get('probe_after_s')})",
+                    file=sys.stderr,
+                )
+                if side not in best or run["urls_per_sec"] > best[side]["urls_per_sec"]:
+                    best[side] = run
+        ratio = best["head"]["urls_per_sec"] / best[short]["urls_per_sec"]
+        report = {
+            "metric": "ab_head_vs_ref_throughput_ratio",
+            "value": round(ratio, 3),
+            "unit": "ratio",
+            "ref": ref, "ref_short": short,
+            "docs": args.docs, "rounds": args.rounds, "repeats": args.repeats,
+            "cpus": args.cpus,
+            "head_best": best["head"], "ref_best": best[short],
+            "protocol": "interleaved best-of-N, identical pre-generated "
+                        "input, fresh JVM + equal heap per run",
+        }
+        print(json.dumps(report))
+        _append_session_row({
+            "note": (getattr(args, "note", "") or f"A/B head vs {ref}"),
+            "docs": args.docs,
+            "levels": f"ab@{args.cpus}",
+            "best_n": best[short]["urls_per_sec"],
+            "best_4n": best["head"]["urls_per_sec"],
+            "eff": round(ratio, 3),
+        })
+    finally:
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
 
 
 def run_scaling(args) -> None:
@@ -285,34 +461,14 @@ def run_scaling(args) -> None:
     and interleaving stops a load spike from biasing one level only."""
     repeats = getattr(args, "repeats", 2)
     lo, hi = (int(x) for x in args.levels.split(","))
-    pages_path = args.pages_path or f"/tmp/bench_pages_{args.docs}"
-    if not os.path.isdir(pages_path):
-        env = dict(os.environ)
-        env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
-        gen = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--gen-pages",
-             "--cpus", "32", "--docs", str(args.docs),
-             "--pages-path", pages_path],
-            capture_output=True, text=True, cwd=REPO, env=env,
-        )
-        assert os.path.isdir(pages_path), gen.stderr[-2000:]
+    pages_path = _ensure_pages(args.docs, args.pages_path)
     results: dict[int, dict] = {}
     for r in range(repeats):
         for cpus in (lo, hi):
-            env = dict(os.environ)
-            # EQUAL heap at both levels: the 4N level's only advantage is
-            # cores (conservative — heap ∝ cores would also be defensible
-            # but can inflate efficiency via GC-starving the N level)
-            env["SPARK_GRAFT_DRIVER_MEM"] = "24g"
-            cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only",
-                   "--cpus", str(cpus), "--docs", str(args.docs),
-                   "--rounds", str(args.rounds),
-                   "--pages-path", pages_path]
-            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            run = json.loads(line)
+            run = _crawl_subprocess(REPO, cpus, args.docs, args.rounds, pages_path)
             print(f"run {r} local[{cpus}]: {run['urls_per_sec']} urls/sec "
-                  f"({run['wall_s']}s)", file=sys.stderr)
+                  f"({run['wall_s']}s, probes {run.get('probe_before_s')}"
+                  f"/{run.get('probe_after_s')})", file=sys.stderr)
             if cpus not in results or run["urls_per_sec"] > results[cpus]["urls_per_sec"]:
                 results[cpus] = run
     eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
@@ -339,14 +495,20 @@ def _append_session(report: dict, lo: int, hi: int, note: str) -> None:
     BENCH/BASELINE.md, so the headline efficiency can never silently drift
     behind a favorable level pair — the unflattering datapoints stay visible
     (VERDICT r2 'keep the scaling evidence honest')."""
-    row = {
+    _append_session_row({
         "note": note,
         "docs": report["docs"],
         "levels": f"{lo}/{hi}",
         "best_n": report["levels"][str(lo)]["urls_per_sec"],
         "best_4n": report["levels"][str(hi)]["urls_per_sec"],
         "eff": report["value"],
-    }
+    })
+
+
+def _append_session_row(row: dict) -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_LOG"):
+        return  # tests exercise the harness without polluting the evidence log
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "sessions.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")
 
