@@ -68,11 +68,14 @@ CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 # self-identifying at record time instead of needing a post-hoc A/B.
 PROBE_PROCS = int(os.environ.get("SPARK_GRAFT_PROBE_PROCS", "32"))
 PROBE_LOOPS = int(os.environ.get("SPARK_GRAFT_PROBE_LOOPS", "3000000"))
-# Nominal = best quiet-window wall for (32 procs x 3M loops) on this host,
-# calibrated with nothing else running (see BENCH/BASELINE.md). Override via
-# env if the fleet moves to different hardware.
-PROBE_NOMINAL_S = float(os.environ.get("SPARK_GRAFT_PROBE_NOMINAL", "0.95"))
-PROBE_CONTENDED_RATIO = 1.15  # WARN + contended:true above +15% of nominal
+# Calibration (this host, nothing running in-container): quiet walls for
+# (32 procs x 3M loops) range 1.05-1.72 s — the box shares cores with
+# OUT-of-container neighbors, so even "quiet" jitters ±30%. Under a full
+# 32-process in-container load the probe reads 2.1-2.4 s. Nominal = quiet
+# median; the contended threshold sits between the quiet tail and the
+# loaded floor. Override via env on different hardware.
+PROBE_NOMINAL_S = float(os.environ.get("SPARK_GRAFT_PROBE_NOMINAL", "1.25"))
+PROBE_CONTENDED_RATIO = 1.5  # WARN + contended:true above 1.5x nominal
 
 _PROBE_SRC = (
     "import sys\n"
