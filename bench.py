@@ -416,13 +416,20 @@ def run_ab(args) -> None:
         best: dict[str, dict] = {}
         for r in range(args.repeats):
             for side, cwd in sides:
+                # parent-side probes bracket EVERY leg (the ref side's own
+                # bench.py may predate in-process probes), so contamination
+                # of either side is visible symmetrically
+                pb = cpu_probe()
                 run = _crawl_subprocess(
                     cwd, args.cpus, args.docs, args.rounds, pages_path
                 )
+                run["parent_probe_before_s"] = pb
+                run["parent_probe_after_s"] = cpu_probe()
                 print(
                     f"ab run {r} {side}: {run['urls_per_sec']} urls/sec "
                     f"({run['wall_s']}s, probes {run.get('probe_before_s')}"
-                    f"/{run.get('probe_after_s')})",
+                    f"/{run.get('probe_after_s')}, parent "
+                    f"{run['parent_probe_before_s']}/{run['parent_probe_after_s']})",
                     file=sys.stderr,
                 )
                 if side not in best or run["urls_per_sec"] > best[side]["urls_per_sec"]:

@@ -119,19 +119,145 @@ def _decode_ppm(b: bytes) -> np.ndarray:
     ).copy()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9 Filtering) -> (h, w*bpp) u8.
+
+    None/Up are whole-row vectorized; Sub is a per-pixel-lane cumulative sum
+    mod 256 (the recurrence out[x] = raw[x] + out[x-bpp] telescopes);
+    Average/Paeth are sequential in x by definition, so those rows loop over
+    pixel positions with the bpp channel lanes vectorized — O(w) Python
+    steps per such row, only for images whose encoder chose those filters."""
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    zero = np.zeros(bpp, dtype=np.int32)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            cur = row.copy()
+        elif f == 1:  # Sub
+            cur = (
+                row.reshape(w, bpp).cumsum(axis=0, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            cur = ((row + prev) & 0xFF).astype(np.uint8)
+        elif f in (3, 4):  # Average / Paeth: left-dependent recurrence
+            r2 = row.reshape(w, bpp).astype(np.int32)
+            p2 = prev.reshape(w, bpp)
+            c2 = np.empty((w, bpp), dtype=np.int32)
+            for x in range(w):
+                a = c2[x - 1] if x else zero
+                b_up = p2[x]
+                if f == 3:
+                    pred = (a + b_up) >> 1
+                else:
+                    c_diag = p2[x - 1] if x else zero
+                    p = a + b_up - c_diag
+                    pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c_diag)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        a,
+                        np.where(pb <= pc, b_up, c_diag),
+                    )
+                c2[x] = (r2[x] + pred) & 0xFF
+            cur = c2.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB — stdlib zlib inflate + numpy unfilter.
+
+    Covers the non-interlaced 8-bit-depth core of the spec: color types 0
+    (gray), 2 (RGB), 3 (8-bit palette), 4 (gray+alpha) and 6 (RGBA); alpha
+    is dropped. Adam7 interlacing and 1/2/4/16-bit depths raise
+    NotImplementedError. Chunk CRCs are verified (zlib.crc32)."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        length = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(b[pos + 8 + length : pos + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8:13]
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or ct not in _PNG_CHANNELS or comp or filt:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ct} outside the 8-bit "
+            "non-interlaced core this pure-numpy decoder covers"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("empty PNG")
+    bpp = _PNG_CHANNELS[ct]
+    px = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, bpp).reshape(
+        h, w, bpp
+    )
+    if ct == 2:
+        return np.ascontiguousarray(px)
+    if ct == 6:
+        return np.ascontiguousarray(px[..., :3])
+    if ct in (0, 4):
+        return np.repeat(px[..., :1], 3, axis=2)
+    # ct == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise ValueError("paletted PNG missing/invalid PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = px[..., 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    return pal[idx]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-dispatched REAL decoder -> (h, w, 3) uint8 RGB.
 
-    BMP ('BM') and binary PPM ('P6') decode in pure numpy; every other
-    format (JPEG/PNG/GIF/WebP/...) genuinely requires a codec library this
-    container lacks and raises NotImplementedError."""
+    BMP ('BM'), binary PPM ('P6') and non-interlaced 8-bit PNG decode in
+    pure numpy (+ stdlib zlib for PNG's deflate stream); every other format
+    (JPEG/GIF/WebP/...) genuinely requires a codec library this container
+    lacks and raises NotImplementedError."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
-    magic = bytes(payload[:2])
+    b = bytes(payload)
+    if b[:8] == _PNG_MAGIC:
+        return _decode_png(b)
+    magic = b[:2]
     if magic == b"BM":
-        return _decode_bmp(bytes(payload))
+        return _decode_bmp(b)
     if magic == b"P6":
-        return _decode_ppm(bytes(payload))
+        return _decode_ppm(b)
     raise NotImplementedError(
         f"no pure-numpy decoder for magic {magic!r}; compressed formats "
         "need PIL/opencv (unavailable here) — use fake=True for the "
@@ -326,6 +452,81 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + data
 
 
+def encode_png(
+    px: np.ndarray,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal PNG encoder (bit depth 8, color type 2=RGB or 6=RGBA, no
+    interlace), pure numpy + stdlib zlib — the round-trip twin of
+    _decode_png, used to build real compressed-image fixtures.
+
+    `filters` picks the per-row filter type (default cycles 0..4 so a
+    round-trip exercises every unfilter branch). Forward filtering uses the
+    ORIGINAL neighbor bytes (spec §9), so every filter vectorizes whole-row
+    here even though decode's Average/Paeth must recurse."""
+    import zlib
+
+    h, w, _ = px.shape
+    if color_type == 6:
+        img = np.concatenate(
+            [px, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2
+        )
+    elif color_type == 2:
+        img = px
+    else:
+        raise NotImplementedError("encoder covers color types 2 and 6")
+    bpp = img.shape[2]
+    flat = img.reshape(h, w * bpp).astype(np.int32)
+    fl = filters if filters is not None else [y % 5 for y in range(h)]
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        cur, f = flat[y], int(fl[y])
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        up = prev
+        diag = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = cur - left
+        elif f == 2:
+            raw = cur - up
+        elif f == 3:
+            raw = cur - ((left + up) >> 1)
+        elif f == 4:
+            p = left + up - diag
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - diag)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, diag)
+            )
+            raw = cur - pred
+        else:
+            raise ValueError(f"invalid filter {f}")
+        lines.append(bytes([f]) + (raw & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def bmp_pixels_for(media_id: int, width: int = 16, height: int = 12) -> np.ndarray:
     """Deterministic per-id pixel gradient (no RNG state)."""
     y = np.arange(height)[:, None, None]
@@ -355,6 +556,40 @@ def build_bmp_media(
                     "meta": [
                         {
                             "mime": "image/bmp",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                        }
+                    ] * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def build_png_media(
+    spark, n: int, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Deterministic COMPRESSED-image media table: the same per-id gradient
+    pixels as build_bmp_media, but encoded as real zlib-deflated PNGs with
+    the per-row filter type cycling 0..4 — so the fake=False pipeline runs
+    inflate + all five unfilter branches on every executor."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            ids = [int(i) for i in b["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "payload": [
+                        encode_png(bmp_pixels_for(i, width, height))
+                        for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "mime": "image/png",
                             "width": width,
                             "height": height,
                             "duration_ms": None,

@@ -206,11 +206,15 @@ def test_generator_corpus_is_fast_eligible_and_unchanged():
     with no script/comment constructs, so the fast path fires on every doc
     and the crawl-order goldens are unchanged by the tree-consistency fix."""
     from layerg_crawler_v2_spark.datagen import synth_text
-    from layerg_crawler_v2_spark.functions.extract import _RISKY_RE
+    from layerg_crawler_v2_spark.functions.extract import (
+        _FAST_HREF_RE,
+        _RISKY_RE,
+    )
 
     for i in range(300):
         doc = render_html(i, 10000, synth_text(i))
         assert _RISKY_RE.search(doc) is None, i
+        assert len(_FAST_HREF_RE.findall(doc)) == doc.lower().count(b"href"), i
         assert extract_outlinks(doc) == _parser_only_outlinks(doc), i
 
 

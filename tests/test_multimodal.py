@@ -37,13 +37,113 @@ def media(spark, sf_dir):
 
 
 def test_decode_image_compressed_formats_still_declared():
-    # compressed formats genuinely need codec libs absent from this container
+    # formats needing codec libs absent from this container stay declared
+    # (PNG is now REAL via stdlib zlib — see the png tests below)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"\xff\xd8\xff\xe0jfif")  # JPEG
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jfif")
+        decode_image(b"GIF89a\x00\x00")  # GIF (LZW)
     with pytest.raises(NotImplementedError):
         sample_frames(None, fake=False)  # video decode: no av/ffmpeg here
+
+
+def test_png_roundtrip_all_filters_pixel_exact():
+    """encode_png cycles filter types 0..4 per row, so a 6-row image hits
+    every unfilter branch; decode must be pixel-exact (RGB and RGBA)."""
+    import numpy as np
+
+    from layerg_crawler_v2_spark.operators.multimodal import (
+        bmp_pixels_for,
+        encode_png,
+    )
+
+    for mid, w, h in ((0, 16, 12), (3, 5, 6), (13, 1, 1), (99, 2, 7)):
+        px = bmp_pixels_for(mid, w, h)
+        for ct in (2, 6):  # RGB, RGBA (alpha dropped on decode)
+            got = decode_image(encode_png(px, color_type=ct))
+            assert got.shape == (h, w, 3)
+            assert (got == px).all(), (mid, w, h, ct)
+    # every filter forced uniformly, not just cycled
+    px = bmp_pixels_for(5, 9, 4)
+    for f in range(5):
+        got = decode_image(encode_png(px, filters=[f] * 4))
+        assert (got == px).all(), f"filter {f}"
+
+
+def test_png_gray_and_palette_decode():
+    """Hand-built color-type 0 (gray) and 3 (8-bit palette) PNGs decode to
+    the expected RGB planes."""
+    import zlib
+
+    import numpy as np
+
+    from layerg_crawler_v2_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # gray 3x2, filter 0 rows
+    gray = np.array([[0, 128, 255], [7, 13, 200]], dtype=np.uint8)
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    raster = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    png = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    )
+    got = decode_image(png)
+    assert got.shape == (2, 3, 3)
+    assert (got == np.repeat(gray[..., None], 3, axis=2)).all()
+
+    # palette 2x2: indices 0..3 into a 4-entry PLTE
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    )
+    got = decode_image(png)
+    assert (got == np.frombuffer(pal, np.uint8).reshape(4, 3)[idx.ravel()].reshape(2, 2, 3)).all()
+
+
+def test_png_rejects_out_of_core_and_corrupt():
+    import zlib
+
+    from layerg_crawler_v2_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        bmp_pixels_for,
+        encode_png,
+    )
+
+    good = encode_png(bmp_pixels_for(1, 4, 3))
+    # corrupt one IDAT payload byte -> CRC mismatch
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(bad))
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # 16-bit depth and Adam7 interlace are declared out of the pure-numpy core
+    for ihdr in (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0]),
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 1]),
+    ):
+        png = (
+            _PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_image(png)
 
 
 def test_bmp_roundtrip_pixel_exact():
@@ -139,6 +239,30 @@ def test_real_pipeline_on_bmp_media(spark):
     for r in thumbs:
         assert len(bytes(r["pixels"])) == 4 * 4 * 3  # real RGB thumbnails
     media.unpersist()
+
+
+def test_real_pipeline_on_png_media(spark):
+    """fake=False on COMPRESSED bytes: PNG decode (inflate + unfilter) in
+    the Arrow pass must feature identically to the same pixels via BMP."""
+    from layerg_crawler_v2_spark.operators.multimodal import (
+        build_bmp_media,
+        build_png_media,
+    )
+
+    png = extract_features(
+        build_png_media(spark, 12), fake=False
+    ).orderBy("media_id").collect()
+    bmp = extract_features(
+        build_bmp_media(spark, 12), fake=False
+    ).orderBy("media_id").collect()
+    assert len(png) == 12
+    for rp, rb in zip(png, bmp):
+        assert list(rp["feat"]) == list(rb["feat"]), rp["media_id"]
+    thumbs = resize_image(
+        build_png_media(spark, 5), width=3, height=3, fake=False
+    ).collect()
+    for r in thumbs:
+        assert len(bytes(r["pixels"])) == 3 * 3 * 3
 
 
 def test_features_shape_and_determinism(spark, media):
