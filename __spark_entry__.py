@@ -1516,6 +1516,166 @@ def multimodal_frames_q(spark, sf):
     return sample_frames(_media_with_duration(spark, sf), every_ms=1000)
 
 
+# --- round-4 LLM-pipeline additions (oracled; registry position > 50, so
+# they are verified by tests/test_oracle_parity.py rather than the driver
+# window, which stays pinned to the 50 distinct operators below) ------------
+
+@_q(
+    "text_pii_scrub",
+    r"""WITH inj AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@example.com or call 555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM inj""",
+)
+def text_pii_q(spark, sf):
+    """PII redaction pass: deterministic PII is injected per doc (so the
+    redaction provably fires), then emails/phones are counted and scrubbed
+    with typed placeholders — all JVM regexp, verified against the
+    byte-identical RE2 patterns in DuckDB."""
+    from layerg_crawler_v2_spark.functions.text import (
+        email_count,
+        phone_count,
+        scrub_pii,
+    )
+
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    return d.select(
+        "doc_id",
+        email_count(injected).alias("n_emails"),
+        phone_count(injected).alias("n_phones"),
+        F.md5(scrub_pii(injected)).alias("scrubbed_md5"),
+    )
+
+
+@_q(
+    "text_repetition_stats",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    t AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS twf
+      FROM (SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+            GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT w.doc_id,
+           round(1 - len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1), 6)
+               AS dup_word_frac,
+           round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                 / greatest(len(ws), 1), 6) AS mean_word_len,
+           round(t.twf, 6) AS top_word_frac
+    FROM w JOIN t USING (doc_id)""",
+)
+def text_repetition_q(spark, sf):
+    """Gopher-style repetition/diversity signals: duplicate-word fraction
+    and mean word length are zero-shuffle array folds; top-word fraction is
+    one explode + two-level partial aggregation (map-side combine)."""
+    from layerg_crawler_v2_spark.functions.text import (
+        dup_word_fraction,
+        mean_word_length,
+    )
+
+    d = _t(spark, sf, "documents")
+    stats = d.select(
+        "doc_id",
+        F.round(dup_word_fraction(F.col("text")), 6).alias("dup_word_frac"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+    top = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("count").cast("double") / F.sum("count"), 6
+            ).alias("top_word_frac")
+        )
+    )
+    return stats.join(top, "doc_id")
+
+
+@_q(
+    "dedup_ngram_coverage",
+    f"""WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS s FROM documents
+    ),
+    c AS (SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+    SELECT doc_id,
+           round(avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS dup_shingle_frac
+    FROM sh JOIN c USING (s)
+    GROUP BY 1""",
+)
+def dedup_coverage_q(spark, sf):
+    """Cross-document duplicated-shingle coverage: the fraction of a doc's
+    distinct 3-gram shingles that appear in at least one OTHER document —
+    the contamination/boilerplate signal used to gate near-dup removal.
+    Shuffles on the shingle key only (same physics as the Jaccard path);
+    never all-pairs."""
+    from layerg_crawler_v2_spark.functions.text import word_shingles
+
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s"),
+    )
+    counts = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("dup_shingle_frac")
+        )
+    )
+
+
+@_q("warc_segment_roundtrip", None)
+def warc_roundtrip_q(spark, sf):
+    """Archived-crawl input path, end to end: pages -> ISO-28500 WARC
+    segment files (gzipped members, one file per partition) -> binaryFile
+    read -> pages shape. Proves the WARC source is lossless on url/ts/html
+    (sources/warc.py; the crawl analog of the reference's block-range RPC
+    ingest, internal/worker/worker.go)."""
+    import tempfile
+
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.sources.warc import (
+        read_warc,
+        warc_to_pages,
+        write_warc,
+    )
+
+    pages = build_pages(spark, sf).repartition(4)
+    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(pages, out_dir, gzip_records=True)
+    back = warc_to_pages(read_warc(spark, out_dir))
+    return back.select(
+        "url",
+        F.col("warc_ts").cast("string").alias("warc_ts_s"),
+        F.length("html").alias("html_len"),
+        F.xxhash64("html").alias("html_hash"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering for the driver's CORRECTNESS window
 # --------------------------------------------------------------------------

@@ -96,6 +96,46 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# --- PII scrubbing -----------------------------------------------------------
+# Patterns stay in the RE2 ∩ Java-regex dialect (no lookaround, no backrefs)
+# so the DuckDB oracle runs the byte-identical pattern. Scrub order is fixed
+# (emails first, then phones) and both redactions are global.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long")
+
+
+def phone_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("long")
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholder tokens —
+    the standard pre-training privacy pass, all JVM regexp (no Python)."""
+    scrubbed = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_PATTERN, "<PHONE>")
+
+
+# --- repetition / diversity quality signals (Gopher-style) --------------------
+
+def dup_word_fraction(text: Column) -> Column:
+    """1 - |distinct words| / |words| — array-native, zero shuffle."""
+    w = F.split(text, " ")
+    return F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    ).cast("double")
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean token length via a fold over the token array (JVM aggregate)."""
+    w = F.split(text, " ")
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-word shingles — all JVM higher-order functions, no Python.
 
