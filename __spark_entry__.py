@@ -1412,6 +1412,44 @@ def lineage_q(spark, sf):
     )
 
 
+@_q("frontier_time_travel", None)
+def time_travel_q(spark, sf):
+    """Snapshot time travel (Iceberg `VERSION AS OF` over SnapshotStore):
+    after a 3-round crawl, re-read the URL-seen set and fetch_log AS OF each
+    committed round and emit per-round cumulative counts alongside that
+    round's checkpoint row. The two must agree exactly — the time-traveled
+    state IS the state the checkpoint described when it committed — which is
+    the property that makes a resume-from-round-R identical to never having
+    run rounds > R (north rule: resumable with per-partition lineage)."""
+    from layerg_crawler_v2_spark import schema as S
+    from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+    pages = build_pages(spark, sf)
+    n = pages.count()
+    store = SnapshotStore(tempfile.mkdtemp(prefix="ttq_"))
+    run_crawl(spark, pages, seed_urls(n), store, CrawlConfig(rounds=3))
+    rows = []
+    for snap in store.snapshots():
+        r = snap["round"]
+        seen = store.read(spark, "url_seen", S.URL_SEEN, as_of_round=r).count()
+        fetched = store.read(spark, "fetch_log", S.FETCH_LOG, as_of_round=r).count()
+        ckpt = (
+            store.read(spark, "checkpoints", S.CHECKPOINTS, as_of_round=r)
+            .orderBy(F.col("round").desc())
+            .first()
+        )
+        rows.append(
+            (r, seen, fetched, int(ckpt.seen_count), int(ckpt.fetched_count))
+        )
+    return spark.createDataFrame(
+        rows,
+        "round int, seen_as_of long, fetched_as_of long, "
+        "ckpt_seen long, ckpt_fetched long",
+    )
+
+
 @_q("politeness_audit", None)
 def politeness_q(spark, sf):
     """W3 lag-window audit over a real crawl's fetch_log: rows = per-host

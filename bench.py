@@ -581,10 +581,13 @@ CPU/disk with neighbors, so levels run INTERLEAVED (N, 4N, N, 4N, …) and
 each level reports its best of {report['repeats']}.
 
 Level pair local[{lo}]/local[{hi}]: the driver rule allows any N/4N pair;
-this one keeps the 4N level below the host's ~35k urls/sec shared
-memory/disk-bandwidth ceiling (at 2/8 cores the 8-core level pins against
-that box cap, so engine speedups at N read as efficiency losses — see the
-session log in git history).
+both the 1/4 and 2/8 pairs are measured every round and logged below. The
+per-leg CPU probes (probe_before/after vs nominal, stored in every report)
+mark which sessions ran on a contended host: under neighbor load the 8-core
+level pins against shared memory/disk bandwidth (~35k urls/sec observed),
+so engine speedups at N read there as efficiency losses; on a probe-verified
+quiet host the same level reached 48k+ urls/sec and the 2/8 pair clears the
+>=0.8 gate as well (r4 session below).
 
 ## Result (best-of-{report['repeats']} per level, interleaved)
 

@@ -175,9 +175,11 @@ class SnapshotStore:
         return snapshot_id
 
     # -- read ----------------------------------------------------------------
-    def _paths_for(self, table: str) -> list[str]:
+    def _paths_for(self, table: str, as_of_round: int | None = None) -> list[str]:
         paths: list[str] = []
         for snap in self.snapshots():
+            if as_of_round is not None and snap["round"] > as_of_round:
+                break  # snapshots are round-ordered; later ones don't exist yet
             if table in snap["replace"]:
                 paths = [snap["replace"][table]]
             if table in snap["append"]:
@@ -203,11 +205,38 @@ class SnapshotStore:
                 paths.append(snap["append"][table])
         return paths
 
-    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
-        paths = self._paths_for(table)
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        as_of_round: int | None = None,
+    ) -> DataFrame:
+        """Current state of `table`, or — with `as_of_round` — its state as of
+        that round's snapshot (Iceberg time travel: `VERSION AS OF`). Reads
+        replay the manifest only through snapshots with round <= as_of_round,
+        so the URL-seen set / frontier / fetch_log of ANY past round is
+        byte-reproducible from the same store, which is what makes the
+        per-round lineage auditable after later rounds have committed."""
+        paths = self._paths_for(table, as_of_round)
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
+
+    def rollback_to(self, round_no: int) -> None:
+        """Drop every snapshot AFTER `round_no` (Iceberg rollback): the next
+        commit resumes from that round's exact table state. Delta directories
+        of dropped snapshots become unreferenced orphans — same lifecycle as a
+        crashed commit's dirs, cleaned by compaction, never read again. The
+        manifest swap is the single atomic point, mirroring commit()."""
+        manifest = self._load()
+        manifest["snapshots"] = [
+            s for s in manifest["snapshots"] if s["round"] <= round_no
+        ]
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)
 
     def bucket_paths(self, table: str, buckets: list[int] | range) -> list[str]:
         """Current paths of the given buckets of a partitioned-replace table."""
