@@ -1450,6 +1450,48 @@ def time_travel_q(spark, sf):
     )
 
 
+@_q("stream_host_budget", None)
+def stream_budget_q(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState +
+    event-time TTL, streaming/stateful.py): per-host cumulative page/byte
+    budgets maintained in the streaming state store across micro-batches
+    (T6; the deterministic analog of the reference's Redis TTL caches,
+    db/redis.go:193). Two parquet drops are forced into two micro-batches,
+    so hosts spanning both show accumulated totals in batch 1."""
+    from pyspark.sql import types as T
+
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.stateful import (
+        HOST_BUDGET,
+        start_budget_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="budgetq_")
+    feed = os.path.join(tmp, "feed")
+    os.makedirs(feed)
+    pages = build_pages(spark, sf)
+    bucket = F.pmod(F.xxhash64("url"), F.lit(100))
+    for name, lo, hi, mtime in (("c0", 0, 50, 1.7e9), ("c1", 50, 100, 1.7e9 + 10)):
+        path = os.path.join(feed, name)
+        pages.filter((bucket >= lo) & (bucket < hi)).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+    store = SnapshotStore(os.path.join(tmp, "store"))
+    ingest = start_budget_stream(
+        spark, feed + "/*", store, os.path.join(tmp, "ckpt"),
+        max_pages=10, ttl="2 hours", max_files_per_trigger=1,
+    )
+    ingest.await_termination(180)
+    schema = T.StructType(
+        list(HOST_BUDGET.fields)
+        + [T.StructField("batch_id", T.LongType(), False)]
+    )
+    return store.read(spark, "host_budget", schema)
+
+
 @_q("politeness_audit", None)
 def politeness_q(spark, sf):
     """W3 lag-window audit over a real crawl's fetch_log: rows = per-host
