@@ -31,8 +31,14 @@ def with_global_seq(
     num_partitions: int | None = None,
     start: int = 0,
     cleanup: list | None = None,
+    total_out: list | None = None,
 ) -> DataFrame:
-    """`cleanup`: optional registry the internal cached frame is appended to;
+    """`total_out`: optional list the TOTAL row count is appended to — the
+    per-partition count pass already computes it, so callers that need
+    |df| (e.g. the round's checkpoint bookkeeping) get it for free instead
+    of running a separate count job.
+
+    `cleanup`: optional registry the internal cached frame is appended to;
     the CALLER unpersists entries after materializing the result (the cache
     must outlive the assign pass — unpersisting early would re-run the range
     partitioner, whose sampling need not reproduce the counted layout). When
@@ -56,6 +62,8 @@ def with_global_seq(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if total_out is not None:
+        total_out.append(acc - start)
 
     out_schema = T.StructType(
         [f for f in df.schema.fields] + [T.StructField(seq_col, T.LongType(), False)]

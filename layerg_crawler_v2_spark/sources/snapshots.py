@@ -26,6 +26,7 @@ import json
 import os
 import shutil
 import uuid
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,7 @@ class SnapshotStore:
         partitioned_replaces: (
             dict[str, tuple[DataFrame, str, list[int]]] | None
         ) = None,
+        deferred_appends: dict[str, Callable[[], DataFrame]] | None = None,
     ) -> str:
         """Write all deltas, then atomically publish one snapshot.
 
@@ -84,6 +86,17 @@ class SnapshotStore:
         from `bucket_ids` keep their previous paths byte-identical, so the
         commit cost is ∝ dirty buckets, not table size (VERDICT r3 wrong #2).
 
+        `deferred_appends` maps table -> zero-arg builder. The builder runs
+        INSIDE the concurrent write pool, so a table whose plan needs its own
+        pre-jobs (the fetch log's range-sample + per-partition count for the
+        global sequence) no longer serializes in front of the OTHER tables'
+        writes — everything independent starts immediately. `counters` and
+        `checkpoint` may be zero-arg callables, resolved AFTER all table
+        writes complete (counters first) — which lets their values come from
+        `Observation`s piggybacked on the writes themselves instead of
+        dedicated count jobs; the checkpoint row then costs one serial 1-row
+        write before the manifest swap.
+
         `checkpoint` (keys frontier_count/seen_count/fetched_count) appends a
         one-row `checkpoints` table IN the same snapshot — the queryable
         analog of the reference's chains.latest_block cursor row
@@ -93,36 +106,42 @@ class SnapshotStore:
         costs no extra Spark jobs beyond its own 1-row write."""
         snapshot_id = f"snap-{round_no}-{uuid.uuid4().hex[:12]}"
         appends = dict(appends or {})
-        if checkpoint is not None:
+
+        def _spark_for_row() -> SparkSession:
             dfs_in = {**appends, **(replaces or {})}
             if dfs_in:
-                spark = next(iter(dfs_in.values())).sparkSession
-            else:
-                # checkpoint-only commit (no table deltas): fall back to the
-                # active session instead of StopIteration (ADVICE r3)
-                spark = SparkSession.getActiveSession()
-                if spark is None:
-                    raise ValueError(
-                        "checkpoint-only commit requires an active SparkSession"
-                    )
-            appends["checkpoints"] = spark.createDataFrame(
+                return next(iter(dfs_in.values())).sparkSession
+            # checkpoint-only commit (no table deltas): fall back to the
+            # active session instead of StopIteration (ADVICE r3)
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "checkpoint-only commit requires an active SparkSession"
+                )
+            return spark
+
+        def _checkpoint_df(ck: dict[str, int]) -> DataFrame:
+            return _spark_for_row().createDataFrame(
                 [
                     (
                         round_no,
                         snapshot_id,
-                        int(checkpoint["frontier_count"]),
-                        int(checkpoint["seen_count"]),
-                        int(checkpoint["fetched_count"]),
+                        int(ck["frontier_count"]),
+                        int(ck["seen_count"]),
+                        int(ck["fetched_count"]),
                     )
                 ],
                 S.CHECKPOINTS,
             )
+
+        if checkpoint is not None and not callable(checkpoint):
+            appends["checkpoints"] = _checkpoint_df(checkpoint)
         entry: dict = {
             "snapshot_id": snapshot_id,
             "round": round_no,
             "append": {},
             "replace": {},
-            "counters": counters or {},
+            "counters": {},
         }
         # the table writes are independent Spark jobs on disjoint paths —
         # submit them concurrently (Spark's scheduler interleaves their
@@ -147,20 +166,46 @@ class SnapshotStore:
                     path, f"{bucket_col}={int(k)}"
                 )
 
+        deferred: list[tuple[Callable[[], DataFrame], str]] = []
+        for name, build in (deferred_appends or {}).items():
+            path = os.path.join(self.base, "tables", name, f"{snapshot_id}-append")
+            deferred.append((build, path))
+            entry["append"][name] = path
+
         def _write(df: DataFrame, path: str, part_col: str | None) -> None:
             w = df.write.mode("overwrite")
             if part_col is not None:
                 w = w.partitionBy(part_col)
             w.parquet(path)
 
-        if len(writes) > 1:
-            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-                futs = [pool.submit(_write, *args) for args in writes]
+        def _write_deferred(build: Callable[[], DataFrame], path: str) -> None:
+            _write(build(), path, None)
+
+        n_tasks = len(writes) + len(deferred)
+        if n_tasks > 1:
+            with ThreadPoolExecutor(max_workers=n_tasks) as pool:
+                futs = [pool.submit(_write, *args) for args in writes] + [
+                    pool.submit(_write_deferred, *args) for args in deferred
+                ]
                 for f in futs:
                     f.result()
         else:
             for args in writes:
                 _write(*args)
+            for args in deferred:
+                _write_deferred(*args)
+
+        # post-write resolution: counters first (checkpoint callables may
+        # read what they computed), then the checkpoint row's 1-row write
+        if callable(counters):
+            counters = counters()
+        entry["counters"] = counters or {}
+        if checkpoint is not None and callable(checkpoint):
+            path = os.path.join(
+                self.base, "tables", "checkpoints", f"{snapshot_id}-append"
+            )
+            _write(_checkpoint_df(checkpoint()), path, None)
+            entry["append"]["checkpoints"] = path
         manifest = self._load()
         # idempotent replay: drop any snapshot for the same round (a retried
         # round replaces its partial predecessor — exactly-once on resume)

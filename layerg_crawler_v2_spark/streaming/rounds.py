@@ -53,11 +53,10 @@ concurrent Spark jobs."""
 from __future__ import annotations
 
 from collections.abc import Callable
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -301,15 +300,22 @@ def run_round(
         )
     )
 
-    # 3. fetch log with a scalable deterministic global sequence — BUILT
-    #    CONCURRENTLY with step 5's materialization below (independent
-    #    branches off the cached fetch_rows; Spark interleaves their jobs)
+    # 3. fetch log with a scalable deterministic global sequence — handed to
+    #    the commit as a DEFERRED append: the ranking's range-sample +
+    #    per-partition-count pre-jobs run INSIDE the commit's write pool,
+    #    concurrently with every other table's write, instead of holding
+    #    them all hostage. The per-partition count pass also yields
+    #    |fetch_log| == |selected| for free (total_out), replacing the
+    #    dedicated selected.count() job the checkpoint used to need.
+    seq_total: list[int] = []
+
     def _build_fetch_log() -> DataFrame:
         return with_global_seq(
             fetch_rows.select("url", "host", "depth", "fetch_ts", "bytes", "status"),
             [F.asc("fetch_ts"), F.asc("host"), F.asc("url")],
             seq_col="seq",
             cleanup=caches,
+            total_out=seq_total,
         ).select(
             F.lit(round_no).alias("round"),
             F.col("seq").cast("int"),
@@ -437,19 +443,11 @@ def run_round(
     # seen covers queued too because seen ⊇ enqueued (loop invariant)
     new = new.cache()
 
-    # materialize the two independent heavy branches concurrently: the fetch
-    # log's parallel ranking and the discovery/anti-join chain both hang off
-    # cached fetch_rows (block-level cache locks make the race benign)
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        fut_log = pool.submit(_build_fetch_log)
-        fut_new = pool.submit(new.count)
-        # checkpoint bookkeeping: |fetch_log this round| == |selected| (every
-        # selected URL lands as OK or MISS) — a count on the cached,
-        # politeness-capped frame, interleaved with the heavy branches
-        fut_sel = pool.submit(selected.count)
-        fetch_log = fut_log.result()
-        n_new = fut_new.result()
-        n_sel = fut_sel.result()
+    # |new| piggybacks on the url_seen delta write as an Observation — no
+    # dedicated count job; the commit's concurrent writers materialize the
+    # shared caches (block-level cache locks make those races benign)
+    obs_new = Observation()
+    new_observed = new.observe(obs_new, F.count(F.lit(1)).alias("n"))
 
     # 6. frontier delta: normally just append `new` (consumption is implied
     #    by this round's fetch_log append — every selected URL is in it); on
@@ -491,29 +489,49 @@ def run_round(
         )
     )
 
-    counters = {
-        "new": n_new,
-        "selected": n_sel,
-        "seen_total": seen_total + n_new,
-        # running table sizes, maintained incrementally (no table scans):
-        # queued frontier grows by this round's discoveries and shrinks by
-        # its consumed (selected) rows; fetch_log only grows
-        "frontier_total": store.last_counter("frontier_total", 0) + n_new - n_sel,
-        "fetched_total": store.last_counter("fetched_total", 0) + n_sel,
-    }
-    if mode == "cuckoo":
-        counters["cuckoo_partitions"] = cuckoo_parts
-        counters["cuckoo_synced"] = seen_total + n_new
-    elif mode == "bloom":
-        counters["bloom_synced"] = seen_total + n_new
-    if cfg.collect_counters:
-        counters.update(
-            fetched_ok=fetched.count(),
-            discovered=discovered.count(),
-        )
+    # counters resolve AFTER the commit's table writes (snapshots.commit
+    # calls the callable post-write): n_new arrives via the Observation the
+    # url_seen write triggered, n_sel via the seq ranking's count pass —
+    # zero dedicated count jobs on the round's critical path
+    resolved: dict[str, int] = {}
+
+    def _counters() -> dict[str, int]:
+        n_new = int(obs_new.get["n"])
+        n_sel = int(seq_total[0])
+        c = {
+            "new": n_new,
+            "selected": n_sel,
+            "seen_total": seen_total + n_new,
+            # running table sizes, maintained incrementally (no table
+            # scans): queued frontier grows by this round's discoveries and
+            # shrinks by its consumed (selected) rows; fetch_log only grows
+            "frontier_total": store.last_counter("frontier_total", 0)
+            + n_new
+            - n_sel,
+            "fetched_total": store.last_counter("fetched_total", 0) + n_sel,
+        }
+        if mode == "cuckoo":
+            c["cuckoo_partitions"] = cuckoo_parts
+            c["cuckoo_synced"] = seen_total + n_new
+        elif mode == "bloom":
+            c["bloom_synced"] = seen_total + n_new
+        if cfg.collect_counters:
+            c.update(
+                fetched_ok=fetched.count(),
+                discovered=discovered.count(),
+            )
+        resolved.update(c)
+        return c
+
+    def _checkpoint() -> dict[str, int]:
+        return {
+            "frontier_count": resolved["frontier_total"],
+            "seen_count": resolved["seen_total"],
+            "fetched_count": resolved["fetched_total"],
+        }
+
     appends = {
-        "fetch_log": fetch_log,
-        "url_seen": _seen_delta(new, cfg.n_host_buckets),
+        "url_seen": _seen_delta(new_observed, cfg.n_host_buckets),
         "lineage": lineage,
     }
     replaces: dict[str, DataFrame] = {}
@@ -535,18 +553,15 @@ def run_round(
         round_no,
         appends=appends,
         replaces=replaces,
-        counters=counters,
-        checkpoint={
-            "frontier_count": counters["frontier_total"],
-            "seen_count": counters["seen_total"],
-            "fetched_count": counters["fetched_total"],
-        },
+        counters=_counters,
+        checkpoint=_checkpoint,
+        deferred_appends={"fetch_log": _build_fetch_log},
     )
     for c in (selected, fetched, discovered, new, *caches):
         c.unpersist()
     if bloom_bc is not None:
         bloom_bc.destroy()
-    return counters
+    return dict(resolved)
 
 
 def add_seeds(
