@@ -1,4 +1,4 @@
-"""robots.txt allow/deny filtering.
+"""robots.txt parsing, compilation, and allow/deny filtering.
 
 Graft analog of the monitored-address allowlist — the reference drops any log
 whose address is not in the per-chain allowlist before routing
@@ -6,9 +6,20 @@ whose address is not in the per-chain allowlist before routing
 path_prefix); semantics are longest-prefix-match, allow wins ties, no
 matching rule = allowed (standard robots exclusion semantics).
 
-The rules table is tiny relative to the frontier → broadcast join; the
-prefix match and longest-rule selection are pure Column expressions, fully
-codegen'd, no Python."""
+Scale shape (north rule: "robots.txt allow/deny compiled to broadcast
+tries"): `compile_robots` linearizes each host's prefix trie into ONE row per
+host holding the rules sorted longest-prefix-first (allow before deny at
+equal length) — the flattened broadcast form of the trie, exact for the
+startswith-match semantics because the first matching element of that
+ordering IS the trie's deepest (tie-broken) node. `apply_robots` then
+broadcast-joins one compiled row per host and picks the winner with
+`F.get(F.filter(rules, ...), 0)` — a per-row array probe in whole-stage
+codegen. The candidate set is never shuffled, never fanned out per rule, and
+never aggregated: at a 10^10-URL frontier the robots stage costs zero
+exchanges (the r3 formulation shuffled candidates×matching-rules into a
+groupBy(url), which at scale was the round's widest exchange after the seen
+anti-join).
+"""
 
 from __future__ import annotations
 
@@ -29,49 +40,169 @@ def _path_expr(url_col: str):
     )
 
 
+def compile_robots(robots: DataFrame) -> DataFrame:
+    """(host, rule_type, path_prefix) rows → (host, rules) — one row per host.
+
+    `rules` is array<struct<rule_type,path_prefix>> sorted so the first
+    startswith-match is the longest-prefix winner with allow beating deny on
+    ties. Rule tables are tiny (a few rules per politeness-relevant host), so
+    the groupBy here shuffles kilobytes; callers that run many rounds should
+    compile once and cache (run_crawl does)."""
+    return robots.groupBy("host").agg(
+        F.expr(
+            """
+            array_sort(
+              collect_list(struct(rule_type, path_prefix)),
+              (l, r) -> CASE
+                WHEN length(l.path_prefix) > length(r.path_prefix) THEN -1
+                WHEN length(l.path_prefix) < length(r.path_prefix) THEN 1
+                WHEN l.rule_type = 'allow' AND r.rule_type <> 'allow' THEN -1
+                WHEN r.rule_type = 'allow' AND l.rule_type <> 'allow' THEN 1
+                ELSE 0 END
+            )
+            """
+        ).alias("rules")
+    )
+
+
 def apply_robots(
     candidates: DataFrame,
     robots: DataFrame | None,
     url_col: str = "url",
     host_col: str = "host",
 ) -> DataFrame:
-    """Keep candidate URLs the robots rule table allows."""
+    """Keep candidate URLs the robots rule table allows.
+
+    Accepts either the raw (host, rule_type, path_prefix) table or a
+    `compile_robots` output (detected by its `rules` column)."""
     if robots is None:
         return candidates
+    compiled = robots if "rules" in robots.columns else compile_robots(robots)
     cand = candidates.withColumn("__path", _path_expr(url_col))
     joined = cand.join(
-        F.broadcast(robots.withColumnRenamed("host", host_col)),
+        F.broadcast(compiled.withColumnRenamed("host", host_col)),
         on=host_col,
         how="left",
-    ).withColumn(
-        "__match",
-        F.col("path_prefix").isNotNull()
-        & F.col("__path").startswith(F.col("path_prefix")),
     )
-    # longest matching rule wins; allow beats deny at equal length. max_by
-    # over a lexicographic struct key instead of a row_number window: same
-    # shuffle key (url), but the aggregate gets a map-side partial combine
-    # and emits no rank column (VERDICT r3 wrong #3).
-    out_cols = [c for c in candidates.columns]
-    rank_key = F.struct(
-        F.col("__match").cast("int").alias("m"),
-        F.when(F.col("__match"), F.length("path_prefix"))
-        .otherwise(F.lit(-1))
-        .alias("len"),
-        F.when(F.col("rule_type") == "allow", 1).otherwise(0).alias("allow"),
+    # first match in the longest-first ordering = the winning rule; F.get is
+    # out-of-bounds-null (ANSI-safe), so empty/absent rule sets fall through
+    # to NULL = allowed
+    best = F.get(
+        F.filter(
+            F.col("rules"),
+            lambda r: F.col("__path").startswith(r["path_prefix"]),
+        ),
+        F.lit(0),
     )
-    payload = F.struct(
-        *[F.col(c).alias(c) for c in out_cols if c != url_col],
-        F.col("__match").alias("__match"),
-        F.col("rule_type").alias("rule_type"),
+    allowed = joined.withColumn("__best", best).filter(
+        F.col("__best").isNull() | (F.col("__best")["rule_type"] == "allow")
     )
-    best = joined.groupBy(url_col).agg(F.max_by(payload, rank_key).alias("__best"))
-    allowed = best.filter(
-        (~F.col("__best.__match")) | (F.col("__best.rule_type") == "allow")
+    return allowed.select(*candidates.columns)
+
+
+def parse_robots_txt(
+    fetched: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the engine's rule table.
+
+    Input: one row per host with the fetched /robots.txt text. Output:
+    (host, rule_type, path_prefix) rows — Allow/Disallow directives from
+    every User-agent section matching `user_agent` or `*` — plus
+    (host, 'crawl_delay', <millis-as-string>) rows for Crawl-delay
+    directives (see `crawl_delays` to lift those into the hosts-config dim).
+
+    Robots files are one small text per host, so this is a grouped Arrow
+    pass (`mapInPandas`), not a per-row Python UDF in a hot path; the rest
+    of the pipeline (compile → broadcast → probe) stays JVM-side.
+    Section semantics follow RFC 9309: consecutive User-agent lines share
+    the following rule group; the most specific matching agent's group
+    applies, falling back to the '*' group.
+    """
+    import pandas as pd
+
+    ua = user_agent.lower()
+    out_schema = "host string, rule_type string, path_prefix string"
+
+    def _parse_one(host: str, text: str) -> list[tuple[str, str, str]]:
+        # group sections: list of (agents, rules, delay)
+        sections: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
+        agents: list[str] = []
+        rules: list[tuple[str, str]] = []
+        delay: float | None = None
+        in_agents = False
+        for raw in (text or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if not in_agents:
+                    if agents:
+                        sections.append((agents, rules, delay))
+                    agents, rules, delay = [], [], None
+                    in_agents = True
+                agents.append(val.lower())
+            else:
+                in_agents = False
+                if not agents:
+                    continue  # rule before any User-agent line: ignored
+                if key == "disallow" and val:
+                    rules.append(("deny", val))
+                elif key == "allow" and val:
+                    rules.append(("allow", val))
+                elif key == "crawl-delay":
+                    try:
+                        delay = float(val)
+                    except ValueError:
+                        pass
+        if agents:
+            sections.append((agents, rules, delay))
+        # most specific matching agent wins; '*' is the fallback group
+        best_len, best = -1, None
+        for sec_agents, sec_rules, sec_delay in sections:
+            for a in sec_agents:
+                if a == "*":
+                    if best_len < 0:
+                        best_len, best = 0, (sec_rules, sec_delay)
+                elif a in ua or ua in a:
+                    if len(a) > best_len:
+                        best_len, best = len(a), (sec_rules, sec_delay)
+        if best is None:
+            return []
+        sec_rules, sec_delay = best
+        rows = [(host, rt, p) for rt, p in sec_rules]
+        if sec_delay is not None:
+            rows.append((host, "crawl_delay", str(int(sec_delay * 1000))))
+        return rows
+
+    def _gen(batches):
+        for pdf in batches:
+            rows: list[tuple[str, str, str]] = []
+            for host, text in zip(pdf[host_col], pdf[body_col]):
+                rows.extend(_parse_one(host, text))
+            yield pd.DataFrame(
+                rows, columns=["host", "rule_type", "path_prefix"]
+            )
+
+    return fetched.select(host_col, body_col).mapInPandas(_gen, out_schema)
+
+
+def crawl_delays(rules: DataFrame) -> DataFrame:
+    """(host, delay_ms) dim from parse_robots_txt's crawl_delay rows —
+    unionable into the hosts-config table `select_for_fetch` consumes."""
+    return rules.filter(F.col("rule_type") == "crawl_delay").select(
+        "host",
+        F.col("path_prefix").cast("int").alias("delay_ms"),
+        F.lit(None).cast("int").alias("max_parallel"),
     )
-    return allowed.select(
-        *[
-            F.col(url_col) if c == url_col else F.col(f"__best.{c}").alias(c)
-            for c in out_cols
-        ]
-    )
+
+
+def path_rules(rules: DataFrame) -> DataFrame:
+    """Allow/deny subset of a parse_robots_txt output (drops crawl_delay
+    carrier rows) — the shape `compile_robots`/`apply_robots` expect."""
+    return rules.filter(F.col("rule_type").isin("allow", "deny"))

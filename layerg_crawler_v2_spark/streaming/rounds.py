@@ -76,7 +76,7 @@ from ..operators.cuckoo import (
     filter_unseen_cuckoo,
     update_filters,
 )
-from ..operators.robots import apply_robots
+from ..operators.robots import apply_robots, compile_robots
 from ..operators.scheduler import select_for_fetch
 from ..operators.seen import (
     BLOOM_SCHEMA,
@@ -739,6 +739,15 @@ def run_crawl(
     else:
         pages_canon = canonical_pages(pages).cache()
 
+    # compile the robots prefix tries ONCE for the whole crawl — every round
+    # (and the seed pass) broadcast-probes the same cached compiled rows
+    robots_compiled = None
+    if robots is not None:
+        robots_compiled = (
+            robots if "rules" in robots.columns else compile_robots(robots)
+        ).cache()
+    robots = robots_compiled
+
     last = store.last_round() if resume else None
     if last is None:
         seeds_df = prepare_seeds(spark, seed_urls, cfg, robots).cache()
@@ -784,4 +793,6 @@ def run_crawl(
         run_round(spark, store, pages_canon, hosts, robots, r, cfg)
     if not pages_are_canonical:
         pages_canon.unpersist()
+    if robots_compiled is not None:
+        robots_compiled.unpersist()
     return store

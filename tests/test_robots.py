@@ -1,0 +1,171 @@
+"""robots.txt parsing + compiled-trie filtering.
+
+The reference's analog is the per-chain monitored-address allowlist
+(cmd/onchain.go:68-72, 95-100); the crawl engine generalizes it to RFC 9309
+robots semantics: longest-prefix wins, allow beats deny on ties, no match =
+allowed, Crawl-delay feeds the per-host politeness dim."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark.operators.robots import (
+    apply_robots,
+    compile_robots,
+    crawl_delays,
+    parse_robots_txt,
+    path_rules,
+)
+from tests.reference_sim import robots_allowed
+
+
+def test_apply_robots_matches_python_reference_randomized(spark):
+    """Property check: compiled-trie filter == the sequential reference
+    resolver over randomized rule tables and URL paths."""
+    rng = random.Random(20260818)
+    hosts = [f"h{i}.com" for i in range(6)]
+    prefixes = ["/", "/a", "/a/b", "/a/bc", "/x", "/x/y/z", "/q?k=v"]
+    rules = []
+    for h in hosts[:5]:  # h5 gets no rules at all
+        for _ in range(rng.randint(1, 5)):
+            rules.append(
+                (h, rng.choice(["allow", "deny"]), rng.choice(prefixes))
+            )
+    paths = prefixes + ["/a/b/c", "/ab", "/x/y", "/other", "/q?k=v2"]
+    cand_rows = [
+        (f"http://{h}{p}", h, i)
+        for i, (h, p) in enumerate(
+            (rng.choice(hosts), rng.choice(paths)) for _ in range(200)
+        )
+    ]
+    cand = spark.createDataFrame(cand_rows, "url string, host string, idx int")
+    rules_df = spark.createDataFrame(
+        rules, "host string, rule_type string, path_prefix string"
+    )
+    got = sorted(r.idx for r in apply_robots(cand, rules_df).collect())
+    want = sorted(
+        i for (u, h, i) in cand_rows if robots_allowed(u, h, rules)
+    )
+    assert got == want
+
+
+def test_compile_robots_precompiled_reuse(spark):
+    """apply_robots accepts a compile_robots output directly (run_crawl
+    compiles once per crawl and reuses the cached rows every round)."""
+    rules = spark.createDataFrame(
+        [("a.com", "deny", "/private"), ("a.com", "allow", "/private/ok")],
+        "host string, rule_type string, path_prefix string",
+    )
+    compiled = compile_robots(rules)
+    assert set(compiled.columns) == {"host", "rules"}
+    cand = spark.createDataFrame(
+        [
+            ("http://a.com/private/x", "a.com"),
+            ("http://a.com/private/ok/y", "a.com"),
+            ("http://a.com/pub", "a.com"),
+        ],
+        "url string, host string",
+    )
+    got = sorted(r.url for r in apply_robots(cand, compiled).collect())
+    assert got == ["http://a.com/private/ok/y", "http://a.com/pub"]
+
+
+ROBOTS_TXT = """\
+# global section
+User-agent: *
+Disallow: /tmp
+Allow: /tmp/public
+Crawl-delay: 1.5
+
+User-agent: layerg
+User-agent: otherbot
+Disallow: /layerg-only
+Crawl-delay: 2
+
+User-agent: unrelated
+Disallow: /
+"""
+
+
+def test_parse_robots_txt_wildcard_section(spark):
+    fetched = spark.createDataFrame(
+        [("a.com", ROBOTS_TXT)], "host string, body string"
+    )
+    rows = sorted(
+        (r.rule_type, r.path_prefix)
+        for r in parse_robots_txt(fetched).collect()
+    )
+    assert rows == [
+        ("allow", "/tmp/public"),
+        ("crawl_delay", "1500"),
+        ("deny", "/tmp"),
+    ]
+
+
+def test_parse_robots_txt_specific_agent_and_grouped_uas(spark):
+    """Most specific matching User-agent group wins; consecutive User-agent
+    lines share one rule group (RFC 9309)."""
+    fetched = spark.createDataFrame(
+        [("a.com", ROBOTS_TXT)], "host string, body string"
+    )
+    rows = sorted(
+        (r.rule_type, r.path_prefix)
+        for r in parse_robots_txt(fetched, user_agent="layerg-crawler").collect()
+    )
+    assert rows == [("crawl_delay", "2000"), ("deny", "/layerg-only")]
+
+
+def test_parse_robots_txt_edge_cases(spark):
+    fetched = spark.createDataFrame(
+        [
+            ("empty.com", ""),
+            ("null.com", None),
+            ("norules.com", "User-agent: *\n\n# nothing else\n"),
+            ("orphan.com", "Disallow: /before-any-agent\nUser-agent: *\nDisallow: /ok\n"),
+            ("badnum.com", "User-agent: *\nCrawl-delay: soon\nDisallow: /x\n"),
+        ],
+        "host string, body string",
+    )
+    rows = sorted(
+        (r.host, r.rule_type, r.path_prefix)
+        for r in parse_robots_txt(fetched).collect()
+    )
+    assert rows == [
+        ("badnum.com", "deny", "/x"),
+        ("orphan.com", "deny", "/ok"),
+    ]
+
+
+def test_crawl_delays_and_path_rules_split(spark):
+    fetched = spark.createDataFrame(
+        [("a.com", ROBOTS_TXT)], "host string, body string"
+    )
+    parsed = parse_robots_txt(fetched).cache()
+    delays = crawl_delays(parsed).collect()
+    assert [(r.host, r.delay_ms, r.max_parallel) for r in delays] == [
+        ("a.com", 1500, None)
+    ]
+    kinds = {r.rule_type for r in path_rules(parsed).collect()}
+    assert kinds == {"allow", "deny"}
+    parsed.unpersist()
+
+
+def test_parsed_rules_drive_a_crawl(spark):
+    """End-to-end: raw robots.txt text → parse → filter; the denied prefix
+    is dropped, crawl_delay carrier rows don't leak into path filtering."""
+    fetched = spark.createDataFrame(
+        [("site.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 1\n")],
+        "host string, body string",
+    )
+    rules = path_rules(parse_robots_txt(fetched))
+    cand = spark.createDataFrame(
+        [
+            ("http://site.com/private/a", "site.com"),
+            ("http://site.com/open/b", "site.com"),
+        ],
+        "url string, host string",
+    )
+    got = [r.url for r in apply_robots(cand, rules).collect()]
+    assert got == ["http://site.com/open/b"]

@@ -257,8 +257,11 @@ def test_robots_deny(spark, pages_df, pages_dict, seeds, tmp_path):
 
 
 def test_robots_rule_selection_ties_and_plan(spark):
-    """Longest-prefix-wins with allow-beats-deny ties, and the max_by
-    formulation keeps the rank-free plan (VERDICT r3 wrong #3)."""
+    """Longest-prefix-wins with allow-beats-deny ties, and the compiled
+    broadcast-trie formulation keeps the candidate side shuffle-free: no
+    Window/rank, no groupBy over the candidates — the only exchanges are the
+    tiny rules-side compile and its broadcast (north rule: robots compiled
+    to broadcast tries)."""
     from layerg_crawler_v2_spark.operators.robots import apply_robots
 
     cand = spark.createDataFrame(
@@ -289,6 +292,12 @@ def test_robots_rule_selection_ties_and_plan(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan.lower() and "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # one hashpartitioning exchange max — the rules-side compile; the
+    # candidate relation flows map-side only (the AQE string repeats the
+    # plan under "== Initial Plan ==", so count the final section only)
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_per_host_config_parity(spark, pages_df, pages_dict, seeds, tmp_path):
