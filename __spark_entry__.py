@@ -1756,6 +1756,61 @@ def warc_roundtrip_q(spark, sf):
     )
 
 
+@_q("robots_parse_compile", None)
+def robots_parse_q(spark, sf):
+    """robots.txt pipeline end-to-end: deterministic robots.txt body per
+    host -> RFC 9309 parse (Allow/Disallow sections + Crawl-delay) -> rule
+    rows -> compiled broadcast prefix tries -> filter the pages URL set; one
+    row per host with URL/allowed counts and the parsed politeness delay.
+    Rows-only by nature (the sectioned parse isn't SQL-expressible); the
+    compile/apply semantics are property-tested against the sequential
+    resolver in tests/test_robots.py. Reference analog: the per-chain
+    monitored-address allowlist (cmd/onchain.go:68-72, 95-100)."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.operators.robots import (
+        apply_robots,
+        compile_robots,
+        crawl_delays,
+        parse_robots_txt,
+        path_rules,
+    )
+
+    urls = build_pages(spark, sf).select(
+        "url", F.expr("parse_url(url, 'HOST')").alias("host")
+    )
+    hosts = urls.select("host").distinct()
+    bodies = hosts.select(
+        "host",
+        F.concat(
+            # deny one /d/<digit> subtree per host (the generator's doc-id
+            # path space) so the deny branch demonstrably fires
+            F.lit("User-agent: *\nDisallow: /d/"),
+            (F.abs(F.xxhash64("host")) % 10).cast("string"),
+            F.lit("\nCrawl-delay: "),
+            ((F.abs(F.xxhash64("host")) % 5) + 1).cast("string"),
+            F.lit("\n"),
+        ).alias("body"),
+    )
+    rules = parse_robots_txt(bodies)
+    allowed = apply_robots(urls, compile_robots(path_rules(rules)))
+    per_host = (
+        urls.groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .join(
+            allowed.groupBy("host").agg(F.count("*").alias("n_allowed")),
+            "host",
+            "left",
+        )
+        .join(crawl_delays(rules).select("host", "delay_ms"), "host", "left")
+    )
+    return per_host.select(
+        "host",
+        "n_urls",
+        F.coalesce("n_allowed", F.lit(0)).alias("n_allowed"),
+        "delay_ms",
+    ).orderBy("host")
+
+
 # --------------------------------------------------------------------------
 # registry ordering for the driver's CORRECTNESS window
 # --------------------------------------------------------------------------

@@ -202,6 +202,19 @@ def crawl_delays(rules: DataFrame) -> DataFrame:
     )
 
 
+def merge_host_config(hosts: DataFrame | None, rules: DataFrame) -> DataFrame:
+    """Hosts-config dim = explicit (host, delay_ms, max_parallel) rows ∪
+    robots Crawl-delay rows; explicit configuration wins per host (the
+    operator's knob overrides the site's hint, matching the reference's
+    chains-table precedence over defaults, cmd/crawler_cmd.go:84)."""
+    delays = crawl_delays(rules)
+    if hosts is None:
+        return delays
+    return hosts.unionByName(
+        delays.join(hosts.select("host"), on="host", how="left_anti")
+    )
+
+
 def path_rules(rules: DataFrame) -> DataFrame:
     """Allow/deny subset of a parse_robots_txt output (drops crawl_delay
     carrier rows) — the shape `compile_robots`/`apply_robots` expect."""

@@ -15,6 +15,7 @@ from layerg_crawler_v2_spark.operators.robots import (
     apply_robots,
     compile_robots,
     crawl_delays,
+    merge_host_config,
     parse_robots_txt,
     path_rules,
 )
@@ -150,6 +151,31 @@ def test_crawl_delays_and_path_rules_split(spark):
     kinds = {r.rule_type for r in path_rules(parsed).collect()}
     assert kinds == {"allow", "deny"}
     parsed.unpersist()
+
+
+def test_merge_host_config_precedence(spark):
+    """Explicit hosts-config rows beat robots Crawl-delay hints; hosts only
+    the robots hint knows about are appended; None hosts passes through."""
+    fetched = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 3\n"),
+            ("b.com", "User-agent: *\nCrawl-delay: 7\n"),
+        ],
+        "host string, body string",
+    )
+    rules = parse_robots_txt(fetched)
+    hosts = spark.createDataFrame(
+        [("a.com", 100, 4)], "host string, delay_ms int, max_parallel int"
+    )
+    got = {
+        r.host: (r.delay_ms, r.max_parallel)
+        for r in merge_host_config(hosts, rules).collect()
+    }
+    assert got == {"a.com": (100, 4), "b.com": (7000, None)}
+    got_none = {
+        r.host: r.delay_ms for r in merge_host_config(None, rules).collect()
+    }
+    assert got_none == {"a.com": 3000, "b.com": 7000}
 
 
 def test_parsed_rules_drive_a_crawl(spark):
