@@ -1032,8 +1032,7 @@ def dedup_minhash_q(spark, sf):
     return minhash_signatures(_docs2(spark, sf), n_hashes=8, shingle_n=3)
 
 
-_LSH_DUCK = f"""
-{_DUPES_SQL},
+_LSH_CTES = f"""
 shingled AS (
   SELECT doc_id, unnest({_SHINGLE_DUCK}) AS sh FROM docs2
 ),
@@ -1053,10 +1052,36 @@ bands AS (
   SELECT doc_id, 2, md5(concat_ws('|', mh_4, mh_5)) FROM sigs
   UNION ALL
   SELECT doc_id, 3, md5(concat_ws('|', mh_6, mh_7)) FROM sigs
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-WHERE a.doc_id < b.doc_id
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)"""
+
+_LSH_DUCK = f"""
+{_DUPES_SQL},{_LSH_CTES}
+SELECT id_a, id_b FROM lsh_pairs
+"""
+
+# transitive closure of the SAME lsh_pairs CTE (recursive min-propagation):
+# the oracle for the connected-components cluster assignment. Subsumes the
+# pairs oracle — a wrong pair set cannot produce the right clusters.
+_CC_DUCK = f"""
+{_DUPES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)},{_LSH_CTES},
+und AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+FROM docs2 d LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -1120,6 +1145,25 @@ def dedup_simhash_q(spark, sf):
     from layerg_crawler_v2_spark.operators.dedup import simhash
 
     return simhash(_docs2(spark, sf))
+
+
+@_q("dedup_connected_components", _CC_DUCK)
+def dedup_cc_q(spark, sf):
+    """Pair evidence -> dedup clusters: alternating large-star/small-star
+    transitive closure over the LSH candidate pairs (Kiveris et al.,
+    SoCC'14); every doc gets a cluster_id = min reachable doc_id,
+    singletons map to themselves. Oracle: DuckDB recursive CTE over the
+    identical pairs CTE."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs2(spark, sf)
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+    return dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
 
 
 # --- training-data pipeline: similarity search ---------------------------------------
@@ -1825,6 +1869,145 @@ def robots_parse_q(spark, sf):
 
 _DRIVER_WINDOW = 50
 
+_SITEMAP_DUCK = """
+WITH rows AS (
+  SELECT 'shard' || (o_custkey % 25) || '.example.org' AS host,
+         'url' AS kind,
+         'https://shard' || (o_custkey % 25) || '.example.org/o/' || o_orderkey
+           || '?ref=sitemap&v=1' AS loc,
+         CAST(o_orderdate AS VARCHAR) AS lastmod,
+         (o_orderkey % 10) / 10.0 AS priority
+  FROM orders WHERE o_orderkey <= 2000
+),
+refs AS (
+  SELECT 'index.example.org' AS host, 'sitemap' AS kind,
+         'https://' || h || '/sitemap.xml' AS loc,
+         CAST(NULL AS VARCHAR) AS lastmod, CAST(NULL AS DOUBLE) AS priority
+  FROM (SELECT DISTINCT host AS h FROM rows)
+)
+SELECT host, kind, loc, lastmod, priority FROM rows
+UNION ALL
+SELECT host, kind, loc, lastmod, priority FROM refs
+"""
+
+
+@_q("sitemap_parse_seeds", _SITEMAP_DUCK)
+def sitemap_parse_q(spark, sf):
+    """Sitemap round trip: build per-host <urlset> bodies (XML-escaped locs
+    with a raw '&') + one <sitemapindex> body from the orders table, parse
+    them back with operators.sitemaps, emit the recovered entries. The
+    oracle computes the same rows relationally — any defect in the XML
+    build, the block regexes, or the entity unescape mismatches."""
+    from layerg_crawler_v2_spark.operators.sitemaps import (
+        parse_sitemaps,
+        xml_escape,
+    )
+
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.concat(
+                F.lit("shard"),
+                (F.col("o_custkey") % 25).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").cast("string").alias("lastmod"),
+        )
+        .withColumn(
+            "loc",
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/o/"),
+                F.col("k").cast("string"), F.lit("?ref=sitemap&v=1"),
+            ),
+        )
+        .withColumn(
+            "priority", ((F.col("k") % 10) / F.lit(10.0)).cast("string")
+        )
+    )
+    urlset_bodies = o.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(
+                F.collect_list(
+                    F.concat(
+                        F.lit("<url><loc>"), xml_escape(F.col("loc")),
+                        F.lit("</loc><lastmod>"), F.col("lastmod"),
+                        F.lit("</lastmod><priority>"), F.col("priority"),
+                        F.lit("</priority></url>"),
+                    )
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    index_body = o.select("host").distinct().agg(
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.array_join(
+                F.collect_list(
+                    F.concat(
+                        F.lit("<sitemap><loc>https://"), F.col("host"),
+                        F.lit("/sitemap.xml</loc></sitemap>"),
+                    )
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("body")
+    ).select(F.lit("index.example.org").alias("host"), "body")
+    parsed = parse_sitemaps(urlset_bodies.unionByName(index_body))
+    return parsed.select("host", "kind", "loc", "lastmod", "priority")
+
+
+@_q("charset_sniff_decode", None)  # codec decode: not SQL-expressible
+def charset_decode_q(spark, sf):
+    """WHATWG-subset charset sniff + decode over mixed-charset page bytes:
+    deterministic per-doc charset (cp1252 / utf-8 / utf-8 BOM by doc_id mod
+    3), non-ASCII content, bytes built in one Arrow pass, decoded by
+    functions.extract.decode_html_udf; ok = round-trip equality. Unit edge
+    cases (utf-16 BOMs, http-equiv, alias quirks) in tests/test_extract.py."""
+    import pandas as pd
+
+    from layerg_crawler_v2_spark.functions.extract import (
+        decode_html_udf,
+        sniff_charset_udf,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            texts = ['<p>café — naïve doc %d</p>' % i for i in ids]
+            blobs, want = [], []
+            for i, t in zip(ids, texts):
+                if i % 3 == 0:
+                    body = '<meta charset="windows-1252">' + t
+                    blobs.append(body.encode("windows-1252"))
+                    want.append(body)
+                elif i % 3 == 1:
+                    blobs.append(t.encode("utf-8"))
+                    want.append(t)
+                else:
+                    blobs.append(b"\xef\xbb\xbf" + t.encode("utf-8"))
+                    want.append(t)
+            yield pd.DataFrame(
+                {"doc_id": ids, "html": blobs, "expected": want}
+            )
+
+    built = docs.mapInPandas(
+        build, "doc_id long, html binary, expected string"
+    )
+    return built.select(
+        "doc_id",
+        sniff_charset_udf(F.col("html")).alias("charset"),
+        (decode_html_udf(F.col("html")) == F.col("expected")).alias("ok"),
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters
     "p1_projection_pruning", "p6_null_semantics", "p4_comparison_filter",
@@ -1848,11 +2031,13 @@ _PRIORITY = [
     "f10_json_extract", "f13_array_explode",
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
-    # text analysis
+    # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
+    # embeds the identical md5-of-normalized-text expression)
     "text_token_count", "text_subword_tokens", "text_quality_score",
-    "text_fingerprint", "text_lang_id",
-    # dedup
-    "dedup_exact_groups", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "sitemap_parse_seeds", "text_lang_id",
+    # dedup (connected_components' oracle embeds the identical lsh_pairs
+    # CTE, so the demoted pairs entry is transitively driver-covered)
+    "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
     # enrichment / dispatch / entities / backfill
@@ -1861,6 +2046,7 @@ _PRIORITY = [
     # --- position 51+: oracled duplicates (pytest-verified), then rows-only
     "j1_fk_expansion_join", "j2_derived_collect_list", "a4_balance_replay",
     "p3_sig_dispatch", "dedup_minhash_signatures", "p8_eq_where_order_limit",
+    "dedup_minhash_lsh_pairs", "text_fingerprint",
 ]
 
 _REGISTRY = {

@@ -389,6 +389,27 @@ def _crawl_subprocess(cwd: str, cpus: int, docs: int, rounds: int,
     return json.loads(lines[-1])
 
 
+def _prune_stale_ab_worktrees() -> None:
+    """Remove bench_ab_* worktrees left behind by a killed prior --ab run
+    (SIGKILL skips the finally-cleanup); a fresh --ab must not inherit —
+    or be failed by — a dead run's residue."""
+    out = subprocess.run(
+        ["git", "-C", REPO, "worktree", "list", "--porcelain"],
+        capture_output=True, text=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("worktree ") and "/bench_ab_" in line:
+            path = line.split(" ", 1)[1]
+            subprocess.run(
+                ["git", "-C", REPO, "worktree", "remove", "--force", path],
+                capture_output=True,
+            )
+            shutil.rmtree(path, ignore_errors=True)
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "prune"], capture_output=True
+    )
+
+
 def run_ab(args) -> None:
     """Interleaved A/B: HEAD tree vs --ab <git-ref> on identical input.
 
@@ -404,6 +425,7 @@ def run_ab(args) -> None:
     )
     assert rev.returncode == 0, rev.stderr
     short = rev.stdout.strip()
+    _prune_stale_ab_worktrees()
     wt = tempfile.mkdtemp(prefix=f"bench_ab_{short}_")
     os.rmdir(wt)  # `git worktree add` wants a fresh path
     subprocess.run(

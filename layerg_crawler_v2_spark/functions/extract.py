@@ -176,6 +176,78 @@ def extract_outlinks(html: bytes | None) -> list[str]:
     return p.hrefs
 
 
+# --- charset sniffing (WHATWG encoding-sniffing subset) ---------------------
+#
+# The pinned extraction invariant stays UTF-8 (input_hint: byte-identical
+# text per url on the UTF-8 generator corpus), but real Common-Crawl bytes
+# are ~10% non-UTF-8 — a scale ingest needs the declared charset honored
+# BEFORE extraction. `decode_html` implements the deterministic subset of
+# WHATWG's sniff: BOM first (authoritative), else a <meta charset> /
+# http-equiv declaration in the first 1024 bytes (ASCII-transparent scan),
+# else UTF-8. Per the HTML standard, latin-1 family labels decode as
+# windows-1252, and a meta-declared utf-16 is treated as utf-8 (a real
+# utf-16 doc would have carried a BOM / been transcoded).
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I
+)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "utf-16": "utf-8",
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
+}
+
+
+def sniff_charset(html: bytes | None) -> str:
+    """Codec name the WHATWG-subset sniff picks for these document bytes."""
+    if not html:
+        return "utf-8"
+    if html.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if html.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if html.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    m = _META_CHARSET_RE.search(html[:1024])
+    if m:
+        import codecs
+
+        label = m.group(1).decode("ascii", errors="replace").lower()
+        label = _CHARSET_ALIASES.get(label, label)
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            pass
+    return "utf-8"
+
+
+def decode_html(html: bytes | None) -> str | None:
+    """bytes → str under the sniffed charset (errors='replace' — total,
+    like every decoder in this module)."""
+    if html is None:
+        return None
+    codec = sniff_charset(html)
+    if codec in ("utf-16-le", "utf-16-be"):
+        html = html[2:]  # consume the BOM ('utf-8-sig' strips its own)
+    return html.decode(codec, errors="replace")
+
+
+@pandas_udf(StringType())
+def sniff_charset_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(sniff_charset, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def decode_html_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(decode_html, na_action="ignore")
+
+
 @pandas_udf(StringType())
 def extract_text_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_text, na_action="ignore")

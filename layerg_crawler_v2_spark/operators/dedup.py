@@ -211,3 +211,109 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 def hamming64(a, b):
     """Column expr: hamming distance between two int64 simhashes."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component = the
+    minimum node id reachable from it.
+
+    Turns pairwise duplicate evidence (LSH / jaccard / near-dup pairs) into
+    dedup CLUSTERS — the step between "these two look alike" and "keep one
+    representative per group". The reference's analog is the add-if-absent
+    unique-sets that collapse repeated keys before upsert
+    (cmd/helpers/unique-set-onchain.go:11-46); at corpus scale the same
+    collapse needs transitive closure, not a hash set.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log² n) rounds on ANY graph shape, unlike plain min-label propagation
+    whose round count is the component diameter (a 10⁶-long url-chain would
+    take 10⁶ shuffles).
+
+    100-TB notes: every round is groupBy(node).min + a join back on node —
+    neighbor lists are NEVER materialized into one row (no collect_set), so
+    a celebrity node with 10⁸ neighbors costs an aggregation, not a 10⁸-item
+    array on one executor. Convergence is detected with a single
+    count+hash-sum aggregate per round (no driver-side edge diff).
+    """
+    u, v = F.col("u"), F.col("v")
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(u != v)
+        .distinct()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        und = e.union(e.select(v.alias("u"), u.alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(u, F.col("mv")).alias("m")
+        )
+        return (
+            und.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        d = e.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        j = d.join(d.groupBy("u").agg(F.min("v").alias("m")), "u")
+        return (
+            j.filter(v != F.col("m")).select(v.alias("u"), F.col("m").alias("v"))
+            .union(j.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-insensitive, overflow-free under ANSI mode; edges
+        # are distinct so xor-cancellation can't mask a change that count
+        # doesn't already catch.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64(u, v)), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = edges
+    prev_sig = None
+    for it in range(max_iters):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _sig(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+
+    # at fixpoint the graph is a star forest: every non-root points at its
+    # component min; roots never appear on the left side.
+    nodes = edges.select("u").union(edges.select(v.alias("u"))).distinct()
+    return (
+        nodes.join(cur, "u", "left")
+        .select(u.alias("node"), F.coalesce(v, u).alias("component"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """df + (cluster_id, is_representative): transitive closure of the pair
+    evidence, singletons are their own cluster, min-id is the keeper."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("node").alias(id_col), "component"
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("is_representative", F.col("cluster_id") == F.col(id_col))
+        .drop("component")
+    )

@@ -47,7 +47,10 @@ def compile_robots(robots: DataFrame) -> DataFrame:
     startswith-match is the longest-prefix winner with allow beating deny on
     ties. Rule tables are tiny (a few rules per politeness-relevant host), so
     the groupBy here shuffles kilobytes; callers that run many rounds should
-    compile once and cache (run_crawl does)."""
+    compile once and cache (run_crawl does). Non-path carrier rows
+    (crawl_delay / sitemap) are dropped here, so raw parse_robots_txt
+    output is safe to compile directly."""
+    robots = robots.filter(F.col("rule_type").isin("allow", "deny"))
     return robots.groupBy("host").agg(
         F.expr(
             """
@@ -112,7 +115,10 @@ def parse_robots_txt(
     (host, rule_type, path_prefix) rows — Allow/Disallow directives from
     every User-agent section matching `user_agent` or `*` — plus
     (host, 'crawl_delay', <millis-as-string>) rows for Crawl-delay
-    directives (see `crawl_delays` to lift those into the hosts-config dim).
+    directives (see `crawl_delays` to lift those into the hosts-config dim)
+    and (host, 'sitemap', <url>) rows for Sitemap directives, which per RFC
+    9309 §2.3/sitemaps.org live OUTSIDE user-agent groups and apply to every
+    agent (see `sitemap_urls` → operators.sitemaps for the seed pipeline).
 
     Robots files are one small text per host, so this is a grouped Arrow
     pass (`mapInPandas`), not a per-row Python UDF in a hot path; the rest
@@ -132,6 +138,7 @@ def parse_robots_txt(
         agents: list[str] = []
         rules: list[tuple[str, str]] = []
         delay: float | None = None
+        sitemaps: list[str] = []
         in_agents = False
         for raw in (text or "").splitlines():
             line = raw.split("#", 1)[0].strip()
@@ -140,6 +147,13 @@ def parse_robots_txt(
             key, _, val = line.partition(":")
             key = key.strip().lower()
             val = val.strip()
+            if key == "sitemap":
+                # group-independent (applies to every agent), valid even
+                # before the first User-agent line — must not reset or join
+                # the current section
+                if val:
+                    sitemaps.append(val)
+                continue
             if key == "user-agent":
                 if not in_agents:
                     if agents:
@@ -172,13 +186,14 @@ def parse_robots_txt(
                 elif a in ua or ua in a:
                     if len(a) > best_len:
                         best_len, best = len(a), (sec_rules, sec_delay)
+        sitemap_rows = [(host, "sitemap", u) for u in sitemaps]
         if best is None:
-            return []
+            return sitemap_rows
         sec_rules, sec_delay = best
         rows = [(host, rt, p) for rt, p in sec_rules]
         if sec_delay is not None:
             rows.append((host, "crawl_delay", str(int(sec_delay * 1000))))
-        return rows
+        return rows + sitemap_rows
 
     def _gen(batches):
         for pdf in batches:
@@ -216,6 +231,16 @@ def merge_host_config(hosts: DataFrame | None, rules: DataFrame) -> DataFrame:
 
 
 def path_rules(rules: DataFrame) -> DataFrame:
-    """Allow/deny subset of a parse_robots_txt output (drops crawl_delay
-    carrier rows) — the shape `compile_robots`/`apply_robots` expect."""
+    """Allow/deny subset of a parse_robots_txt output (drops crawl_delay /
+    sitemap carrier rows) — the shape `compile_robots`/`apply_robots`
+    expect."""
     return rules.filter(F.col("rule_type").isin("allow", "deny"))
+
+
+def sitemap_urls(rules: DataFrame) -> DataFrame:
+    """(host, url) sitemap advertisements from parse_robots_txt's output —
+    feed through sources of sitemap bodies into
+    operators.sitemaps.parse_sitemaps → seeds_from_sitemaps → add_seeds."""
+    return rules.filter(F.col("rule_type") == "sitemap").select(
+        "host", F.col("path_prefix").alias("url")
+    ).distinct()

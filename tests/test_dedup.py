@@ -83,3 +83,47 @@ def test_hamming64_column_matches_python(spark, hashes):
     got = df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
     for (a, b), r in zip(pairs, got):
         assert r["d"] == bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+# --- connected components (pair evidence -> dedup clusters) -----------------
+
+def _cc_map(spark, edges):
+    from layerg_crawler_v2_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components_and_direction_insensitivity(spark):
+    # {1,2,3} via 1-2, 3-2 (reversed edge), {7,8}; node 9 absent from pairs
+    got = _cc_map(spark, [(1, 2), (3, 2), (7, 8), (8, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_cc_long_chain_converges(spark):
+    # path 0-1-2-...-19: diameter 19 >> O(log^2 n) star rounds
+    got = _cc_map(spark, [(i, i + 1) for i in range(19)])
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_cc_empty_pairs(spark):
+    from layerg_crawler_v2_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_singletons_and_representatives(spark):
+    from layerg_crawler_v2_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 4), (4, 5)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {i: rows[i]["cluster_id"] for i in range(6)} == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 0
+    }
+    assert [i for i in range(6) if rows[i]["is_representative"]] == [0, 1, 2, 3]

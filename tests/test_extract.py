@@ -235,3 +235,73 @@ def test_outlinks_fast_path_fuzz_matches_parser():
             rng.choice(alph) for _ in range(rng.randint(1, 25))
         ).encode()
         assert extract_outlinks(s) == _parser_only_outlinks(s), s
+
+
+# --- charset sniffing --------------------------------------------------------
+
+def test_sniff_bom_wins_over_meta():
+    from layerg_crawler_v2_spark.functions.extract import sniff_charset
+
+    body = b'<meta charset="windows-1252">x'
+    assert sniff_charset(b"\xef\xbb\xbf" + body) == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfe" + body) == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff" + body) == "utf-16-be"
+
+
+def test_sniff_meta_charset_variants():
+    from layerg_crawler_v2_spark.functions.extract import sniff_charset
+
+    assert sniff_charset(b'<meta charset="Windows-1252">') == "windows-1252"
+    assert sniff_charset(b"<meta charset='koi8-r'>") == "koi8-r"
+    assert sniff_charset(b"<META CHARSET=KOI8-R>") == "koi8-r"  # unquoted+CI
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=iso-8859-1">'
+        )
+        == "windows-1252"  # HTML-standard latin-1 -> cp1252
+    )
+    assert sniff_charset(b'<meta charset="utf-16le">') == "utf-8"  # WHATWG quirk
+    assert sniff_charset(b'<meta charset="no-such-enc">') == "utf-8"
+    assert sniff_charset(b"no declaration at all") == "utf-8"
+    assert sniff_charset(b"") == "utf-8"
+    # declaration outside the first 1024 bytes is ignored
+    assert sniff_charset(b" " * 1024 + b'<meta charset="koi8-r">') == "utf-8"
+
+
+def test_decode_html_cp1252_and_utf16():
+    from layerg_crawler_v2_spark.functions.extract import decode_html
+
+    cp = '<meta charset="windows-1252"><p>café — naïve</p>'.encode(
+        "windows-1252"
+    )
+    assert decode_html(cp) == '<meta charset="windows-1252"><p>café — naïve</p>'
+    u16 = b"\xff\xfe" + "<p>héllo</p>".encode("utf-16-le")
+    assert decode_html(u16) == "<p>héllo</p>"
+    assert decode_html(None) is None
+
+
+def test_decode_html_udf_batch(spark):
+    from layerg_crawler_v2_spark.functions.extract import (
+        decode_html_udf,
+        sniff_charset_udf,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '<meta charset="windows-1252">café'.encode("windows-1252")),
+        (2, "plain utf-8 é".encode("utf-8")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {
+        r["id"]: (r["cs"], r["txt"])
+        for r in df.select(
+            "id",
+            sniff_charset_udf(F.col("html")).alias("cs"),
+            decode_html_udf(F.col("html")).alias("txt"),
+        ).collect()
+    }
+    assert got[1] == ("windows-1252", '<meta charset="windows-1252">café')
+    assert got[2] == ("utf-8", "plain utf-8 é")
+    assert got[3] == (None, None)

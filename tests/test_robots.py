@@ -195,3 +195,76 @@ def test_parsed_rules_drive_a_crawl(spark):
     )
     got = [r.url for r in apply_robots(cand, rules).collect()]
     assert got == ["http://site.com/open/b"]
+
+
+def test_sitemap_directive_group_independent(spark):
+    from layerg_crawler_v2_spark.operators.robots import sitemap_urls
+
+    body = (
+        "Sitemap: https://a.org/before-any-group.xml\n"  # before User-agent
+        "User-agent: other-bot\n"
+        "Disallow: /only-for-other\n"
+        "Sitemap: https://a.org/inside-foreign-group.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://a.org/s2.xml\n"
+        "Sitemap:\n"  # empty value: ignored
+    )
+    fetched = spark.createDataFrame([("a.org", body)], "host string, body string")
+    parsed = parse_robots_txt(fetched).cache()
+    # sitemap rows are agent-independent: ALL are kept, even the one inside
+    # the other-bot group and the one before any group
+    assert sorted(r["url"] for r in sitemap_urls(parsed).collect()) == [
+        "https://a.org/before-any-group.xml",
+        "https://a.org/inside-foreign-group.xml",
+        "https://a.org/s2.xml",
+    ]
+    # and they don't leak into the path-rule / compile stages
+    assert sorted(
+        (r["rule_type"], r["path_prefix"]) for r in path_rules(parsed).collect()
+    ) == [("deny", "/x")]
+    compiled = compile_robots(parsed)  # raw table with carrier rows: safe
+    rules = compiled.collect()[0]["rules"]
+    assert [(r["rule_type"], r["path_prefix"]) for r in rules] == [("deny", "/x")]
+
+
+def test_sitemap_only_body_with_no_matching_agent(spark):
+    from layerg_crawler_v2_spark.operators.robots import sitemap_urls
+
+    body = "User-agent: somebody-else\nDisallow: /\nSitemap: https://b.org/s.xml\n"
+    fetched = spark.createDataFrame([("b.org", body)], "host string, body string")
+    parsed = parse_robots_txt(fetched, user_agent="layerg-crawler")
+    assert [r["url"] for r in sitemap_urls(parsed).collect()] == [
+        "https://b.org/s.xml"
+    ]
+    assert path_rules(parsed).count() == 0
+
+
+def test_robots_to_sitemap_to_seeds_pipeline(spark):
+    """robots.txt advertises a sitemap -> fetch its body -> parse -> seeds:
+    the full discovery chain, ending in add_seeds-ready canonical urls."""
+    from layerg_crawler_v2_spark.operators.robots import sitemap_urls
+    from layerg_crawler_v2_spark.operators.sitemaps import (
+        parse_sitemaps,
+        seeds_from_sitemaps,
+    )
+
+    robots_body = "User-agent: *\nDisallow: /private/\nSitemap: https://c.org/sm.xml\n"
+    parsed = parse_robots_txt(
+        spark.createDataFrame([("c.org", robots_body)], "host string, body string")
+    )
+    ads = sitemap_urls(parsed)
+    assert ads.collect()[0]["url"] == "https://c.org/sm.xml"
+
+    # simulate fetching the advertised sitemap body
+    sm_body = (
+        "<urlset><url><loc>HTTPS://C.ORG/p/1</loc><priority>0.9</priority></url>"
+        "<url><loc>https://c.org/p/2</loc></url></urlset>"
+    )
+    fetched = ads.withColumn("body", F.lit(sm_body))
+    seeds = seeds_from_sitemaps(parse_sitemaps(fetched))
+    got = sorted((r["url"], r["host"]) for r in seeds.collect())
+    assert got == [
+        ("https://c.org/p/1", "c.org"),
+        ("https://c.org/p/2", "c.org"),
+    ]
