@@ -95,3 +95,35 @@ def test_seeds_canonicalized_and_deduped(spark):
         "https://h.example.org/p/2",  # fragment stripped
     ]
     assert all(r["host"] == "h.example.org" for r in seeds.collect())
+
+
+def test_sitemap_seeds_drive_a_crawl(spark, tmp_path, sf_dir):
+    """End-to-end discovery chain: a sitemap advertising real page URLs is
+    parsed into seeds and fed to run_crawl as a DataFrame (raw_url column) —
+    every advertised page ends up in the fetch log."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+    from layerg_crawler_v2_spark import schema as S
+
+    pages = build_pages(spark, sf_dir).cache()
+    urls = [r["url"] for r in pages.select("url").limit(3).collect()]
+    body = (
+        "<urlset>"
+        + "".join(f"<url><loc>{u}</loc><priority>0.7</priority></url>" for u in urls)
+        + "</urlset>"
+    )
+    parsed = parse_sitemaps(
+        spark.createDataFrame([("h", body)], "host string, body string")
+    )
+    seeds = seeds_from_sitemaps(parsed).select(F.col("url").alias("raw_url"))
+
+    store = SnapshotStore(str(tmp_path / "smcrawl"))
+    run_crawl(spark, pages, seeds, store, CrawlConfig(rounds=1))
+    fetched = {
+        r["url"] for r in store.read(spark, "fetch_log", S.FETCH_LOG).collect()
+    }
+    from layerg_crawler_v2_spark.functions.canon import canonicalize
+
+    for u in urls:
+        assert canonicalize(u) in fetched, u
