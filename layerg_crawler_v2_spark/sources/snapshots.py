@@ -226,7 +226,10 @@ class SnapshotStore:
             if as_of_round is not None and snap["round"] > as_of_round:
                 break  # snapshots are round-ordered; later ones don't exist yet
             if table in snap["replace"]:
-                paths = [snap["replace"][table]]
+                p = snap["replace"][table]
+                # a base snapshot (expire_snapshots) folds state into a path
+                # LIST; ordinary replaces stay single strings
+                paths = list(p) if isinstance(p, list) else [p]
             if table in snap["append"]:
                 paths.append(snap["append"][table])
         return paths
@@ -242,7 +245,16 @@ class SnapshotStore:
         fetch_log tombstones only since its own last compaction."""
         paths: list[str] = []
         for snap in self.snapshots():
-            if anchor in snap["replace"]:
+            if snap.get("base"):
+                # an expire_snapshots base is NOT an `anchor` compaction: the
+                # folded `anchor` state was built from adds-minus-consumed
+                # views, so pre-base consumption records must survive. The
+                # base's folded `table` paths stand in for every pre-base
+                # append (possibly a superset of the true tail — safe for
+                # consumption anti-joins, where absent keys no-op).
+                p = snap["replace"].get(table, [])
+                paths = list(p) if isinstance(p, list) else [p]
+            elif anchor in snap["replace"]:
                 # a compaction of `anchor` folds everything through its own
                 # snapshot in — same-snapshot appends of `table` are skipped
                 paths = []
@@ -263,10 +275,92 @@ class SnapshotStore:
         so the URL-seen set / frontier / fetch_log of ANY past round is
         byte-reproducible from the same store, which is what makes the
         per-round lineage auditable after later rounds have committed."""
+        snaps = self.snapshots()
+        if (
+            as_of_round is not None
+            and snaps
+            and snaps[0].get("base")
+            and as_of_round < snaps[0]["round"]
+        ):
+            raise ValueError(
+                f"time travel to round {as_of_round} is below the expire "
+                f"horizon (oldest retained state: round {snaps[0]['round']})"
+            )
         paths = self._paths_for(table, as_of_round)
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
+
+    def expire_snapshots(
+        self, keep_last: int = 3, delete_orphans: bool = True
+    ) -> dict:
+        """Iceberg `expire_snapshots` + `remove_orphan_files` analog: fold
+        every snapshot older than the newest `keep_last` into ONE synthetic
+        base snapshot whose replace entries list the surviving paths — pure
+        metadata, no data rewrite — then delete delta directories the new
+        manifest no longer references (crashed-commit and rollback orphans
+        included). Time travel below the base round raises; current-state
+        reads are byte-identical before and after. Bounds manifest growth
+        and storage for long-running crawls the way Iceberg's snapshot
+        expiration does."""
+        snaps = self.snapshots()
+        expired = 0
+        if len(snaps) > keep_last:
+            cut = len(snaps) - keep_last
+            folded, kept = snaps[:cut], snaps[cut:]
+            cutoff_round = folded[-1]["round"]
+            tables: set[str] = set()
+            for s in folded:
+                tables |= set(s["append"]) | set(s["replace"])
+            # carry forward the most recent value of every counter so
+            # last_counter() is unchanged by expiration
+            counters: dict[str, int] = {}
+            for s in folded:
+                counters.update(s.get("counters", {}))
+            base = {
+                "snapshot_id": f"base-{cutoff_round}-{uuid.uuid4().hex[:12]}",
+                "round": cutoff_round,
+                "base": True,
+                "append": {},
+                "replace": {
+                    t: self._paths_for(t, as_of_round=cutoff_round)
+                    for t in sorted(tables)
+                },
+                "counters": counters,
+            }
+            manifest = self._load()
+            manifest["snapshots"] = [base] + kept
+            tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path)
+            expired = cut
+        orphans = self._delete_orphans() if delete_orphans else 0
+        return {"expired": expired, "orphans_deleted": orphans}
+
+    def _delete_orphans(self) -> int:
+        """Remove tables/<name>/<delta-dir> directories no manifest entry
+        references (directly or via a bucket subpath)."""
+        referenced: list[str] = []
+        for snap in self.snapshots():
+            for kind in ("append", "replace"):
+                for p in snap[kind].values():
+                    referenced.extend(p if isinstance(p, list) else [p])
+        refs = [os.path.normpath(p) for p in referenced]
+        deleted = 0
+        tables_root = os.path.join(self.base, "tables")
+        for name in os.listdir(tables_root):
+            tdir = os.path.join(tables_root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for delta in os.listdir(tdir):
+                ddir = os.path.normpath(os.path.join(tdir, delta))
+                if not any(
+                    r == ddir or r.startswith(ddir + os.sep) for r in refs
+                ):
+                    shutil.rmtree(ddir, ignore_errors=True)
+                    deleted += 1
+        return deleted
 
     def rollback_to(self, round_no: int) -> None:
         """Drop every snapshot AFTER `round_no` (Iceberg rollback): the next

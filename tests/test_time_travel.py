@@ -106,3 +106,96 @@ def test_time_travel_registry_entry(spark, sf_dir):
     for r in rows:
         assert r.seen_as_of == r.ckpt_seen
         assert r.fetched_as_of == r.ckpt_fetched
+
+
+# --- snapshot expiration (Iceberg expire_snapshots + remove_orphan_files) ----
+
+def _state(spark, store):
+    out = {}
+    for name, sch in (
+        ("url_seen", S.URL_SEEN),
+        ("fetch_log", S.FETCH_LOG),
+        ("frontier", S.FRONTIER),
+        ("checkpoints", S.CHECKPOINTS),
+    ):
+        out[name] = sorted(
+            map(tuple, store.read(spark, name, sch).collect())
+        )
+    return out
+
+
+def test_expire_preserves_current_state_and_bounds_manifest(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    pages = build_pages(spark, sf_dir).cache()
+    n = pages.count()
+    store = SnapshotStore(str(tmp_path / "exp"))
+    run_crawl(spark, pages, seed_urls(n, n_seeds=5), store, CrawlConfig(rounds=4))
+    n_snaps = len(store.snapshots())
+    assert n_snaps >= 4
+    before = _state(spark, store)
+    seen_counter = store.last_counter("seen_total", -1)
+
+    # plant a crashed-commit orphan dir that no manifest entry references
+    orphan = os.path.join(store.base, "tables", "fetch_log", "snap-dead-append")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+
+    res = store.expire_snapshots(keep_last=2)
+    assert res["expired"] == n_snaps - 2
+    assert res["orphans_deleted"] >= 1
+    assert not os.path.exists(orphan)
+    snaps = store.snapshots()
+    assert len(snaps) == 3 and snaps[0]["base"] is True
+
+    assert _state(spark, store) == before  # byte-identical current reads
+    assert store.last_counter("seen_total", -1) == seen_counter
+
+    # idempotent: nothing further to fold
+    res2 = store.expire_snapshots(keep_last=3)
+    assert res2["expired"] == 0
+    assert _state(spark, store) == before
+
+
+def test_expire_horizon_raises_below_base(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    pages = build_pages(spark, sf_dir).cache()
+    n = pages.count()
+    store = SnapshotStore(str(tmp_path / "exph"))
+    run_crawl(spark, pages, seed_urls(n, n_seeds=5), store, CrawlConfig(rounds=3))
+    rounds = [s["round"] for s in store.snapshots()]
+    store.expire_snapshots(keep_last=1)
+    base_round = store.snapshots()[0]["round"]
+    # at or after the horizon: fine
+    store.read(spark, "url_seen", S.URL_SEEN, as_of_round=base_round)
+    with _pytest.raises(ValueError, match="expire horizon"):
+        store.read(spark, "url_seen", S.URL_SEEN, as_of_round=rounds[0] - 1)
+
+
+def test_expired_store_resumes_a_crawl(spark, sf_dir, tmp_path):
+    """Expiration must not disturb resume: crawl 2 rounds, expire to the
+    latest snapshot only, resume 2 more — fetch log equals an unexpired
+    4-round crawl's."""
+    pages = build_pages(spark, sf_dir).cache()
+    n = pages.count()
+    seeds = seed_urls(n, n_seeds=5)
+
+    a = SnapshotStore(str(tmp_path / "a"))
+    run_crawl(spark, pages, seeds, a, CrawlConfig(rounds=2))
+    a.expire_snapshots(keep_last=1)
+    run_crawl(spark, pages, seeds, a, CrawlConfig(rounds=4), resume=True)
+
+    b = SnapshotStore(str(tmp_path / "b"))
+    run_crawl(spark, pages, seeds, b, CrawlConfig(rounds=4))
+
+    fa = sorted(
+        map(tuple, a.read(spark, "fetch_log", S.FETCH_LOG).collect())
+    )
+    fb = sorted(
+        map(tuple, b.read(spark, "fetch_log", S.FETCH_LOG).collect())
+    )
+    assert fa == fb
