@@ -2008,6 +2008,53 @@ def charset_decode_q(spark, sf):
     )
 
 
+@_q("text_lang_id_profile", None)  # trigram/script model: not SQL-expressible
+def lang_profile_q(spark, sf):
+    """Language ID, real-model form (upgrades the oracled marker heuristic
+    `text_lang_id`): Unicode-script detection + function-word profiles +
+    Cavnar-Trenkle trigram fallback (functions/langid.py). Self-validating:
+    classifies the embedded multilingual DEMO_SENTENCES (replicated across a
+    documents-sized frame so the UDF runs distributed) and emits
+    ok = (lang == expected); the synthetic corpus cannot validate LID —
+    its `lang` labels sit over identical generated text. Unit accuracy /
+    edge-case / determinism tests in tests/test_langid.py."""
+    import pandas as pd
+
+    from layerg_crawler_v2_spark.functions.langid import (
+        DEMO_SENTENCES,
+        identify_language_udf,
+    )
+
+    langs = sorted(DEMO_SENTENCES)
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            expected = [langs[i % len(langs)] for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "expected": expected,
+                    "text": [DEMO_SENTENCES[e] for e in expected],
+                }
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, expected string, text string")
+    res = built.select(
+        "doc_id",
+        "expected",
+        identify_language_udf(F.col("text")).alias("lid"),
+    )
+    return res.select(
+        "doc_id",
+        "expected",
+        F.col("lid.lang").alias("lang"),
+        F.round(F.col("lid.confidence"), 6).alias("confidence"),
+        (F.col("lid.lang") == F.col("expected")).alias("ok"),
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters
     "p1_projection_pruning", "p6_null_semantics", "p4_comparison_filter",

@@ -1,0 +1,267 @@
+"""Heuristic language identification for a training-data pipeline.
+
+Replaces the r3 "toy marker model" (text.lang_guess, 4 marker tokens) with a
+real — still fully deterministic, zero-external-data — LID in the
+Cavnar-Trenkle family (*N-Gram-Based Text Categorization*, 1994):
+
+  1. **Script detection** over Unicode blocks (vectorized numpy over the
+     codepoint array): a dominant non-Latin script decides directly
+     (Han → zh, with Hiragana/Katakana presence → ja and Hangul → ko taking
+     precedence over shared Han; Cyrillic → ru, Arabic → ar, Greek → el,
+     Hebrew → he, Thai → th, Devanagari → hi).
+  2. **Function-word profiles** for Latin-script languages (en, de, fr, es,
+     pt, it, nl): compact embedded lists of each language's most frequent
+     function words (public frequency knowledge, not a trained model).
+     Words shared across languages are down-weighted by 1/#languages
+     containing them, so distinctive hits dominate.
+  3. **Character-trigram fallback** when function words are absent or tied
+     (short or telegraphic text): rank-order ("out-of-place") distance
+     between the text's top trigrams and embedded per-language trigram
+     profiles — the Cavnar-Trenkle measure proper.
+
+Honesty note (mirrors SURVEY §2's declaration): the profiles are
+hand-embedded from public frequency lists, not trained; accuracy is
+property-tested on natural-language samples in tests/test_langid.py, NOT on
+the synthetic corpus — /root/testdata documents carry a `lang` label but
+identical English-ish generated text for every label, so corpus ground-truth
+accuracy is unmeasurable by construction.
+
+Spark-side: one Arrow-batched pandas UDF (off the crawl hot path; per-doc
+work is bounded by text length, no state, no shuffle — embarrassingly
+parallel at any scale). Reference analog: the crawler tags documents at
+ingest the way generated eventhandlers tag decoded events with their type
+(generated/eventhandlers/event_handlers.go:48-82) — a pure per-row decode.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# --- script detection --------------------------------------------------------
+# Half-open codepoint ranges per script. Latin covers ASCII letters +
+# Latin-1/Extended (accented letters used by the profiled languages).
+_SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x41, 0x5B), (0x61, 0x7B), (0xC0, 0x250)],
+    "cyrillic": [(0x400, 0x500)],
+    "greek": [(0x370, 0x400)],
+    "hebrew": [(0x590, 0x600)],
+    "arabic": [(0x600, 0x700), (0x750, 0x780)],
+    "devanagari": [(0x900, 0x980)],
+    "thai": [(0xE00, 0xE80)],
+    "hiragana": [(0x3040, 0x30A0)],
+    "katakana": [(0x30A0, 0x3100)],
+    "hangul": [(0xAC00, 0xD7B0), (0x1100, 0x1200)],
+    "han": [(0x4E00, 0xA000), (0x3400, 0x4DC0)],
+}
+_SCRIPT_LANG = {
+    "cyrillic": "ru",
+    "greek": "el",
+    "hebrew": "he",
+    "arabic": "ar",
+    "devanagari": "hi",
+    "thai": "th",
+    "han": "zh",
+}
+
+
+def _script_counts(text: str) -> tuple[dict[str, int], int]:
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    letters = 0
+    out: dict[str, int] = {}
+    for script, ranges in _SCRIPT_RANGES.items():
+        n = 0
+        for lo, hi in ranges:
+            n += int(((cps >= lo) & (cps < hi)).sum())
+        if n:
+            out[script] = n
+            letters += n
+    return out, letters
+
+
+# --- Latin-script function-word profiles -------------------------------------
+# Most-frequent function words per language (public frequency lists). A word
+# appearing in k languages contributes weight 1/k to each — shared Romance
+# "de"/"que" stop deciding es-vs-fr-vs-pt on their own.
+_FUNCTION_WORDS: dict[str, list[str]] = {
+    "en": """the and of to in is it that for with was on are as this not
+             have be at by from but they which you we his were had""".split(),
+    "de": """der die das und ist nicht ein eine mit von den dem des auf für
+             sich auch werden wird als bei einem einer über nach haben
+             aus wenn nur zu im""".split(),
+    "fr": """le la les de des du et est une un que qui dans pour pas avec
+             sur sont mais nous vous par plus son ses aux cette être au
+             fait""".split(),
+    "es": """el la los las de del y es en un una que no por con para se su
+             al como más pero sus le ya este esta son entre cuando""".split(),
+    "pt": """o a os as de do da dos das e é em um uma que não por com para
+             se seu sua ao como mais mas foi são entre quando""".split(),
+    "it": """il lo la gli le di del della e è in un una che non per con si
+             al come più ma suo sono tra questo questa anche nel alla""".split(),
+    "nl": """de het een en van is dat op te zijn met voor niet aan er ook
+             als maar bij uit naar dan heeft worden deze over wordt tot
+             door""".split(),
+}
+_WORD_WEIGHTS: dict[str, list[tuple[str, float]]] = {}
+for _lang, _words in _FUNCTION_WORDS.items():
+    for _w in _words:
+        _WORD_WEIGHTS.setdefault(_w, []).append((_lang, 0.0))
+for _w, _langs in _WORD_WEIGHTS.items():
+    _WORD_WEIGHTS[_w] = [(lang, 1.0 / len(_langs)) for lang, _ in _langs]
+
+# --- character-trigram profiles (rank-ordered, most frequent first) ----------
+_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": ["the", " th", "he ", "ing", "and", "nd ", "ng ", " an", " to",
+           "ed ", " of", "of ", "ion", "er ", "es ", "on ", " in", "tio",
+           "ent", "ati"],
+    "de": ["en ", "er ", "ch ", "der", " de", "ein", "sch", "ich", "nde",
+           "die", " di", "ie ", "ung", "ten", " un", "cht", "und", " ge",
+           "ber", "gen"],
+    "fr": ["es ", " de", "de ", "ent", "le ", "nt ", " la", "la ", "ion",
+           "on ", "ue ", " le", "que", " qu", "tio", "ant", "les", " pa",
+           "et ", "ait"],
+    "es": [" de", "de ", "la ", " la", "os ", "el ", " el", "es ", "ent",
+           "ue ", "que", " qu", "ión", "ado", "en ", "as ", "con", " co",
+           "nte", "ara"],
+    "pt": [" de", "de ", "os ", "ão ", "ent", "es ", "que", " qu", "do ",
+           "da ", "em ", "ada", "com", " co", "ção", "par", "ara", "nto",
+           "as ", "o d"],
+    "it": [" di", "di ", "to ", "la ", "re ", "ne ", "le ", "che", " ch",
+           "ion", "lla", "el ", "ent", "one", "zio", "no ", "per", " pe",
+           "del", "a d"],
+    "nl": ["en ", "de ", " de", "et ", "an ", "er ", "van", " va", "een",
+           " ee", "het", " he", "aar", "ver", "nde", "ing", "ng ", "gen",
+           "oor", "n d"],
+}
+_PROFILE_RANK: dict[str, dict[str, int]] = {
+    lang: {g: i for i, g in enumerate(grams)}
+    for lang, grams in _TRIGRAM_PROFILES.items()
+}
+_OOP_PENALTY = 20  # out-of-place cost for a trigram absent from the profile
+_TOP_TEXT_GRAMS = 40
+_MIN_LETTERS = 8  # below this, classification is noise -> unk
+
+
+def _latin_word_scores(text_lower: str) -> dict[str, float]:
+    scores: dict[str, float] = {}
+    n_tokens = 0
+    for tok in text_lower.split():
+        tok = tok.strip(".,;:!?()[]\"'«»¿¡")
+        if not tok:
+            continue
+        n_tokens += 1
+        for lang, w in _WORD_WEIGHTS.get(tok, ()):
+            scores[lang] = scores.get(lang, 0.0) + w
+    if n_tokens:
+        for lang in scores:
+            scores[lang] /= n_tokens
+    return scores
+
+
+def _trigram_best(text_lower: str) -> tuple[str, float]:
+    padded = " " + " ".join(text_lower.split()) + " "
+    grams = Counter(
+        padded[i : i + 3] for i in range(len(padded) - 2)
+    ).most_common(_TOP_TEXT_GRAMS)
+    if not grams:
+        return "unk", 0.0
+    best_lang, best_dist = "unk", float("inf")
+    for lang, rank in _PROFILE_RANK.items():
+        dist = sum(
+            abs(rank.get(g, _OOP_PENALTY + i) - i)
+            for i, (g, _) in enumerate(grams)
+        )
+        if dist < best_dist:
+            best_lang, best_dist = lang, dist
+    worst = sum(_OOP_PENALTY + 2 * i for i in range(len(grams)))
+    return best_lang, max(0.0, 1.0 - best_dist / worst) * 0.5
+
+
+def identify_language(text: str | None) -> tuple[str, float]:
+    """(lang, confidence in [0,1]) for one document. Total: every input —
+    None, empty, emoji-only, mixed-script — yields a value; 'unk' only when
+    there is genuinely too little signal (< _MIN_LETTERS letters)."""
+    if not text:
+        return "unk", 0.0
+    scripts, letters = _script_counts(text)
+    if letters < _MIN_LETTERS:
+        return "unk", 0.0
+    # CJK precedence: kana means Japanese even with many Han chars; Hangul
+    # means Korean. Otherwise the dominant non-Latin script decides.
+    kana = scripts.get("hiragana", 0) + scripts.get("katakana", 0)
+    if kana and kana + scripts.get("han", 0) >= 0.3 * letters:
+        return "ja", min(1.0, (kana + scripts.get("han", 0)) / letters)
+    if scripts.get("hangul", 0) >= 0.3 * letters:
+        return "ko", min(1.0, scripts["hangul"] / letters)
+    for script, lang in _SCRIPT_LANG.items():
+        if scripts.get(script, 0) >= 0.5 * letters:
+            return lang, min(1.0, scripts[script] / letters)
+    if scripts.get("latin", 0) < 0.5 * letters:
+        return "unk", 0.0
+    lower = text.lower()
+    scores = _latin_word_scores(lower)
+    if scores:
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        top_lang, top = ranked[0]
+        runner = ranked[1][1] if len(ranked) > 1 else 0.0
+        if top > 0 and (top - runner) / top >= 0.15:
+            return top_lang, min(1.0, top * 3.0)
+        # near-tie between word profiles: let trigrams break it
+        tri_lang, tri_conf = _trigram_best(lower)
+        if tri_lang in (top_lang, ranked[1][0] if len(ranked) > 1 else ""):
+            return tri_lang, max(min(1.0, top * 3.0) * 0.7, tri_conf)
+        return top_lang, min(1.0, top * 3.0) * 0.5
+    return _trigram_best(lower)
+
+
+_LANG_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("confidence", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_LANG_SCHEMA)
+def identify_language_udf(texts: pd.Series) -> pd.DataFrame:
+    out = [identify_language(t) for t in texts]
+    return pd.DataFrame(out, columns=["lang", "confidence"])
+
+
+# Natural-language validation sentences (one per supported language) for the
+# self-validating registry entry and tests/test_langid.py. The synthetic
+# corpus cannot serve here: its `lang` labels sit over identical generated
+# text, so these embedded samples are the only in-sandbox ground truth.
+DEMO_SENTENCES: dict[str, str] = {
+    "en": "The committee decided that the proposal was not ready for a vote.",
+    "de": "Der Ausschuss hat entschieden, dass der Vorschlag nicht zur "
+          "Abstimmung bereit ist.",
+    "fr": "Le comité a décidé que la proposition n'était pas prête pour un "
+          "vote.",
+    "es": "El comité decidió que la propuesta no estaba lista para una "
+          "votación.",
+    "pt": "O comitê decidiu que a proposta não estava pronta para uma "
+          "votação.",
+    "it": "Il comitato ha deciso che la proposta non era pronta per una "
+          "votazione.",
+    "nl": "De commissie heeft besloten dat het voorstel niet klaar was voor "
+          "een stemming.",
+    "ru": "Комитет решил, что предложение не готово к голосованию.",
+    "el": "Η επιτροπή αποφάσισε ότι η πρόταση δεν ήταν έτοιμη για ψηφοφορία.",
+    "ar": "قررت اللجنة أن الاقتراح لم يكن جاهزا للتصويت.",
+    "he": "הוועדה החליטה שההצעה אינה מוכנה להצבעה.",
+    "th": "คณะกรรมการตัดสินใจว่าข้อเสนอยังไม่พร้อมสำหรับการลงคะแนน",
+    "hi": "समिति ने निर्णय लिया कि प्रस्ताव मतदान के लिए तैयार नहीं था।",
+    "zh": "委员会决定该提案尚未准备好进行表决。",
+    "ja": "委員会はその提案が採決の準備ができていないと決定しました。",
+    "ko": "위원회는 그 제안이 표결 준비가 되지 않았다고 결정했다.",
+}

@@ -1,0 +1,115 @@
+"""Language identification (functions/langid.py).
+
+Accuracy is property-tested on embedded natural-language samples — the
+synthetic corpus carries `lang` labels over identical generated text, so it
+cannot serve as LID ground truth (see the module docstring)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark.functions.langid import (
+    DEMO_SENTENCES,
+    identify_language,
+    identify_language_udf,
+)
+
+EXTRA_SAMPLES = {
+    "en": [
+        "We have been waiting for the results of the election since morning.",
+        "It is not clear which of the two options they will choose.",
+    ],
+    "de": [
+        "Wir warten seit dem Morgen auf die Ergebnisse der Wahl.",
+        "Es ist nicht klar, welche der beiden Optionen sie wählen werden.",
+    ],
+    "fr": [
+        "Nous attendons les résultats des élections depuis ce matin.",
+        "Il n'est pas clair laquelle des deux options ils vont choisir.",
+    ],
+    "es": [
+        "Hemos estado esperando los resultados de las elecciones desde la mañana.",
+        "No está claro cuál de las dos opciones van a elegir.",
+    ],
+    "pt": [
+        "Estamos esperando os resultados das eleições desde a manhã.",
+        "Não está claro qual das duas opções eles vão escolher.",
+    ],
+    "it": [
+        "Stiamo aspettando i risultati delle elezioni da questa mattina.",
+        "Non è chiaro quale delle due opzioni sceglieranno.",
+    ],
+    "nl": [
+        "We wachten sinds vanochtend op de uitslagen van de verkiezingen.",
+        "Het is niet duidelijk welke van de twee opties ze zullen kiezen.",
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(DEMO_SENTENCES))
+def test_demo_sentence_classified(lang):
+    got, conf = identify_language(DEMO_SENTENCES[lang])
+    assert got == lang, (lang, got)
+    assert 0.0 < conf <= 1.0
+
+
+@pytest.mark.parametrize(
+    "lang,text",
+    [(l, t) for l, ts in EXTRA_SAMPLES.items() for t in ts],
+)
+def test_latin_samples_classified(lang, text):
+    got, _ = identify_language(text)
+    assert got == lang, (lang, got)
+
+
+def test_total_on_degenerate_inputs():
+    for bad in (None, "", "xy", "1234567890 !!!", "😀😀😀", " \t\n", "...."):
+        assert identify_language(bad) == ("unk", 0.0)
+
+
+def test_script_precedence():
+    # kana forces ja even with Han characters; hangul forces ko
+    assert identify_language(DEMO_SENTENCES["ja"])[0] == "ja"
+    assert identify_language("委員会の決定です。これはテストです。")[0] == "ja"
+    assert identify_language(DEMO_SENTENCES["zh"])[0] == "zh"
+
+
+def test_mixed_script_majority_wins():
+    mixed = DEMO_SENTENCES["en"] + " 委员会"
+    assert identify_language(mixed)[0] == "en"
+
+
+def test_deterministic():
+    for t in list(DEMO_SENTENCES.values()) + [v for vs in EXTRA_SAMPLES.values() for v in vs]:
+        assert identify_language(t) == identify_language(t)
+
+
+def test_udf_matches_python_and_handles_nulls(spark):
+    rows = [(lang, text) for lang, text in sorted(DEMO_SENTENCES.items())]
+    rows += [("unk", None), ("unk", "")]
+    df = spark.createDataFrame(rows, "expected string, text string").repartition(4)
+    out = (
+        df.select(
+            "expected",
+            "text",
+            identify_language_udf(F.col("text")).alias("lid"),
+        )
+        .select("expected", "text", "lid.lang", "lid.confidence")
+        .collect()
+    )
+    for r in out:
+        want_lang, want_conf = identify_language(r["text"])
+        assert r["lang"] == want_lang == r["expected"]
+        assert r["confidence"] == pytest.approx(want_conf)
+
+
+def test_registry_entry_all_ok(spark, sf_dir):
+    import __spark_entry__ as em
+
+    res = em.queries()["text_lang_id_profile"](spark, sf_dir)
+    pdf = res.toPandas()
+    assert len(pdf) > 0
+    assert pdf["ok"].all(), pdf[~pdf["ok"]].head()
+    assert pdf["confidence"].between(0.0, 1.0).all()
