@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--master", default=None,
                    help="only for plain-python runs; under spark-submit leave unset")
     p.add_argument("--shuffle-partitions", type=int, default=64)
+    p.add_argument("--expire-keep", type=int, default=0, metavar="N",
+                   help="after the crawl, fold snapshots older than the "
+                        "newest N into a base snapshot and delete orphaned "
+                        "delta dirs (Iceberg expire_snapshots analog); 0 "
+                        "keeps full time-travel history")
     args = p.parse_args(argv)
 
     spark = _build_session(args)
@@ -110,6 +115,8 @@ def main(argv: list[str] | None = None) -> dict:
         raise SystemExit(f"store {args.store} has no checkpoint rows")
     cp = cp_rows[0].asDict()
     result = {"store": args.store, **cp}
+    if args.expire_keep > 0:
+        result["expire"] = store.expire_snapshots(keep_last=args.expire_keep)
     print(json.dumps(result))
     return result
 

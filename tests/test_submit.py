@@ -109,6 +109,7 @@ def test_spark_submit_pyfiles_crawl_matches_inprocess(spark, sf_dir, tmp_path):
             "--store", submit_store,
             "--rounds", str(ROUNDS + 1),
             "--shuffle-partitions", "8",
+            "--expire-keep", "1",  # post-crawl maintenance through the CLI
         ],
         cwd=str(tmp_path),
         env=env,
@@ -117,6 +118,9 @@ def test_spark_submit_pyfiles_crawl_matches_inprocess(spark, sf_dir, tmp_path):
         timeout=600,
     )
     assert proc2.returncode == 0, proc2.stderr[-4000:]
+    assert '"expire"' in proc2.stdout  # maintenance result reported
+    snaps = SnapshotStore(submit_store).snapshots()
+    assert len(snaps) == 2 and snaps[0].get("base") is True
     log = sub.read(spark, "fetch_log", S.FETCH_LOG)
     from pyspark.sql import functions as F
 
