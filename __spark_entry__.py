@@ -1166,6 +1166,64 @@ def dedup_cc_q(spark, sf):
     return dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
 
 
+_KEEP_BEST_DUCK = f"""
+{_CC_DUCK.rstrip()[: _CC_DUCK.rstrip().rindex("SELECT")].rstrip()},
+clusters AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM docs2 d LEFT JOIN comp c USING (doc_id)
+),
+scored AS (
+  SELECT cl.doc_id, cl.cluster_id, length(d.text) AS n_chars
+  FROM clusters cl JOIN docs2 d USING (doc_id)
+),
+mx AS (SELECT cluster_id, max(n_chars) AS mx FROM scored GROUP BY cluster_id),
+keepers AS (
+  SELECT s.cluster_id, min(s.doc_id) AS keep_id
+  FROM scored s JOIN mx ON s.cluster_id = mx.cluster_id AND s.n_chars = mx.mx
+  GROUP BY s.cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.doc_id = k.keep_id AS keep
+FROM scored s JOIN keepers k USING (cluster_id)
+"""
+
+
+@_q("dedup_pipeline_keep_best", _KEEP_BEST_DUCK)
+def dedup_keep_best_q(spark, sf):
+    """End-to-end fuzzy-dedup pipeline, the composition a training-data run
+    actually executes: MinHash signatures -> banded LSH candidate pairs ->
+    connected-components clusters -> content-aware keeper election, one
+    survivor per cluster. Keeper criterion is (longest text, then lowest
+    doc_id) — deliberately integer-only so the Spark and DuckDB engines
+    compare bit-identical keys (a float quality score risks keeper flips at
+    rounding boundaries; the quality signal itself is oracled separately as
+    text_quality_score). Scale shape: the only new exchange beyond the
+    cluster stage is one groupBy(cluster_id) whose partitioning the
+    keep-join reuses; nothing all-pairs, nothing driver-resident."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs2(spark, sf)
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+    scored = dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", F.length("text").alias("n_chars")
+    )
+    keepers = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("keep_id")
+    )
+    return scored.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
 # --- training-data pipeline: similarity search ---------------------------------------
 
 @_q(

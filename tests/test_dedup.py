@@ -127,3 +127,26 @@ def test_dedup_clusters_singletons_and_representatives(spark):
         0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 0
     }
     assert [i for i in range(6) if rows[i]["is_representative"]] == [0, 1, 2, 3]
+
+
+def test_keep_best_one_survivor_per_cluster_longest_wins(spark, sf_dir):
+    """dedup_pipeline_keep_best: exactly one keeper per cluster, and it is
+    the longest member (ties -> lowest doc_id). Cross-engine value parity
+    is covered by test_oracle_parity; this pins the semantics."""
+    import __spark_entry__ as em
+
+    res = em.queries()["dedup_pipeline_keep_best"](spark, sf_dir)
+    docs = em._docs2(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    pdf = res.join(docs, "doc_id").toPandas()
+    assert len(pdf) == docs.count()
+    per = pdf.groupby("cluster_id")
+    assert (per["keep"].sum() == 1).all()
+    for _, g in pdf[pdf.cluster_id.isin(pdf[~pdf.keep].cluster_id)].groupby(
+        "cluster_id"
+    ):
+        kept = g[g.keep].iloc[0]
+        mx = g.n_chars.max()
+        assert kept.n_chars == mx
+        assert kept.doc_id == g[g.n_chars == mx].doc_id.min()
