@@ -1166,6 +1166,35 @@ def dedup_cc_q(spark, sf):
     return dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
 
 
+@_q(
+    "seq_packing_contiguous",
+    r"""SELECT doc_id, n_tokens,
+              CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+       FROM (SELECT doc_id, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+             FROM (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+')) AS n_tokens
+                   FROM documents))""",
+)
+def seq_packing_q(spark, sf):
+    """Sequence packing for pretraining batches: docs in doc_id order are
+    assigned pack_id = floor(exclusive-prefix-token-sum / 512) — contiguous
+    runs, docs never split, pack total <= budget + final doc's tokens.
+    The prefix sum is the two-pass parallel scheme (operators/sequence.py:
+    with_global_cumsum) — NOT a global one-partition window — so the plan
+    survives a 10^10-doc table; integer arithmetic end-to-end makes the
+    DuckDB window-cumsum oracle bit-exact."""
+    from layerg_crawler_v2_spark.functions.text import token_count
+    from layerg_crawler_v2_spark.operators.sequence import pack_contiguous
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_contiguous(
+        docs, value_col="n_tokens", sort_cols=[F.col("doc_id")], budget=512
+    ).select("doc_id", "n_tokens", "pack_id")
+
+
 _KEEP_BEST_DUCK = f"""
 {_CC_DUCK.rstrip()[: _CC_DUCK.rstrip().rindex("SELECT")].rstrip()},
 clusters AS (

@@ -83,3 +83,85 @@ def with_global_seq(
     # NOTE: mapInPandas preserves the within-partition sort order and the
     # partition's pid column tells us our global offset.
     return with_pid.mapInPandas(assign, schema=out_schema)
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    sort_cols: list[Column],
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Inclusive global prefix sum of `value_col` over the total order given
+    by `sort_cols` — the same two-pass parallel scheme as with_global_seq
+    (range-partition + per-partition SUM -> broadcast offsets -> one Arrow
+    pass adds offset + local cumsum), because `sum().over(Window.orderBy())`
+    without a partitionBy collapses to ONE partition exactly like
+    row_number does. NULL values count as 0. Same `cleanup` contract as
+    with_global_seq."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).cache()
+    if cleanup is not None:
+        cleanup.append(with_pid)
+    sums = {
+        r["__pid"]: r["s"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields] + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            pid = int(b["__pid"].iloc[0])
+            b = b.drop(columns=["__pid"])
+            vals = b[value_col].fillna(0).astype("int64")
+            b[out_col] = vals.cumsum() + (offsets[pid] + run)
+            run += int(vals.sum())
+            yield b
+
+    return with_pid.mapInPandas(assign, schema=out_schema)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    value_col: str,
+    sort_cols: list[Column],
+    budget: int,
+    pack_col: str = "pack_id",
+    num_partitions: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Deterministic contiguous sequence packing for pretraining batches:
+    documents in `sort_cols` order are assigned pack_id =
+    floor(exclusive-prefix-sum(value_col) / budget). Docs are never split;
+    each pack's token total is <= budget + (its final doc's tokens), packs
+    are contiguous runs of the global order, and the assignment is exact
+    integer arithmetic — identical under any input partitioning and in any
+    engine (the DuckDB oracle reproduces it with one window cumsum). This is
+    the scalable analog of greedy first-fit packing: the sequential
+    recurrence ("close the bin when the next doc overflows") cannot be
+    expressed as a prefix sum, so large-scale pipelines use exactly this
+    bounded-overflow contiguous form."""
+    out = with_global_cumsum(
+        df, value_col, sort_cols, out_col="__cum",
+        num_partitions=num_partitions, cleanup=cleanup,
+    )
+    excl = F.col("__cum") - F.coalesce(F.col(value_col), F.lit(0))
+    return out.withColumn(
+        pack_col, F.floor(excl / F.lit(budget)).cast("long")
+    ).drop("__cum")
