@@ -2149,10 +2149,9 @@ _PRIORITY = [
     # §2.3 joins (QueryBuilder forms retained; raw twins demoted)
     "j3_point_lookup_limit1", "j4_disjunctive_key", "j5_broadcast_dim_join",
     "j6_get_or_create_anti", "j1_qb_relation", "j2_qb_derived",
-    "qb_resolve_single", "qb_ops_in_contains_null",
+    "qb_resolve_single",
     # §2.4 aggregations
     "a1_distinct", "a2_unique_set_first", "a3_min_fold", "a5_group_agg",
-    "agg_day_histogram",
     # §2.5 windows
     "w2_topk_per_key", "w3_lag_pacing",
     # §2.6 sorts / pagination
@@ -2172,15 +2171,25 @@ _PRIORITY = [
     # dedup (connected_components' oracle embeds the identical lsh_pairs
     # CTE, so the demoted pairs entry is transitively driver-covered)
     "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
+    # r4 flagship LLM-pipeline ops: end-to-end fuzzy-dedup keeper election,
+    # two-pass prefix-sum sequence packing, PII scrub
+    "dedup_pipeline_keep_best", "seq_packing_contiguous", "text_pii_scrub",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
     # enrichment / dispatch / entities / backfill
     "s5_batched_lookup", "u1_handler_dispatch", "entity_balances_replay",
-    "entity_users_get_or_create", "backfill_reindex_progress",
-    # --- position 51+: oracled duplicates (pytest-verified), then rows-only
+    "backfill_reindex_progress",
+    # --- position 51+: oracled entries whose machinery an in-window twin
+    # already drives (pytest-oracle-verified), then rows-only.
+    # r4 demotions: qb_ops_in_contains_null (same plans/query.py WhereInput
+    # compiler as qb_resolve_single), agg_day_histogram (same groupBy-count
+    # physics as a5_group_agg), entity_users_get_or_create (same anti-join
+    # get-or-create as j6_get_or_create_anti on another table).
+    "qb_ops_in_contains_null", "agg_day_histogram", "entity_users_get_or_create",
     "j1_fk_expansion_join", "j2_derived_collect_list", "a4_balance_replay",
     "p3_sig_dispatch", "dedup_minhash_signatures", "p8_eq_where_order_limit",
     "dedup_minhash_lsh_pairs", "text_fingerprint",
+    "text_repetition_stats", "dedup_ngram_coverage",
 ]
 
 _REGISTRY = {

@@ -30,8 +30,11 @@ def test_driver_window_matches_priority_prefix():
 
 
 def test_flagship_new_components_have_driver_rows():
-    """VERDICT r2 #1: the round-2 flagship components must sit inside the
-    driver's recorded window."""
+    """VERDICT r2 #1 / r4: each round's flagship components must sit inside
+    the driver's recorded window.  entity_users_get_or_create (r2) was
+    demoted in r4 — its anti-join get-or-create machinery is driver-covered
+    by the in-window j6_get_or_create_anti twin — to make room for the r4
+    flagships below."""
     window = set(list(entry_mod._REGISTRY)[: entry_mod._DRIVER_WINDOW])
     for name in (
         "ann_cosine_topk",
@@ -39,10 +42,27 @@ def test_flagship_new_components_have_driver_rows():
         "s5_batched_lookup",
         "u1_handler_dispatch",
         "entity_balances_replay",
-        "entity_users_get_or_create",
         "backfill_reindex_progress",
+        # r4 flagships
+        "dedup_pipeline_keep_best",
+        "seq_packing_contiguous",
+        "text_pii_scrub",
     ):
         assert name in window, name
+
+
+def test_demotions_have_in_window_twins():
+    """Every r4 demotion's machinery is exercised by an in-window twin."""
+    window = set(list(entry_mod._REGISTRY)[: entry_mod._DRIVER_WINDOW])
+    twins = {
+        "qb_ops_in_contains_null": "qb_resolve_single",
+        "agg_day_histogram": "a5_group_agg",
+        "entity_users_get_or_create": "j6_get_or_create_anti",
+    }
+    for demoted, twin in twins.items():
+        assert demoted not in window, demoted
+        assert demoted in entry_mod.oracle_sql(), demoted
+        assert twin in window, twin
 
 
 def test_demoted_duplicates_still_oracled():
