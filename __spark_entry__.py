@@ -1859,6 +1859,73 @@ def dedup_coverage_q(spark, sf):
     )
 
 
+@_q(
+    "decontam_benchmark_overlap",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM g
+      WHERE doc_id % 37 <> 0 AND gram IN (SELECT gram FROM bench)
+      GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(n_hit, 0)::BIGINT AS n_contaminated_grams,
+           coalesce(n_hit, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % 37 <> 0""",
+)
+def decontam_q(spark, sf):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram recipe): docs with
+    doc_id % 37 == 0 stand in for the eval benchmark; every other doc is
+    scored by how many of its distinct 8-word grams appear verbatim in the
+    benchmark. Benchmark gram hashes are broadcast (benchmarks are MBs vs
+    TBs of training text), so the training scan's gram fan-out never
+    shuffles — the only exchange is the per-doc hit count."""
+    from layerg_crawler_v2_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf, "documents")
+    is_bench = F.pmod("doc_id", F.lit(37)) == 0
+    return decontaminate(d.filter(~is_bench), d.filter(is_bench), n=8)
+
+
+@_q(
+    "dedup_chunk_exact",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    e AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM c)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (rn = 1) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY idx) FILTER (rn = 1))
+               AS dedup_md5
+    FROM e GROUP BY 1""",
+)
+def dedup_chunk_q(spark, sf):
+    """Corpus-wide exact chunk dedup + reassembly (paragraph-dedup recipe at
+    10-word-window granularity): each distinct chunk survives only at its
+    global first occurrence; docs are rebuilt from surviving chunks. One
+    election shuffle keyed on the chunk value, one reassembly shuffle on
+    doc_id — linear, no self-join."""
+    from layerg_crawler_v2_spark.operators.dedup import chunk_exact_dedup
+
+    d = _t(spark, sf, "documents")
+    out = chunk_exact_dedup(d, chunk_words=10)
+    return out.select(
+        "doc_id", "n_chunks", "n_kept", F.md5("dedup_text").alias("dedup_md5")
+    )
+
+
 @_q("warc_segment_roundtrip", None)
 def warc_roundtrip_q(spark, sf):
     """Archived-crawl input path, end to end: pages -> ISO-28500 WARC

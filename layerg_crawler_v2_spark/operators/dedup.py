@@ -317,3 +317,71 @@ def dedup_clusters(
         .withColumn("is_representative", F.col("cluster_id") == F.col(id_col))
         .drop("component")
     )
+
+
+def chunk_exact_dedup(
+    df: DataFrame,
+    chunk_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact chunk dedup with document reassembly (the
+    paragraph-dedup recipe of Gopher/Falcon, at fixed word-window
+    granularity since the synthetic corpus has no paragraph breaks).
+
+    Documents are cut into consecutive `chunk_words`-word chunks; across the
+    WHOLE corpus each distinct chunk survives only at its first occurrence
+    (global (doc_id, idx) order); every document is then reassembled from
+    its surviving chunks in original order.
+
+    Scale shape: the keep-election shuffles once, keyed on the chunk value
+    (the row carries the chunk bytes for reassembly regardless, so keying on
+    it moves no extra data, and — unlike a 64-bit-hash key — two distinct
+    chunks can never share an election group); the reassembly shuffles on
+    doc_id. Both exchanges are linear in corpus size with no self-join. The
+    reference's add-if-absent unique set (cmd/helpers/unique-set-onchain.go)
+    is the same first-wins election, driver-resident; here it is a
+    distributed min-per-partition.
+
+    Returns (id_col, n_chunks, n_kept, dedup_text) with one row per input
+    row; dedup_text is NULL when every chunk of the doc lost its election.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("idx", "chunk"))
+
+    w = Window.partitionBy("chunk").orderBy(id_col, "idx")
+    elected = ex.withColumn("__rn", F.row_number().over(w))
+
+    return (
+        elected.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1, F.struct("idx", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("__joined"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("__joined")).alias("dedup_text"),
+        )
+    )

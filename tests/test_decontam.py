@@ -1,0 +1,78 @@
+"""Planted-case tests for benchmark decontamination and chunk-exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark.operators.decontam import decontaminate, word_grams
+from layerg_crawler_v2_spark.operators.dedup import chunk_exact_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_grams_count_and_content(spark):
+    df = spark.range(1).select(
+        word_grams(F.lit("a b c d e"), 3).alias("g")
+    )
+    assert df.collect()[0]["g"] == ["a b c", "b c d", "c d e"]
+    short = spark.range(1).select(word_grams(F.lit("a b"), 3).alias("g"))
+    assert short.collect()[0]["g"] == []
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    train = _docs(
+        spark,
+        [
+            # contains the benchmark 4-gram "beta gamma delta epsilon"
+            (1, "xx beta gamma delta epsilon yy"),
+            # no 4-gram overlap (words shuffled)
+            (2, "epsilon delta gamma beta alpha"),
+            # exact copy of a benchmark doc -> 3 distinct 4-grams hit
+            (3, "alpha beta gamma delta epsilon zeta"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in decontaminate(train, bench, n=4).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (3, True)
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    bench = _docs(spark, [(9, "p q r s")])
+    # the hit gram "p q r s" occurs twice in the training doc -> counted once
+    train = _docs(spark, [(1, "p q r s z p q r s")])
+    row = decontaminate(train, bench, n=4).collect()[0]
+    assert row["n_contaminated_grams"] == 1
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    a = " ".join(f"w{i}" for i in range(10))  # one exact 10-word chunk
+    b = " ".join(f"v{i}" for i in range(10))
+    df = _docs(
+        spark,
+        [
+            (1, a + " " + b),  # chunks [a, b] — both first occurrences
+            (2, a),            # chunk [a] — loses to doc 1
+            (3, b + " " + a),  # both chunks lose
+        ],
+    )
+    out = {r["doc_id"]: r for r in chunk_exact_dedup(df, 10).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["dedup_text"] == a + " " + b
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["dedup_text"] is None
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_chunk_dedup_reassembles_in_document_order(spark):
+    words = " ".join(f"u{i}" for i in range(25))  # chunks of 10/10/5
+    df = _docs(spark, [(1, words)])
+    row = chunk_exact_dedup(df, 10).collect()[0]
+    assert (row["n_chunks"], row["n_kept"]) == (3, 3)
+    assert row["dedup_text"] == words
