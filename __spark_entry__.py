@@ -1926,6 +1926,41 @@ def dedup_chunk_q(spark, sf):
     )
 
 
+@_q(
+    "text_gopher_quality_filter",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(list_sum(list_transform(ws, w -> len(w)))::DOUBLE
+                   / greatest(len(ws), 1), 6) AS mean_word_len,
+             round(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                   / greatest(len(ws), 1), 6) AS alpha_frac,
+             len(list_intersect(list_distinct(ws),
+                 ['the','a','and','of','to','in','is','it'])) AS n_stopwords
+      FROM w)
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+           (alpha_frac >= 0.8) AS ok_alpha_frac,
+           (n_stopwords >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (alpha_frac >= 0.8)
+            AND (n_stopwords >= 2)) AS keep
+    FROM m""",
+)
+def gopher_filter_q(spark, sf):
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1): per-rule
+    verdicts + combined keep bit, one JVM higher-order pass per doc, zero
+    shuffle (the filtering-pipeline form that reports WHY a doc dropped)."""
+    from layerg_crawler_v2_spark.functions.text import gopher_quality
+
+    d = _t(spark, sf, "documents")
+    g = gopher_quality(F.col("text"))
+    return d.select("doc_id", g.alias("g")).select("doc_id", "g.*")
+
+
 @_q("warc_segment_roundtrip", None)
 def warc_roundtrip_q(spark, sf):
     """Archived-crawl input path, end to end: pages -> ISO-28500 WARC

@@ -154,3 +154,56 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     for p in parts[1:]:
         acc = F.zip_with(acc, p, lambda x, y: F.concat_ws(" ", x, y))
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(acc)
+
+
+def gopher_quality(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1), as a
+    struct of per-rule verdicts plus the combined pass bit — the form a
+    filtering pipeline needs to report WHY a document was dropped.
+
+    All JVM higher-order functions over one split; no Python, no shuffle:
+      n_words         — token count within [min_words, max_words]
+      mean_word_len   — within [min_mean_word_len, max_mean_word_len]
+      alpha_frac      — fraction of words containing a letter >= min_alpha_frac
+      n_stopwords     — distinct stopword hits >= min_stopwords
+    """
+    ws = F.split(text, " ")
+    nw = F.size(ws)
+    nwd = nw.cast("double")
+    total_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(total_chars.cast("double") / F.greatest(nwd, F.lit(1.0)), 6)
+    alpha = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double")
+        / F.greatest(nwd, F.lit(1.0)),
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    ok_words = (nw >= min_words) & (nw <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_alpha = alpha >= min_alpha_frac
+    ok_stop = n_stop >= min_stopwords
+    return F.struct(
+        nw.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_alpha & ok_stop).alias("keep"),
+    )

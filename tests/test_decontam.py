@@ -76,3 +76,23 @@ def test_chunk_dedup_reassembles_in_document_order(spark):
     row = chunk_exact_dedup(df, 10).collect()[0]
     assert (row["n_chunks"], row["n_kept"]) == (3, 3)
     assert row["dedup_text"] == words
+
+
+def test_gopher_quality_planted_rules(spark):
+    from layerg_crawler_v2_spark.functions.text import gopher_quality
+
+    long_good = " ".join(["the"] + ["and"] + ["word"] * 58)  # 60 words, 2 stops
+    short = "the and tiny doc"  # fails word count
+    no_stop = " ".join(["zzz"] * 60)  # fails stopwords
+    digits = " ".join(["the", "and"] + ["12345"] * 58)  # fails alpha_frac
+    df = _docs(spark, [(1, long_good), (2, short), (3, no_stop), (4, digits)])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", gopher_quality(F.col("text")).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["ok_stopwords"] is False
+    assert out[4]["keep"] is False and out[4]["ok_alpha_frac"] is False
