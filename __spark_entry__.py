@@ -1961,6 +1961,77 @@ def gopher_filter_q(spark, sf):
     return d.select("doc_id", g.alias("g")).select("doc_id", "g.*")
 
 
+@_q(
+    "frontier_trap_filter",
+    """WITH u AS (
+      SELECT doc_id,
+        'https://h' || (doc_id % 13)::VARCHAR || '.example.com/'
+          || repeat('d' || (doc_id % 3)::VARCHAR || '/', (doc_id % 16)::INT)
+          || repeat('x/', (doc_id % 6)::INT)
+          || 'p.html'
+          || CASE WHEN doc_id % 4 = 0
+                  THEN '?k0=v' || repeat('&k=v', (doc_id % 12)::INT)
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN '&phpsessid=deadbeef' ELSE '' END
+                  ELSE '' END AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+        list_filter(string_split(regexp_extract(url, '://[^/]+([^?]*)', 1), '/'),
+                    s -> s <> '' AND NOT regexp_matches(s, '\\.')) AS segs
+      FROM u)
+    SELECT doc_id,
+      len(segs) AS depth,
+      coalesce(list_max(list_transform(list_distinct(segs),
+          s -> len(list_filter(segs, x -> x = s)))), 0) AS max_seg_repeat,
+      len(regexp_extract_all(url, '[?&][^&=?]+=')) AS n_query_params,
+      len(regexp_extract_all(url,
+          '(?i)(phpsessid|jsessionid|sessionid)=')) > 0 AS has_session_param,
+      len(url) > 200 AS too_long,
+      (len(segs) > 12
+       OR coalesce(list_max(list_transform(list_distinct(segs),
+              s -> len(list_filter(segs, x -> x = s)))), 0) >= 3
+       OR len(regexp_extract_all(url, '[?&][^&=?]+=')) > 8
+       OR len(regexp_extract_all(url,
+              '(?i)(phpsessid|jsessionid|sessionid)=')) > 0
+       OR len(url) > 200) AS is_trap
+    FROM p""",
+)
+def trap_filter_q(spark, sf):
+    """Crawl-trap detection over deterministically synthesized URLs (depth,
+    segment repetition, faceted-query explosion, session-id aliases, length
+    — Mercator-style shape rules): one codegen pass per row, zero shuffle,
+    composing with the P2 allowlist in the frontier round."""
+    from layerg_crawler_v2_spark.operators.traps import url_trap_flags
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(did, F.lit(13)).cast("string"),
+        F.lit(".example.com/"),
+        F.repeat(
+            F.concat(F.lit("d"), F.pmod(did, F.lit(3)).cast("string"), F.lit("/")),
+            F.pmod(did, F.lit(16)).cast("int"),
+        ),
+        F.repeat(F.lit("x/"), F.pmod(did, F.lit(6)).cast("int")),
+        F.lit("p.html"),
+        F.when(
+            F.pmod(did, F.lit(4)) == 0,
+            F.concat(
+                F.lit("?k0=v"),
+                F.repeat(F.lit("&k=v"), F.pmod(did, F.lit(12)).cast("int")),
+                F.when(
+                    F.pmod(did, F.lit(7)) == 0, F.lit("&phpsessid=deadbeef")
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", url_trap_flags(url).alias("f")
+    ).select("doc_id", "f.*")
+
+
 @_q("warc_segment_roundtrip", None)
 def warc_roundtrip_q(spark, sf):
     """Archived-crawl input path, end to end: pages -> ISO-28500 WARC
