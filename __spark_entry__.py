@@ -2032,6 +2032,86 @@ def trap_filter_q(spark, sf):
     ).select("doc_id", "f.*")
 
 
+@_q(
+    "corpus_stratified_sample",
+    """WITH s AS (
+      SELECT lang, source,
+             substr(md5(doc_id::VARCHAR), 1, 1)
+               < CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4'
+                           ELSE '2' END AS sampled
+      FROM documents)
+    SELECT lang, source,
+           count(*) AS n_total,
+           sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+    FROM s GROUP BY 1, 2""",
+)
+def stratified_sample_q(spark, sf):
+    """Deterministic stratified mixture sampling (en 8/16, de 4/16, rest
+    2/16 of the md5(doc_id) hex space): the SAME documents are selected on
+    any engine/partitioning/run — unlike Bernoulli sampleBy — with one md5
+    per row in codegen and no shuffle before the summary groupBy."""
+    from layerg_crawler_v2_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_sample(d, "lang", {"en": 8, "de": 4}, default_sixteenths=2)
+    return out.groupBy("lang", "source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+    )
+
+
+@_q(
+    "host_quality_rollup",
+    """WITH w AS (
+      SELECT doc_id, 'h' || (doc_id % 13)::VARCHAR AS host,
+             string_split(text, ' ') AS ws
+      FROM documents),
+    m AS (
+      SELECT host,
+             (len(ws) BETWEEN 50 AND 100000)
+             AND (round(list_sum(list_transform(ws, w -> len(w)))::DOUBLE
+                        / greatest(len(ws), 1), 6) BETWEEN 3.0 AND 10.0)
+             AND (round(len(list_filter(ws,
+                      w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                        / greatest(len(ws), 1), 6) >= 0.8)
+             AND (len(list_intersect(list_distinct(ws),
+                  ['the','a','and','of','to','in','is','it'])) >= 2) AS keep
+      FROM w)
+    SELECT host,
+           count(*) AS n_docs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS keep_rate,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) < 0.5 AS blocked
+    FROM m GROUP BY 1""",
+)
+def host_rollup_q(spark, sf):
+    """Host reputation from doc-level Gopher verdicts: per-host keep rate
+    with a blocked bit — the data product a frontier feeds back as a
+    host blocklist (broadcast dim, same physics as allow_hosts). Hosts are
+    synthesized as doc_id %% 13 to bind docs to the crawl's host space."""
+    from layerg_crawler_v2_spark.functions.text import gopher_quality
+
+    d = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), F.pmod("doc_id", F.lit(13)).cast("string"))
+    keep = gopher_quality(F.col("text"))["keep"]
+    return (
+        d.select(host.alias("host"), keep.alias("keep"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("keep").cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("keep_rate"),
+        )
+        .withColumn("blocked", F.col("keep_rate") < 0.5)
+    )
+
+
 @_q("warc_segment_roundtrip", None)
 def warc_roundtrip_q(spark, sf):
     """Archived-crawl input path, end to end: pages -> ISO-28500 WARC

@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling and epoch weighting for training-data
+assembly.
+
+A pretraining mixture is specified as per-stratum rates ("keep 50% of en,
+25% of de, 12.5% of the rest") plus integer oversampling ("2 epochs of
+books"). Random sampling is not reproducible across engines or runs; these
+operators decide per document from md5(doc_id) so the SAME documents are
+selected on any engine, any partitioning, any run — the property that makes
+ablations comparable. (The reference pins determinism the same way for
+crawl ordering: content-derived ids instead of uuid.New(), SURVEY.md F6.)
+
+Scale shape: the keep decision is one md5 + substring per row inside
+whole-stage codegen — no shuffle, no sampleBy() (whose Bernoulli draws are
+seed- and partitioning-dependent), no driver state. Rates are sixteenths of
+the first hex nibble, so the hex-string comparison is exact, portable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def hash_keep(id_col: Column, sixteenths: int) -> Column:
+    """True for exactly `sixteenths`/16 of the id space, deterministically:
+    first hex nibble of md5(id) < threshold."""
+    if not 0 <= sixteenths <= 16:
+        raise ValueError(f"sixteenths must be in [0, 16], got {sixteenths}")
+    if sixteenths == 16:
+        return F.lit(True)
+    if sixteenths == 0:
+        return F.lit(False)
+    nibble = F.substring(F.md5(id_col.cast("string")), 1, 1)
+    return nibble < F.lit(_HEX[sixteenths])
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_sixteenths: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction (in sixteenths) of rows.
+
+    Adds a `sampled` boolean; filter on it or aggregate it. Unknown strata
+    use `default_sixteenths`."""
+    keep: Column = hash_keep(F.col(id_col), default_sixteenths)
+    for value, sx in rates.items():
+        keep = F.when(
+            F.col(strata_col) == value, hash_keep(F.col(id_col), sx)
+        ).otherwise(keep)
+    return df.withColumn("sampled", keep)
+
+
+def oversample(df: DataFrame, epochs_col: Column, id_col: str = "doc_id") -> DataFrame:
+    """Integer epoch weighting: emit each row `epochs` times with an
+    `epoch` index column (0-based) — the explode is the only fan-out and it
+    is row-local (no shuffle). Fractional epochs compose as
+    oversample(floor) + stratified_sample(remainder).
+
+    epochs <= 0 emits nothing; the guard matters because Spark's
+    sequence(0, n-1) runs DESCENDING when n-1 < 0 instead of empty."""
+    n = epochs_col.cast("int")
+    return df.withColumn(
+        "epoch",
+        F.explode(
+            F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
+    )

@@ -1,0 +1,81 @@
+"""Deterministic sampling / epoch-weighting invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark.operators.sampling import (
+    hash_keep,
+    oversample,
+    stratified_sample,
+)
+
+
+def test_hash_keep_matches_python_md5(spark):
+    df = spark.range(200).select(
+        "id", hash_keep(F.col("id"), 4).alias("keep")
+    )
+    for r in df.collect():
+        expected = hashlib.md5(str(r["id"]).encode()).hexdigest()[0] < "4"
+        assert r["keep"] is expected
+
+
+def test_hash_keep_rate_is_exact_in_expectation(spark):
+    # 4/16 of the nibble space: large-n frequency must be near 0.25
+    n = 20_000
+    kept = (
+        spark.range(n)
+        .select(hash_keep(F.col("id"), 4).alias("k"))
+        .agg(F.sum(F.col("k").cast("long")))
+        .collect()[0][0]
+    )
+    assert abs(kept / n - 0.25) < 0.02
+
+
+def test_hash_keep_partitioning_invariant(spark):
+    a = (
+        spark.range(1000).repartition(1)
+        .select("id", hash_keep(F.col("id"), 8).alias("k"))
+        .collect()
+    )
+    b = (
+        spark.range(1000).repartition(16)
+        .select("id", hash_keep(F.col("id"), 8).alias("k"))
+        .collect()
+    )
+    assert {(r["id"], r["k"]) for r in a} == {(r["id"], r["k"]) for r in b}
+
+
+def test_hash_keep_edges(spark):
+    row = spark.range(5).select(
+        hash_keep(F.col("id"), 16).alias("all"),
+        hash_keep(F.col("id"), 0).alias("none"),
+    ).collect()
+    assert all(r["all"] for r in row) and not any(r["none"] for r in row)
+
+
+def test_stratified_sample_respects_strata_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zz") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, "lang", {"en": 16}, default_sixteenths=0)
+    agg = {
+        r["lang"]: r["n"]
+        for r in out.filter("sampled").groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert agg.get("en") == 1000 and "zz" not in agg
+
+
+def test_oversample_epochs(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 0)], "doc_id long, epochs int"
+    )
+    out = oversample(df, F.col("epochs")).collect()
+    got = sorted((r["doc_id"], r["epoch"]) for r in out)
+    # epochs=0 emits nothing (empty sequence explode drops the row)
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0)]
