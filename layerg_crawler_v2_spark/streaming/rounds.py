@@ -122,6 +122,12 @@ class CrawlConfig:
     # >0 = hot-host skew split: salted pre-top-K window (identical output)
     scheduler_salt_buckets: int = 0
     allow_hosts: list[str] | None = None
+    # complement of allow_hosts: reject these hosts everywhere the allowlist
+    # is consulted — the sink for host_quality_rollup's blocked bit. Both
+    # compile to literal set membership in codegen (zero exchange); a
+    # blocklist too large for a literal belongs in `robots` deny rules or a
+    # broadcast anti-join dim instead.
+    block_hosts: list[str] | None = None
     # U4 user mapping hook: callable(DataFrame) -> DataFrame applied to each
     # round's merged discoveries BEFORE robots/seen filtering — custom
     # priority scoring, URL rewriting, or drop rules (the reference's
@@ -183,6 +189,8 @@ def prepare_seeds(
     ).withColumn("state", F.lit("QUEUED"))
     if cfg.allow_hosts is not None:
         frontier = frontier.filter(F.col("host").isin(cfg.allow_hosts))
+    if cfg.block_hosts is not None:
+        frontier = frontier.filter(~F.col("host").isin(cfg.block_hosts))
     frontier = apply_robots(frontier, robots)
     return frontier.select([f.name for f in S.FRONTIER.fields])
 
@@ -374,6 +382,8 @@ def run_round(
     )
     if cfg.allow_hosts is not None:
         discovered = discovered.filter(F.col("host").isin(cfg.allow_hosts))
+    if cfg.block_hosts is not None:
+        discovered = discovered.filter(~F.col("host").isin(cfg.block_hosts))
     if cfg.discovered_hook is not None:
         discovered = cfg.discovered_hook(discovered)
     # cache: the extract→resolve→canon chain is the round's CPU hot path and

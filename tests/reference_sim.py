@@ -53,6 +53,7 @@ def simulate(
     default_max_parallel: int = 8,
     robots: list[tuple] | None = None,
     allow_hosts: set[str] | None = None,
+    block_hosts: set[str] | None = None,
 ) -> SimResult:
     res = SimResult()
     # seed prep: canonicalize, dedup (add-if-absent), filter
@@ -62,6 +63,8 @@ def simulate(
             continue
         h = host_of(c)
         if allow_hosts is not None and h not in allow_hosts:
+            continue
+        if block_hosts is not None and h in block_hosts:
             continue
         if not robots_allowed(c, h, robots):
             continue
@@ -110,6 +113,8 @@ def simulate(
         for url, (units, depth) in discovered.items():
             h = host_of(url)
             if allow_hosts is not None and h not in allow_hosts:
+                continue
+            if block_hosts is not None and h in block_hosts:
                 continue
             if not robots_allowed(url, h, robots):
                 continue

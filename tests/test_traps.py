@@ -79,3 +79,40 @@ def test_reject_traps_as_discovered_hook_keeps_crawl_green(spark, tmp_path):
         CrawlConfig(rounds=2, discovered_hook=reject_traps),
     )
     assert a == b and len(a) > 0
+
+
+def test_block_hosts_matches_simulator(spark, tmp_path):
+    """Engine block_hosts == simulator block_hosts, golden fetch-log parity
+    (the host_quality_rollup blocklist sink)."""
+    from layerg_crawler_v2_spark import schema as S
+    from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+    from layerg_crawler_v2_spark.functions.canon import canonicalize
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+    from tests.reference_sim import simulate
+
+    pages = build_pages(spark, "/root/testdata/sf0.001")
+    rows = pages.select("url", "html").collect()
+    pages_dict = {canonicalize(r["url"]): bytes(r["html"]) for r in rows}
+    seeds = seed_urls(len(pages_dict), n_seeds=5)
+
+    # block the busiest host of the unrestricted sim so the block bites
+    base = simulate(pages_dict, seeds, 2)
+    hosts = [t[3] for t in base.fetch_log]
+    blocked = max(set(hosts), key=hosts.count)
+    sim = simulate(pages_dict, seeds, 2, block_hosts={blocked})
+
+    store = SnapshotStore(str(tmp_path / "blk"))
+    run_crawl(
+        spark, pages, seeds, store,
+        CrawlConfig(rounds=2, block_hosts=[blocked]),
+    )
+    got = [
+        (r["round"], r["seq"], r["url"], r["host"], r["depth"])
+        for r in store.read(spark, "fetch_log", S.FETCH_LOG)
+        .orderBy("round", "seq").collect()
+    ]
+    want = [(t[0], t[1], t[2], t[3], t[4]) for t in sim.fetch_log]
+    assert len(base.fetch_log) > len(want)  # the block actually removed work
+    assert blocked not in {g[3] for g in got}
+    assert got == want
