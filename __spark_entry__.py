@@ -2112,6 +2112,57 @@ def host_rollup_q(spark, sf):
     )
 
 
+@_q(
+    "recrawl_schedule_adaptive",
+    """WITH l AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    i AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM l),
+    s AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, island
+                                   ORDER BY ts, event_id) - 1 AS unchanged
+      FROM i),
+    last AS (
+      SELECT user_id, ts, unchanged,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_obs,
+             sum(chg) OVER (PARTITION BY user_id) AS n_changes
+      FROM s)
+    SELECT user_id AS key,
+           floor(epoch(ts))::BIGINT AS last_fetch_epoch,
+           n_obs::BIGINT AS n_obs,
+           n_changes::BIGINT AS n_changes,
+           least(3600.0 * power(2.0, least(unchanged, 40)),
+                 2592000.0)::BIGINT AS next_interval_s,
+           floor(epoch(ts))::BIGINT
+             + least(3600.0 * power(2.0, least(unchanged, 40)),
+                     2592000.0)::BIGINT AS next_fetch_epoch
+    FROM last WHERE rn = 1""",
+)
+def recrawl_q(spark, sf):
+    """Adaptive revisit scheduling (Cho & Garcia-Molina backoff) over the
+    events table as a fetch history (user_id = page key, event_type =
+    content fingerprint): gaps-and-islands windows, one shuffle on the key,
+    no iteration."""
+    from layerg_crawler_v2_spark.operators.recrawl import recrawl_schedule
+
+    e = _t(spark, sf, "events")
+    return recrawl_schedule(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        content_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
 @_q("warc_segment_roundtrip", None)
 def warc_roundtrip_q(spark, sf):
     """Archived-crawl input path, end to end: pages -> ISO-28500 WARC

@@ -96,3 +96,42 @@ def test_gopher_quality_planted_rules(spark):
     assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
     assert out[3]["keep"] is False and out[3]["ok_stopwords"] is False
     assert out[4]["keep"] is False and out[4]["ok_alpha_frac"] is False
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    train = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    plan = _plan(decontaminate(train, bench, n=4))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the training gram fan-out must not shuffle into the semi-join
+    semi = plan.split("LeftSemi")[0] if "LeftSemi" in plan else plan
+    assert semi  # join present
+
+
+def test_gopher_quality_plan_has_no_exchange(spark):
+    from layerg_crawler_v2_spark.functions.text import gopher_quality
+
+    df = _docs(spark, [(1, "the and word " * 20)])
+    plan = _plan(df.select("doc_id", gopher_quality(F.col("text")).alias("g")))
+    assert "Exchange" not in plan
+
+
+def test_trap_flags_plan_has_no_exchange(spark):
+    from layerg_crawler_v2_spark.operators.traps import url_trap_flags
+
+    df = spark.createDataFrame(
+        [("https://example.com/a/b/p.html",)], "url string"
+    )
+    plan = _plan(df.select(url_trap_flags(F.col("url")).alias("f")))
+    assert "Exchange" not in plan
+
+
+def test_hash_keep_plan_has_no_exchange(spark):
+    from layerg_crawler_v2_spark.operators.sampling import hash_keep
+
+    plan = _plan(spark.range(10).select(hash_keep(F.col("id"), 4)))
+    assert "Exchange" not in plan
