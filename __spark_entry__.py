@@ -2163,6 +2163,82 @@ def recrawl_q(spark, sf):
     )
 
 
+@_q(
+    "boilerplate_chunk_removal",
+    """WITH inj AS (
+      SELECT doc_id, 'h' || (doc_id % 13)::VARCHAR AS host,
+             'nav h' || (doc_id % 13)::VARCHAR
+               || ' menu home about contact login search help news '
+               || text AS t
+      FROM documents),
+    w AS (SELECT doc_id, host, string_split(t, ' ') AS ws FROM inj),
+    c AS (
+      SELECT doc_id, host, i AS idx,
+             array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM inj GROUP BY 1),
+    cf AS (
+      SELECT host, chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1, 2),
+    fl AS (
+      SELECT c.doc_id, c.host, c.idx, c.chunk,
+             (cf.df >= 2 AND cf.df > 0.5 * hd.host_docs) AS boiler
+      FROM c JOIN cf USING (host, chunk) JOIN hd USING (host))
+    SELECT doc_id, host,
+           count(*) AS n_chunks,
+           sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           md5(string_agg(chunk, ' ' ORDER BY idx) FILTER (NOT boiler))
+               AS clean_md5
+    FROM fl GROUP BY 1, 2""",
+)
+def boilerplate_q(spark, sf):
+    """Per-host boilerplate removal (CCNet paragraph-frequency filter at
+    10-word-window granularity): a deterministic nav header is injected per
+    host so the filter provably fires; chunks present in >50%% of a host's
+    docs are dropped from EVERY document and the docs reassembled.
+    Chunk document-frequency shuffles on (host, chunk); host doc counts are
+    a broadcast dim; reassembly groups on doc_id."""
+    from layerg_crawler_v2_spark.operators.dedup import boilerplate_chunk_removal
+
+    d = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), F.pmod("doc_id", F.lit(13)).cast("string"))
+    injected = F.concat(
+        F.lit("nav h"),
+        F.pmod("doc_id", F.lit(13)).cast("string"),
+        F.lit(" menu home about contact login search help news "),
+        F.col("text"),
+    )
+    out = boilerplate_chunk_removal(
+        d.select("doc_id", host.alias("host"), injected.alias("text")),
+        chunk_words=10,
+    )
+    return out.select(
+        "doc_id", "host", "n_chunks", "n_boiler",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@_q(
+    "text_unigram_logprob",
+    """WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    f AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(c::DOUBLE / n)), 6) AS avg_neg_logprob
+    FROM t JOIN f USING (w) CROSS JOIN tot
+    GROUP BY 1""",
+)
+def unigram_logprob_q(spark, sf):
+    """CCNet-style typicality score with the corpus's own unigram LM:
+    mean -ln p(word) per doc. Pass 1 exchanges one row per DISTINCT word
+    (map-side partials); pass 2 broadcast-joins the vocab-sized frequency
+    table, so only the per-doc aggregation shuffles."""
+    from layerg_crawler_v2_spark.operators.scoring import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf, "documents"))
+
+
 @_q("warc_segment_roundtrip", None)
 def warc_roundtrip_q(spark, sf):
     """Archived-crawl input path, end to end: pages -> ISO-28500 WARC

@@ -385,3 +385,94 @@ def chunk_exact_dedup(
             F.when(F.col("n_kept") > 0, F.col("__joined")).alias("dedup_text"),
         )
     )
+
+
+def boilerplate_chunk_removal(
+    df: DataFrame,
+    host_col: str = "host",
+    chunk_words: int = 10,
+    df_frac: float = 0.5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove per-host boilerplate (nav bars, footers, cookie banners): a
+    chunk is boilerplate when it appears in more than `df_frac` of the
+    host's documents (and at least `min_df` of them) — the CCNet-style
+    paragraph-frequency filter at fixed word-window granularity.
+
+    Unlike chunk_exact_dedup (global first-wins election), EVERY occurrence
+    of a boilerplate chunk is dropped — boilerplate is worthless in all its
+    copies, while duplicated content is worth keeping once.
+
+    Shuffles: chunk document-frequency groups on (host, chunk) — content
+    keyed within a host, never global; host doc counts are a tiny dim
+    broadcast back; reassembly groups on the doc id. Linear, no self-join.
+
+    Returns (id_col, host, n_chunks, n_boiler, clean_text); clean_text is
+    NULL when every chunk was boilerplate.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(chunks).alias("idx", "chunk"),
+    )
+
+    host_docs = (
+        df.select(host_col, id_col)
+        .distinct()
+        .groupBy(host_col)
+        .agg(F.count("*").alias("__host_docs"))
+    )
+    chunk_df = (
+        ex.select(host_col, "chunk", id_col)
+        .distinct()
+        .groupBy(host_col, "chunk")
+        .agg(F.count("*").alias("__df"))
+        .join(F.broadcast(host_docs), host_col)
+        .select(
+            host_col,
+            "chunk",
+            (
+                (F.col("__df") >= min_df)
+                & (F.col("__df") > F.lit(df_frac) * F.col("__host_docs"))
+            ).alias("__boiler"),
+        )
+    )
+
+    return (
+        ex.join(chunk_df, [host_col, "chunk"])
+        .groupBy(id_col, host_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("__boiler").cast("long")).alias("n_boiler"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("__boiler"), F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("__joined"),
+        )
+        .select(
+            id_col,
+            host_col,
+            "n_chunks",
+            "n_boiler",
+            F.when(
+                F.col("n_boiler") < F.col("n_chunks"), F.col("__joined")
+            ).alias("clean_text"),
+        )
+    )

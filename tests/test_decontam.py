@@ -135,3 +135,32 @@ def test_hash_keep_plan_has_no_exchange(spark):
 
     plan = _plan(spark.range(10).select(hash_keep(F.col("id"), 4)))
     assert "Exchange" not in plan
+
+
+def test_boilerplate_removal_drops_all_copies(spark):
+    from layerg_crawler_v2_spark.operators.dedup import boilerplate_chunk_removal
+
+    header = " ".join(f"nav{i}" for i in range(10))
+    bodies = {i: " ".join(f"b{i}w{j}" for j in range(10)) for i in range(4)}
+    rows = [(i, "hostA", f"{header} {bodies[i]}") for i in range(3)]
+    # hostB: single doc — its header chunk must NOT be boilerplate (df=1)
+    rows.append((9, "hostB", f"{header} {bodies[3]}"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in boilerplate_chunk_removal(df, chunk_words=10).collect()}
+    for i in range(3):  # header dropped from EVERY hostA doc, body kept
+        assert (out[i]["n_chunks"], out[i]["n_boiler"]) == (2, 1)
+        assert out[i]["clean_text"] == bodies[i]
+    assert out[9]["n_boiler"] == 0 and out[9]["clean_text"].startswith("nav0")
+
+
+def test_unigram_logprob_rare_words_score_higher(spark):
+    from layerg_crawler_v2_spark.operators.scoring import unigram_logprob_scores
+
+    common = " ".join(["the"] * 10)
+    rare = " ".join(f"zq{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, rare)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["avg_neg_logprob"] for r in
+           unigram_logprob_scores(df).collect()}
+    assert out[3] > out[1] and out[1] == out[2]
