@@ -397,3 +397,34 @@ class SnapshotStore:
 
     def destroy(self) -> None:
         shutil.rmtree(self.base, ignore_errors=True)
+
+    def diff(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        from_round: int,
+        to_round: int,
+    ) -> DataFrame:
+        """Changelog between two snapshots (Iceberg's CDC `table_changes`
+        analog): rows present at `to_round` but not `from_round` are
+        'insert', rows gone are 'delete'. Computed as two anti-joins over
+        the full row (all columns as the key), so it is exact for
+        append-only, replace, and compaction histories alike.
+
+        Scale note: anti-joins hash-partition on the full row; for the
+        common append-only case prefer reading only the delta dirs
+        (appends_since_replace_of) — this method is the general-history
+        fallback and the audit tool."""
+        cols = [f.name for f in schema.fields]
+        old = self.read(spark, table, schema, as_of_round=from_round)
+        new = self.read(spark, table, schema, as_of_round=to_round)
+        from pyspark.sql import functions as F  # local: keep module imports lean
+
+        inserts = new.join(old, on=cols, how="left_anti").withColumn(
+            "change_type", F.lit("insert")
+        )
+        deletes = old.join(new, on=cols, how="left_anti").withColumn(
+            "change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)

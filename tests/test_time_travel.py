@@ -199,3 +199,33 @@ def test_expired_store_resumes_a_crawl(spark, sf_dir, tmp_path):
         map(tuple, b.read(spark, "fetch_log", S.FETCH_LOG).collect())
     )
     assert fa == fb
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    """diff() = Iceberg table_changes analog: inserts between rounds equal
+    the later rounds' fetch_log rows; reversed bounds yield deletes."""
+    from layerg_crawler_v2_spark import schema as S
+    from layerg_crawler_v2_spark.datagen import build_pages, seed_urls
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import CrawlConfig, run_crawl
+
+    pages = build_pages(spark, "/root/testdata/sf0.001")
+    seeds = seed_urls(pages.count(), n_seeds=5)
+    store = SnapshotStore(str(tmp_path / "cdc"))
+    run_crawl(spark, pages, seeds, store, CrawlConfig(rounds=3))
+
+    first = store.snapshots()[0]["round"]
+    last = store.last_round()
+    d = store.diff(spark, "fetch_log", S.FETCH_LOG, first, last)
+    rows = d.collect()
+    assert rows and all(r["change_type"] == "insert" for r in rows)
+
+    expected = (
+        store.read(spark, "fetch_log", S.FETCH_LOG, as_of_round=last).count()
+        - store.read(spark, "fetch_log", S.FETCH_LOG, as_of_round=first).count()
+    )
+    assert len(rows) == expected
+
+    rev = store.diff(spark, "fetch_log", S.FETCH_LOG, last, first).collect()
+    assert len(rev) == expected
+    assert all(r["change_type"] == "delete" for r in rev)
