@@ -2539,21 +2539,23 @@ _PRIORITY = [
     # §2.7 set ops
     "set_anti_seen_diff", "set_union_seeds",
     # §2.8 scalar functions
-    "f3_lower_normalize", "f4_fixed_width_slice", "f5_bigint_string_arith",
+    "f3_lower_normalize", "f5_bigint_string_arith",
     "f2_hex_encode", "f8_template_substitution", "f9_rfc3339_format",
     "f10_json_extract", "f13_array_explode",
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
     # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
     # embeds the identical md5-of-normalized-text expression)
-    "text_token_count", "text_subword_tokens", "text_quality_score",
+    "text_token_count", "text_quality_score",
     "sitemap_parse_seeds", "text_lang_id",
     # dedup (connected_components' oracle embeds the identical lsh_pairs
     # CTE, so the demoted pairs entry is transitively driver-covered)
     "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
-    # r4 flagship LLM-pipeline ops: end-to-end fuzzy-dedup keeper election,
-    # two-pass prefix-sum sequence packing, PII scrub
+    # r4 flagship ops: end-to-end fuzzy-dedup keeper election, two-pass
+    # prefix-sum sequence packing, PII scrub, benchmark decontamination,
+    # crawl-trap detection
     "dedup_pipeline_keep_best", "seq_packing_contiguous", "text_pii_scrub",
+    "decontam_benchmark_overlap", "frontier_trap_filter",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
     # enrichment / dispatch / entities / backfill
@@ -2564,8 +2566,11 @@ _PRIORITY = [
     # r4 demotions: qb_ops_in_contains_null (same plans/query.py WhereInput
     # compiler as qb_resolve_single), agg_day_histogram (same groupBy-count
     # physics as a5_group_agg), entity_users_get_or_create (same anti-join
-    # get-or-create as j6_get_or_create_anti on another table).
+    # get-or-create as j6_get_or_create_anti on another table),
+    # text_subword_tokens (same regexp_count physics as text_token_count),
+    # f4_fixed_width_slice (same codegen projection as the other F rows).
     "qb_ops_in_contains_null", "agg_day_histogram", "entity_users_get_or_create",
+    "text_subword_tokens", "f4_fixed_width_slice",
     "j1_fk_expansion_join", "j2_derived_collect_list", "a4_balance_replay",
     "p3_sig_dispatch", "dedup_minhash_signatures", "p8_eq_where_order_limit",
     "dedup_minhash_lsh_pairs", "text_fingerprint",

@@ -47,6 +47,8 @@ def test_flagship_new_components_have_driver_rows():
         "dedup_pipeline_keep_best",
         "seq_packing_contiguous",
         "text_pii_scrub",
+        "decontam_benchmark_overlap",
+        "frontier_trap_filter",
     ):
         assert name in window, name
 
@@ -58,6 +60,8 @@ def test_demotions_have_in_window_twins():
         "qb_ops_in_contains_null": "qb_resolve_single",
         "agg_day_histogram": "a5_group_agg",
         "entity_users_get_or_create": "j6_get_or_create_anti",
+        "text_subword_tokens": "text_token_count",
+        "f4_fixed_width_slice": "f3_lower_normalize",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
