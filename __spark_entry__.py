@@ -2522,6 +2522,271 @@ def lang_profile_q(spark, sf):
     )
 
 
+# --- r4 session-3 flagships: graph, search, sessions, bucketing -------------
+
+_PAGERANK_DUCK = """
+WITH edges AS (
+  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+  FROM events WHERE user_id % 40 <> event_id % 40
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes),
+i1 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n2.node,
+              ((15 * 1000000000000) // (SELECT n FROM nn)) // 100
+              + (85 * coalesce(i.inc, 0)) // 100 AS rank
+       FROM nodes n2 LEFT JOIN i1 i ON i.node = n2.node),
+i2 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n2.node,
+              ((15 * 1000000000000) // (SELECT n FROM nn)) // 100
+              + (85 * coalesce(i.inc, 0)) // 100 AS rank
+       FROM nodes n2 LEFT JOIN i2 i ON i.node = n2.node),
+i3 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n2.node,
+              ((15 * 1000000000000) // (SELECT n FROM nn)) // 100
+              + (85 * coalesce(i.inc, 0)) // 100 AS rank
+       FROM nodes n2 LEFT JOIN i3 i ON i.node = n2.node)
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+
+
+@_q("link_graph_pagerank", _PAGERANK_DUCK)
+def pagerank_q(spark, sf):
+    """Batch PageRank over a link graph — the offline twin of the
+    scheduler's online OPIC priority (SURVEY §2 W-rows; the reference
+    orders its queue by per-host score, internal/worker/worker.go:35-74,
+    and OPIC is PageRank-computed-while-crawling). 3 unrolled power
+    iterations in integer 'cash' arithmetic (operators/graph.py) so the
+    DuckDB oracle — the same recurrence as 3 chained CTEs — matches
+    bit-for-bit: every division is integer division, every sum a BIGINT
+    sum, no float anywhere. Edges derive deterministically from events
+    (user_id % 40 -> event_id % 40), the sandbox stand-in for the crawl
+    outlink graph (frontier_pagerank_hosts runs the same operator on real
+    extracted outlinks, rows-only)."""
+    from layerg_crawler_v2_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.select(
+            F.expr("CAST(user_id % 40 AS BIGINT)").alias("src"),
+            F.expr("CAST(event_id % 40 AS BIGINT)").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+_BM25_DUCK = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tt AS (SELECT sum(dl) AS t_total FROM dl),
+q AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('join', 'vector', 'scan') GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT q.doc_id,
+         (((SELECT n_docs FROM nd) * 10000) // f.df) * q.tf * 44
+           * (SELECT t_total FROM tt)
+           // (20 * q.tf * (SELECT t_total FROM tt)
+               + 6 * (SELECT t_total FROM tt)
+               + 18 * d.dl * (SELECT n_docs FROM nd)) AS term_score
+  FROM q JOIN dfq f ON f.tok = q.tok JOIN dl d ON d.doc_id = q.doc_id
+)
+SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_scaled
+FROM scored GROUP BY doc_id
+ORDER BY score_scaled DESC, doc_id LIMIT 10
+"""
+
+
+@_q("bm25_keyword_topk", _BM25_DUCK)
+def bm25_q(spark, sf):
+    """Ranked keyword retrieval over the corpus: top-10 documents by
+    integer-exact BM25 (k1=1.2, b=0.75 as cleared rationals,
+    operators/search.py) for a fixed 3-term query. The reference's query
+    service answers key lookups (internal/services/query_service.go);
+    ranked full-text search is the webtext pipeline's retrieval analog —
+    decontamination spot-checks, corpus slicing, 'find docs about X'.
+    Deterministic LIMIT: ORDER BY (score desc, doc_id) on both engines."""
+    from layerg_crawler_v2_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), terms=["join", "vector", "scan"], k=10
+    )
+
+
+_SESSIONIZE_DUCK = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch_us(ts)
+                 - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                 > 14400000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+         AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@_q("events_sessionize", _SESSIONIZE_DUCK)
+def sessionize_q(spark, sf):
+    """Inactivity-gap sessionization (4h gap) via Spark's NATIVE
+    F.session_window — one groupBy, streaming-transferable — against a
+    gaps-and-islands DuckDB oracle (lag + cumulative-sum islands), pinning
+    the merge-on-touch boundary semantics microsecond-exact
+    (operators/sessions.py; the boundary fixture lives in
+    tests/test_sessions.py). The per-batch rollup twin is SURVEY §2 A5
+    (worker.go's per-block drain); sessions are its wall-clock-gap
+    generalization."""
+    from layerg_crawler_v2_spark.operators.sessions import sessionize
+
+    sess = sessionize(_t(spark, sf, "events"), gap="4 hours")
+    return sess.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        F.round(F.col("total_dec").cast("double"), 2).alias("total_value"),
+    )
+
+
+_BUCKETS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+f AS (SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN tok IN ('the','a','of','to','and','in','is','on')
+                      THEN 1 ELSE 0 END) AS n_stop
+      FROM toks GROUP BY doc_id),
+sc AS (SELECT doc_id,
+              CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS score_scaled
+       FROM f)
+SELECT doc_id, score_scaled,
+       CASE WHEN ntile(3) OVER (ORDER BY score_scaled DESC, doc_id) = 1
+                 THEN 'head'
+            WHEN ntile(3) OVER (ORDER BY score_scaled DESC, doc_id) = 2
+                 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc
+"""
+
+
+@_q("ccnet_quality_buckets", _BUCKETS_DUCK)
+def quality_buckets_q(spark, sf):
+    """CCNet's head/middle/tail corpus split by quality score. Score =
+    stopword density in integer ppm (operators/scoring.py) — bit-identical
+    cross-engine where unigram_logprob's ln() is not — then an exact
+    ntile(3) over the unique (score desc, doc_id) order. The oracle runs
+    the identical exact split; the 10^10-doc plan is
+    quality_buckets_approx (approxQuantile thresholds broadcast into a
+    shuffle-free CASE), asserted equivalent away from ties in
+    tests/test_scoring.py."""
+    from layerg_crawler_v2_spark.operators.scoring import (
+        quality_buckets_exact,
+        stopword_density_score,
+    )
+
+    scores = stopword_density_score(_t(spark, sf, "documents"))
+    return quality_buckets_exact(scores)
+
+
+@_q("frontier_pagerank_hosts", None)  # real extracted link graph: not SQL
+def pagerank_hosts_q(spark, sf):
+    """The same integer PageRank operator on the REAL crawl link graph:
+    pages -> tree-extracted outlinks (functions/extract.py) -> RFC3986
+    canonicalization (functions/canon.py) -> cross-host edges -> 3
+    iterations over host nodes (string keys; operators/graph.py does no
+    arithmetic on ids). This is the offline recompute of the scheduler's
+    OPIC priority (internal/worker/worker.go:35-74's queue score) a
+    production crawl would run between waves to re-seed frontier priority.
+    Self-loops (intra-host links) are dropped: host-level rank should
+    measure cross-host endorsement, not nav-bar density."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.functions.canon import canonicalize_udf
+    from layerg_crawler_v2_spark.functions.extract import extract_outlinks_udf
+    from layerg_crawler_v2_spark.operators.graph import pagerank
+
+    pages = build_pages(spark, sf)
+    edges = (
+        pages.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("src"),
+            F.explode(extract_outlinks_udf(F.col("html"))).alias("href"),
+        )
+        .select("src", canonicalize_udf(F.col("href")).alias("dst_url"))
+        .filter(F.col("dst_url").isNotNull())
+        .select("src", F.parse_url(F.col("dst_url"), F.lit("HOST")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("node").alias("host"), "rank"
+    ).orderBy(F.col("rank").desc(), "host")
+
+
+@_q("anchor_text_index", None)  # HTML tree parse: not SQL-expressible
+def anchor_index_q(spark, sf):
+    """Anchor-text index over the real corpus: tree-extracted (href, text)
+    pairs (functions/extract.py:_AnchorExtractor — browser rule for nested
+    <a>, CDATA/comment contexts excluded) -> canonicalized target ->
+    per-target in-link count + sorted distinct anchor texts
+    (operators/search.py). Anchor text is the classic retrieval/labeling
+    signal the crawl should surface; the generator corpus's hrefs are
+    absolute, so no base resolution is needed here (the crawl round's
+    resolve_fast_col handles relatives on the real path)."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.functions.canon import canonicalize_udf
+    from layerg_crawler_v2_spark.functions.extract import extract_anchors_udf
+    from layerg_crawler_v2_spark.operators.search import anchor_text_index
+
+    pages = build_pages(spark, sf)
+    pairs = (
+        pages.select(F.explode(extract_anchors_udf(F.col("html"))).alias("a"))
+        .select(
+            canonicalize_udf(F.col("a.href")).alias("dst"),
+            F.col("a.anchor").alias("anchor"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
+
+
 _PRIORITY = [
     # §2.2 projections / filters
     "p1_projection_pruning", "p6_null_semantics", "p4_comparison_filter",
@@ -2534,13 +2799,19 @@ _PRIORITY = [
     "a1_distinct", "a2_unique_set_first", "a3_min_fold", "a5_group_agg",
     # §2.5 windows
     "w2_topk_per_key", "w3_lag_pacing",
-    # §2.6 sorts / pagination
-    "o1_order_passthrough", "o2_topn_by_time", "o3_pagination",
-    # §2.7 set ops
-    "set_anti_seen_diff", "set_union_seeds",
-    # §2.8 scalar functions
+    # §2.6 sorts / pagination (o1_order_passthrough demoted r4s3: same
+    # global ORDER BY + LIMIT physics as the in-window o2_topn_by_time)
+    "o2_topn_by_time", "o3_pagination",
+    # §2.7 set ops (set_union_seeds demoted r4s3: UNION physics is embedded
+    # in dedup_pipeline_keep_best's in-window oracle CTE)
+    "set_anti_seen_diff",
+    # §2.8 scalar functions (f2_hex_encode demoted r4s3: same
+    # single-expression codegen projection as f3, and hex-string parity is
+    # embedded in every in-window md5 dedup oracle; f9_rfc3339_format
+    # demoted r4s3: strftime/date_format parity is embedded in a3_min_fold's
+    # and o2_topn_by_time's in-window oracles)
     "f3_lower_normalize", "f5_bigint_string_arith",
-    "f2_hex_encode", "f8_template_substitution", "f9_rfc3339_format",
+    "f8_template_substitution",
     "f10_json_extract", "f13_array_explode",
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
@@ -2556,6 +2827,11 @@ _PRIORITY = [
     # crawl-trap detection
     "dedup_pipeline_keep_best", "seq_packing_contiguous", "text_pii_scrub",
     "decontam_benchmark_overlap", "frontier_trap_filter",
+    # r4 session-3 flagships: integer-exact link-graph PageRank (offline
+    # OPIC twin), rational-BM25 retrieval, native session windows vs a
+    # gaps-and-islands oracle, CCNet head/middle/tail bucketing
+    "link_graph_pagerank", "bm25_keyword_topk", "events_sessionize",
+    "ccnet_quality_buckets",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
     # enrichment / dispatch / entities / backfill
@@ -2575,6 +2851,9 @@ _PRIORITY = [
     "p3_sig_dispatch", "dedup_minhash_signatures", "p8_eq_where_order_limit",
     "dedup_minhash_lsh_pairs", "text_fingerprint",
     "text_repetition_stats", "dedup_ngram_coverage",
+    # r4 session-3 demotions (rationales at their old window positions)
+    "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
+    "f9_rfc3339_format",
 ]
 
 _REGISTRY = {

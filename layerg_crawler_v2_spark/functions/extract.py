@@ -24,7 +24,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 # blocks dropped wholesale from TEXT (content-free for text extraction):
 # head, script, style, nav. Outlink extraction deliberately uses a SMALLER
@@ -176,6 +176,66 @@ def extract_outlinks(html: bytes | None) -> list[str]:
     return p.hrefs
 
 
+class _AnchorExtractor(HTMLParser):
+    """(href, anchor_text) pairs in document order.
+
+    Same DOM discipline as _OutlinkExtractor (script/style CDATA and
+    comments emit no starttags, so nothing inside them is an anchor), plus
+    the browser rule for nested <a>: an <a> opening inside an open <a>
+    implicitly closes the outer one (HTML forbids nesting; html.parser
+    doesn't auto-close, so we do). Anchor text is the whitespace-collapsed
+    concatenation of text nodes between the tags — the form an anchor-text
+    index wants as a retrieval/quality signal per target URL."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append(
+                (self._href, " ".join("".join(self._buf).split()))
+            )
+        self._href, self._buf = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self._href = v
+                    break
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()  # unclosed trailing <a>: keep it, like a browser
+
+
+def extract_anchors(html: bytes | None) -> list[tuple[str, str]]:
+    """All DOM (<a href>, anchor text) pairs, document order. Parser-only —
+    anchor TEXT needs tree context the href fast path above cannot prove,
+    and this feeds index builds (once per corpus), not the per-round crawl
+    hot path; extract_outlinks stays the crawl's fast link decoder."""
+    if html is None:
+        return []
+    if bytes(html).lower().count(b"href") == 0:
+        return []
+    p = _AnchorExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.anchors
+
+
 # --- charset sniffing (WHATWG encoding-sniffing subset) ---------------------
 #
 # The pinned extraction invariant stays UTF-8 (input_hint: byte-identical
@@ -256,3 +316,11 @@ def extract_text_udf(htmls: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def extract_outlinks_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_outlinks, na_action="ignore")
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+])))
+def extract_anchors_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_anchors, na_action="ignore")

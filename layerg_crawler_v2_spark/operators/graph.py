@@ -1,0 +1,103 @@
+"""Link-graph PageRank: the batch analog of the crawler's OPIC priority.
+
+The reference maintains crawl priority as an online OPIC cash flow
+(SURVEY.md S2/W-rows; the Go scheduler's per-host score mirrors
+`internal/worker/worker.go`'s queue ordering) — OPIC is literally
+"PageRank computed incrementally while crawling" (Abiteboul et al.,
+WWW'03). A batch engine over the same link graph wants the offline twin:
+k power-iteration rounds of PageRank over (src, dst) edges, so recrawl
+priority / seed scoring can be recomputed from a frontier snapshot.
+
+Cross-engine exactness (the repo's DECIMAL discipline, taken further):
+floating-point PageRank is order-dependent — a sum of doubles shuffled
+differently disagrees in the last ulp, and a DuckDB oracle would
+hash-mismatch. So ranks are integer "cash": the total mass starts as
+`scale` (default 1e12) split evenly, every division is *integer* division
+(`div` in Spark, `//` in DuckDB), and every sum is a sum of BIGINTs —
+associative, commutative, exact on any engine at any partitioning. The
+damping update is
+
+    rank' = ((100-d)*scale div n) div 100  +  (d * incoming) div 100
+
+with d=85, i.e. classic 0.85 damping in hundredths. Mass lost to floor
+rounding and dangling nodes is deliberately dropped (documented, bounded
+by n_nodes + dangling share per round) — both engines drop it identically.
+
+Scale shape (the part that must survive 10^10 URLs):
+  * each iteration is ONE shuffle: edges join ranks on src (broadcast-free,
+    both sides hash-partitioned on src; outdeg is co-partitioned on the
+    same key so AQE coalesces it into the same exchange), then a
+    groupBy(dst) whose map-side partial sums shrink the exchange to one
+    row per distinct dst per partition;
+  * the node set and its count are computed once and reused; the count
+    reaches the plan as a broadcast scalar, never a driver round-trip
+    inside the loop;
+  * k is small and fixed (power iteration converges geometrically; the
+    crawler analog recomputes priorities between crawl waves, it does not
+    iterate to 1e-9) — the lazy plan is k joins deep, which Catalyst
+    handles fine for k <= ~10; a production run at 10^10 edges would
+    checkpoint `ranks` every few iterations to cut lineage, exactly like
+    the frontier's every-K compaction (streaming/rounds.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 1_000_000_000_000
+DAMP_PCT = 85  # 0.85 damping, in hundredths so the update stays integer
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = PAGERANK_SCALE,
+    damp_pct: int = DAMP_PCT,
+) -> DataFrame:
+    """k rounds of integer-exact PageRank over distinct (src, dst) edges.
+
+    Returns (node BIGINT, rank BIGINT) with sum(rank) <= scale. Callers
+    pass edges already DISTINCT (duplicate edges would double-count cash,
+    matching neither PageRank nor the oracle).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0 <= damp_pct <= 100:
+        raise ValueError(f"damp_pct must be in [0, 100], got {damp_pct}")
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    total = nodes.agg(F.count("*").alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    # even split of the integer mass; the floor remainder (< n_nodes) is
+    # dropped identically on both engines
+    ranks = nodes.crossJoin(F.broadcast(total)).select(
+        "node", F.expr(f"{scale} div n_nodes").alias("rank")
+    )
+    base = F.expr(f"(({100 - damp_pct} * {scale}) div n_nodes) div {100}")
+
+    for _ in range(iterations):
+        incoming = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(f"({damp_pct} * coalesce(inc, CAST(0 AS BIGINT))) div 100")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))

@@ -48,3 +48,81 @@ def unigram_logprob_scores(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# --- CCNet-style quality bucketing (head / middle / tail) -------------------
+
+QUALITY_SCALE = 1_000_000
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+
+
+def stopword_density_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, score_scaled BIGINT): stopword density in parts-per-million.
+
+    Stopword density is the classic cheap quality signal (Gopher rule G4 in
+    operators/traps.py's sibling gate uses the same intuition): natural
+    prose carries function words at a stable rate; keyword soup and
+    boilerplate don't. Integer parts-per-million ((n_stop * 1e6) div
+    n_tokens) keeps the score — and therefore every downstream ORDER BY —
+    bit-identical across engines, which float scores (unigram_logprob's
+    ln()) cannot guarantee; that is why the BUCKETING oracle keys on this
+    score and not on avg_neg_logprob.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("tok").isin(*STOPWORDS).cast("bigint")).alias("n_stop"),
+        )
+        .select(
+            id_col,
+            F.expr(f"(n_stop * {QUALITY_SCALE}) div n_tokens").alias("score_scaled"),
+        )
+    )
+
+
+def quality_buckets_exact(
+    scores: DataFrame, id_col: str = "doc_id", n_buckets: int = 3
+) -> DataFrame:
+    """CCNet's head/middle/tail split, exact: ntile over the unique total
+    order (score desc, id). This is the ORACLE path — a global sort whose
+    single-partition window is fine at validation scale but is NOT the
+    10^10-doc plan; that is quality_buckets_approx below.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col(id_col))
+    names = F.when(F.ntile(n_buckets).over(w) == 1, "head").when(
+        F.ntile(n_buckets).over(w) == 2, "middle"
+    ).otherwise("tail")
+    return scores.select(id_col, "score_scaled", names.alias("bucket"))
+
+
+def quality_buckets_approx(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    probs: tuple[float, ...] = (1 / 3, 2 / 3),
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The scale path: approxQuantile thresholds (Greenwald-Khanna sketch,
+    one pass, driver gets len(probs) doubles) broadcast into a shuffle-free
+    per-row CASE — no global sort, no single-partition window. CCNet itself
+    buckets by precomputed percentile cutoffs the same way. At small data
+    the sketch is exact, so test_scoring.py asserts agreement with
+    quality_buckets_exact away from threshold ties.
+    """
+    lo, hi = scores.approxQuantile("score_scaled", list(probs), rel_err)
+    return scores.select(
+        id_col,
+        "score_scaled",
+        F.when(F.col("score_scaled") > F.lit(hi), "head")
+        .when(F.col("score_scaled") > F.lit(lo), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -49,6 +49,11 @@ def test_flagship_new_components_have_driver_rows():
         "text_pii_scrub",
         "decontam_benchmark_overlap",
         "frontier_trap_filter",
+        # r4 session-3 flagships
+        "link_graph_pagerank",
+        "bm25_keyword_topk",
+        "events_sessionize",
+        "ccnet_quality_buckets",
     ):
         assert name in window, name
 
@@ -62,6 +67,11 @@ def test_demotions_have_in_window_twins():
         "entity_users_get_or_create": "j6_get_or_create_anti",
         "text_subword_tokens": "text_token_count",
         "f4_fixed_width_slice": "f3_lower_normalize",
+        # r4 session-3 demotions (rationales in _PRIORITY comments)
+        "o1_order_passthrough": "o2_topn_by_time",
+        "set_union_seeds": "dedup_pipeline_keep_best",
+        "f2_hex_encode": "f3_lower_normalize",
+        "f9_rfc3339_format": "o2_topn_by_time",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted

@@ -305,3 +305,61 @@ def test_decode_html_udf_batch(spark):
     assert got[1] == ("windows-1252", '<meta charset="windows-1252">café')
     assert got[2] == ("utf-8", "plain utf-8 é")
     assert got[3] == (None, None)
+
+
+# --- anchor-text extraction (r4s3) ------------------------------------------
+
+
+def test_anchors_basic_pairs():
+    from layerg_crawler_v2_spark.functions.extract import extract_anchors
+
+    html = b'<p><a href="/a">First  Link</a> mid <a href="/b">b</a></p>'
+    assert extract_anchors(html) == [("/a", "First Link"), ("/b", "b")]
+
+
+def test_anchors_whitespace_collapsed_and_nested_tags():
+    from layerg_crawler_v2_spark.functions.extract import extract_anchors
+
+    html = b'<a href="/x"> hello <b>bold\n world </b> </a>'
+    assert extract_anchors(html) == [("/x", "hello bold world")]
+
+
+def test_anchors_nested_a_auto_closes():
+    from layerg_crawler_v2_spark.functions.extract import extract_anchors
+
+    # browser rule: the inner <a> implicitly closes the outer one
+    html = b'<a href="/outer">out<a href="/inner">in</a>tail</a>'
+    assert extract_anchors(html) == [("/outer", "out"), ("/inner", "in")]
+
+
+def test_anchors_skip_script_comment_and_unclosed_trailing():
+    from layerg_crawler_v2_spark.functions.extract import extract_anchors
+
+    html = (
+        b'<script>var s = \'<a href="/fake">x</a>\';</script>'
+        b'<!-- <a href="/ghost">g</a> -->'
+        b'<a href="/real">kept'
+    )
+    assert extract_anchors(html) == [("/real", "kept")]
+
+
+def test_anchors_empty_and_none():
+    from layerg_crawler_v2_spark.functions.extract import extract_anchors
+
+    assert extract_anchors(None) == []
+    assert extract_anchors(b"<p>no links</p>") == []
+    assert extract_anchors(b'<a href="/e"></a>') == [("/e", "")]
+
+
+def test_anchors_agree_with_outlinks_on_generator_corpus(spark, sf_dir):
+    """The href sequence of extract_anchors must equal extract_outlinks
+    on every generator page (same DOM discipline, two extractors)."""
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_anchors,
+        extract_outlinks,
+    )
+
+    for row in build_pages(spark, sf_dir).select("html").limit(200).collect():
+        h = row["html"]
+        assert [a for a, _ in extract_anchors(h)] == extract_outlinks(h)

@@ -1,0 +1,88 @@
+"""Integer-exact PageRank (operators/graph.py): pure-python recurrence
+parity, mass accounting, ordering sanity, partitioning-invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from layerg_crawler_v2_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+
+def py_pagerank(edges, iterations=3, scale=PAGERANK_SCALE, damp=85):
+    """The same integer recurrence, sequentially (the <20-LoC oracle style
+    of tests/reference_sim.py)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = ((100 - damp) * scale // n) // 100
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] // deg[s]
+        rank = {v: base + (damp * inc[v]) // 100 for v in nodes}
+    return rank
+
+
+EDGES = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (4, 1)]
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["rank"] for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_matches_python_recurrence(spark):
+    got = _spark_ranks(spark, EDGES, iterations=3)
+    assert got == py_pagerank(EDGES, iterations=3)
+
+
+def test_single_iteration_matches(spark):
+    got = _spark_ranks(spark, EDGES, iterations=1)
+    assert got == py_pagerank(EDGES, iterations=1)
+
+
+def test_mass_bounded_and_positive(spark):
+    got = _spark_ranks(spark, EDGES, iterations=3)
+    total = sum(got.values())
+    # floor rounding + the dangling share may only LOSE mass, never create
+    assert 0 < total <= PAGERANK_SCALE
+    assert all(r > 0 for r in got.values())
+
+
+def test_hub_outranks_leaves(spark):
+    # star: everyone links to 9; 9 links back to 0 only
+    star = [(i, 9) for i in range(9)] + [(9, 0)]
+    got = _spark_ranks(spark, star, iterations=3)
+    assert got[9] == max(got.values())
+    # leaves 1..8 are symmetric: identical integer ranks
+    assert len({got[i] for i in range(1, 9)}) == 1
+
+
+def test_partitioning_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    one = {r["node"]: r["rank"] for r in pagerank(df.coalesce(1)).collect()}
+    many = {r["node"]: r["rank"] for r in pagerank(df.repartition(7)).collect()}
+    assert one == many
+
+
+def test_rejects_bad_params(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damp_pct=101)
+
+
+def test_dangling_mass_dropped_identically(spark):
+    # node 3 has no outlinks: its cash vanishes each round on BOTH the
+    # Spark side and the python recurrence (documented semantics)
+    dangle = [(1, 2), (2, 3), (1, 3)]
+    assert _spark_ranks(spark, dangle, iterations=2) == py_pagerank(
+        dangle, iterations=2
+    )
