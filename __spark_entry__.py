@@ -2787,6 +2787,42 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_PMI_DUCK = """
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+uni AS (SELECT u.w AS w, count(*) AS c
+        FROM (SELECT unnest(ws) AS w FROM w) u GROUP BY u.w),
+t1 AS (SELECT sum(c) AS t1 FROM uni),
+t2 AS (SELECT sum(greatest(len(ws) - 1, 0)) AS t2 FROM w),
+big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, UNNEST(range(1, len(ws))) t(i)),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2
+       HAVING count(*) >= 5)
+SELECT bc.w1, bc.w2, CAST(c_xy AS BIGINT) AS pair_count,
+       CAST(((((c_xy * (SELECT t1 FROM t1)) // ux.c)
+               * (SELECT t1 FROM t1)) // uy.c)
+            * 1000000 // (SELECT t2 FROM t2) AS BIGINT) AS pmi_ratio_scaled
+FROM bc JOIN uni ux ON ux.w = bc.w1 JOIN uni uy ON uy.w = bc.w2
+ORDER BY pmi_ratio_scaled DESC, w1, w2 LIMIT 20
+"""
+
+
+@_q("collocations_pmi", _PMI_DUCK)
+def collocations_q(spark, sf):
+    """Top-20 adjacent-word collocations by integer-staged PMI
+    (operators/search.py): phrase discovery for tokenizer vocab /
+    boilerplate mining. Bigrams never leave the row (whole-stage-codegen
+    array transform, no posexplode self-join); unigram table broadcast;
+    identical floor-division staging on both engines makes the ranking
+    score bit-exact."""
+    from layerg_crawler_v2_spark.operators.search import collocations_pmi_topk
+
+    return collocations_pmi_topk(_t(spark, sf, "documents"), k=20, min_count=5)
+
+
 _PRIORITY = [
     # §2.2 projections / filters
     "p1_projection_pruning", "p6_null_semantics", "p4_comparison_filter",

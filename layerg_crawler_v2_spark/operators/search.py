@@ -146,3 +146,86 @@ def anchor_text_index(
             )
         ).alias("anchors"),
     )
+
+
+PMI_SCALE = 1_000_000
+
+
+def collocations_pmi_topk(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information — the standard corpus-analytics pass for phrase discovery
+    (tokenizer vocab candidates, named-entity seeds, boilerplate phrase
+    mining; Church & Hanks, CL'90). PMI's exp form
+    P(xy) / (P(x)P(y)) = c_xy * T1^2 / (T2 * c_x * c_y) is computed as the
+    STAGED integer expression
+
+        ((((c_xy * T1) div c_x) * T1) div c_y) * PMI_SCALE div T2
+
+    — staging keeps every intermediate bounded (after `div c_x` the value
+    is <= T1 because c_x >= c_xy), and both engines evaluate the IDENTICAL
+    staging, so the score is bit-exact cross-engine; the floors cost
+    relative precision ~1/c_xy — noise for a RANKING statistic at
+    min_count >= 5, which also kills PMI's classic singleton explosion
+    before the join. Int64 envelope: T1^2 * PMI_SCALE / c_y-ish worst case
+    holds through ~1e6-token corpora per the same headroom discipline as
+    bm25_topk; a 10^12-token corpus computes unigram/bigram counts
+    per-shard first (counts compose additively) before one global score
+    pass.
+
+    Scale shape: bigrams come from ONE whole-stage-codegen array transform
+    (slice + indexed lambda) — adjacency never leaves the row, no
+    posexplode self-join, no window; the bigram groupBy is map-side
+    combined; unigram counts are vocab-sized and broadcast into the score
+    join; the only global sort is the final TakeOrderedAndProject top-k.
+    """
+    docs = df.select(
+        F.expr(
+            f"filter(split(lower({text_col}), '[^a-z]+'), x -> x != '')"
+        ).alias("t")
+    )
+    uni = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    t1 = uni.agg(F.sum("c").alias("t1"))
+    t2 = docs.agg(
+        F.sum(F.greatest(F.expr("size(t) - 1"), F.lit(0))).alias("t2")
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    ux = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bc.join(F.broadcast(ux), "w1")
+        .join(F.broadcast(uy), "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("pair_count"),
+            F.expr(
+                "((((c_xy * t1) div c_x) * t1) div c_y)"
+                f" * {PMI_SCALE} div t2"
+            ).cast("bigint").alias("pmi_ratio_scaled"),
+        )
+        .orderBy(F.col("pmi_ratio_scaled").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -10,9 +10,11 @@ separated by an inactivity gap, then aggregate per burst — the canonical
 Spark side: `F.session_window(ts, gap)` — the NATIVE operator, one
 groupBy(user, session_window) that Catalyst executes as a sort-merge
 within user partitions and that transfers verbatim to Structured
-Streaming (the same call sessionizes the live head-poll stream in
-streaming/live.py's watermark regime, with state eviction for free).
-No window-function self-join, no driver loops.
+Streaming: tests/test_sessions.py runs THIS function over a file-source
+stream with a watermark and asserts batch parity (complete output mode —
+Spark rejects update mode for session-window aggs, and append emits a
+session only once the watermark passes its end). No window-function
+self-join, no driver loops.
 
 Semantics pinned cross-engine: two consecutive events of the same user
 belong to one session iff ts2 - ts1 <= gap, microsecond-exact — Spark

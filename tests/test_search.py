@@ -131,3 +131,45 @@ def test_anchor_index_entry_hub_receives_most_inlinks(spark, sf_dir):
         assert "/d/" in r["dst"]
         assert r["anchors"] == sorted(set(r["anchors"]))
         assert all(a.startswith("l") for a in r["anchors"])
+
+
+def test_collocations_pmi(spark):
+    from layerg_crawler_v2_spark.operators.search import (
+        PMI_SCALE,
+        collocations_pmi_topk,
+    )
+
+    # "san francisco" always adjacent (PMI high); "the x" pairs spread
+    # across many partners (PMI ~1x baseline)
+    # 'is' follows 'francisco' but is 3x as frequent, so (francisco, is)
+    # scores a third of (san, francisco) — unique top pair
+    docs = [
+        (i, "san francisco is the spot is the place is the area")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations_pmi_topk(df, k=5, min_count=5).collect()
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    assert top["pair_count"] == 6
+    # staged-integer score equals the hand-computed staging
+    t1 = 6 * 11  # tokens per doc * docs
+    t2 = 6 * 10
+    c_xy, c_x, c_y = 6, 6, 6
+    want = ((((c_xy * t1) // c_x) * t1) // c_y) * PMI_SCALE // t2
+    assert top["pmi_ratio_scaled"] == want
+    # an always-adjacent exclusive pair must beat a promiscuous one
+    the_pairs = [r for r in rows if r["w1"] == "the"]
+    assert all(top["pmi_ratio_scaled"] > r["pmi_ratio_scaled"] for r in the_pairs)
+
+
+def test_collocations_single_token_docs_no_bigrams(spark):
+    from layerg_crawler_v2_spark.operators.search import collocations_pmi_topk
+
+    df = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    # min_count=1 so the lone bigram (a,b) survives; 1-token and empty
+    # docs contribute nothing and crash nothing
+    rows = collocations_pmi_topk(df, k=5, min_count=1).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]

@@ -108,3 +108,51 @@ def test_parity_on_random_fixture(spark):
         for _ in range(400)
     ]
     assert _sessions(spark, rows) == py_sessions(rows)
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """The SAME sessionize() call runs under Structured Streaming (the
+    claim in operators/sessions.py): file-source stream, watermark,
+    complete mode (session-window aggs reject update mode; append would
+    hold back sessions the final watermark never passes). The complete-
+    mode table is the fully-merged session set — asserted equal to the
+    batch plan."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randrange(4),
+            T0 + timedelta(seconds=rng.randrange(2_000_000)),
+            round(rng.uniform(0, 3), 2),
+        )
+        for _ in range(200)
+    ]
+    batch_df = _events(spark, rows)
+    feed = str(tmp_path / "sess_feed")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(feed)
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        sessionize(stream, gap="4 hours")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_dec"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_dec"])
+        for r in sessionize(batch_df, gap="4 hours").collect()
+    )
+    assert got == want and len(got) > 4
