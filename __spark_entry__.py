@@ -2787,6 +2787,23 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+@_q("heavy_hitters_sketch", None)  # xxhash64 cell placement: not SQL
+def heavy_hitters_q(spark, sf):
+    """Shuffle-light hot-key detection: count-min sketch (d tiny bounded-
+    domain groupBys whose exchange is sketch-sized, not data-sized) + a
+    one-Arrow-pass candidate scan + broadcast probe join
+    (operators/sketch.py). This is the monitoring pass that FEEDS the
+    scheduler's hot-host salting (operators/scheduler.py:70-79; SURVEY §4
+    skew row) without paying a distinct-key shuffle every round. Exact
+    parity and the CMS upper-bound guarantee are pinned in
+    tests/test_sketch.py; rows-only here because DuckDB cannot reproduce
+    Spark's xxhash64 cell placement."""
+    from layerg_crawler_v2_spark.operators.sketch import heavy_hitters_topk
+
+    ev = _t(spark, sf, "events")
+    return heavy_hitters_topk(ev, "user_id", k=10)
+
+
 _PMI_DUCK = """
 WITH w AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),

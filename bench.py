@@ -56,6 +56,9 @@ HEADLINE = [
     "dedup_simhash",           # JVM simhash (r3: explode→xxhash64→bit-majority;
                                # new headline entry per VERDICT r2 #4)
     "ann_cosine_topk",         # brute-force cosine top-k over embeddings
+    "link_graph_pagerank",     # r4s3: 3-iteration integer PageRank (3 shuffles)
+    "bm25_keyword_topk",       # r4s3: postings-proportional BM25 retrieval
+    "events_sessionize",       # r4s3: native session windows (1 shuffle)
 ]
 
 CRAWL_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))

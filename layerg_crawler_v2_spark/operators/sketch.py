@@ -1,0 +1,118 @@
+"""Heavy hitters without a full shuffle: count-min sketch + candidate pass.
+
+Hot-key detection is the crawl scheduler's skew problem (SURVEY.md §4
+salting row; operators/scheduler.py splits hot hosts with deterministic
+salt): before you can salt a hot host you must FIND it, and the obvious
+`groupBy(key).count()` shuffles one row per distinct key — at 10^10 URLs
+the distinct-host exchange is exactly the thing a monitoring pass cannot
+afford every round. A count-min sketch (Cormode & Muthukrishnan, J.Alg'05)
+gives upper-bound counts in d*w BIGINT cells, mergeable by addition.
+
+Spark-first construction — NO sketch library, no per-row Python:
+  * hash positions are JVM columns: pos_i = pmod(xxhash64(key, i), w) —
+    one codegen projection, so the "sketch build" is d tiny groupBys over
+    a BOUNDED domain (w cells): map-side partial aggregation means each
+    task emits <= d*w rows REGARDLESS of input size; the exchange is
+    sketch-sized, not data-sized, which is the entire point;
+  * candidates come from ONE Arrow pass (mapInPandas value_counts head-m
+    per partition) — no shuffle; a global heavy hitter is by construction
+    locally heavy in at least one partition on average, and the m
+    overshoot (m = 4k default) absorbs adversarial splits
+    (property-tested on Zipf data in tests/test_sketch.py);
+  * estimates: broadcast-join the d*w-row sketch onto the candidates,
+    take the min over the d rows per candidate (CMS upper bound), top-k
+    by (estimate desc, key).
+
+Guarantees kept honest: estimate >= true count always (upper bound);
+estimate <= true + eps*N w.h.p. with eps = e/w; the candidate pass is the
+probabilistic part (a hitter split perfectly flat across thousands of
+partitions while staying under every local top-m is possible), so the
+EXACT twin — one groupBy — remains the verification path at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """(i, pos, cnt): the count-min cell counts for df[key_col].
+
+    d bounded-domain aggregations; each task's partial-agg output is
+    <= width rows per hash row, so the exchange is sketch-sized."""
+    key = F.col(key_col).cast("string")
+    parts = [
+        df.select(
+            F.lit(i).alias("i"),
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width)).alias("pos"),
+        )
+        .groupBy("i", "pos")
+        .agg(F.count("*").alias("cnt"))
+        for i in range(depth)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _local_candidates(df: DataFrame, key_col: str, m: int) -> DataFrame:
+    """Distinct union of each partition's top-m keys by local count — one
+    Arrow pass, no shuffle."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    src = df.select(F.col(key_col).cast("string").alias("k"))
+
+    def top_m(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for k, c in pdf["k"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        import pandas as pd
+
+        yield pd.DataFrame({"k": [k for k, _ in top]})
+
+    return src.mapInPandas(top_m, "k string").distinct()
+
+
+def heavy_hitters_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """Top-k keys by CMS-estimated count: (key, est_count) ordered by
+    (est desc, key). est_count >= the true count, always."""
+    sketch = cms_sketch(df, key_col, width, depth)
+    cands = _local_candidates(df, key_col, m=max(k * candidate_factor, k))
+    probes = cands.select(
+        "k",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(width)).alias(
+                        "pos"
+                    ),
+                )
+                for i in range(depth)
+            ])
+        ).alias("h"),
+    ).select("k", "h.i", "h.pos")
+    return (
+        probes.join(F.broadcast(sketch), ["i", "pos"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), "k")
+        .limit(k)
+        .select(F.col("k").alias(key_col), "est_count")
+    )
