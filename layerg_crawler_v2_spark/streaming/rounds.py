@@ -121,6 +121,16 @@ class CrawlConfig:
     frontier_compact_every: int = 16
     # >0 = hot-host skew split: salted pre-top-K window (identical output)
     scheduler_salt_buckets: int = 0
+    # >0 = DETECT the skew instead of pinning it: each round, estimate the
+    # hottest host's queue depth with the count-min sketch
+    # (operators/sketch.py — sketch-sized exchange, never a distinct-host
+    # shuffle) and raise the salt shard count so no (host, shard) slice
+    # holds more than ~this many queued urls, capped at 64 shards. 0 = off.
+    # Output-identical either way (select_for_fetch's salting identity);
+    # only the physical distribution — and one cheap monitoring job —
+    # changes. The chosen count is returned in run_round's metrics as
+    # `salt_buckets_used`.
+    scheduler_auto_salt_threshold: int = 0
     allow_hosts: list[str] | None = None
     # complement of allow_hosts: reject these hosts everywhere the allowlist
     # is consulted — the sink for host_quality_rollup's blocked bit. Both
@@ -258,9 +268,19 @@ def run_round(
     caches: list[DataFrame] = []  # intermediates to unpersist post-commit
 
     # 1. schedule: top-K per host, paced on the simulated round clock
+    salt_buckets = cfg.scheduler_salt_buckets
+    if cfg.scheduler_auto_salt_threshold > 0:
+        from ..operators.sketch import heavy_hitters_topk
+
+        top = heavy_hitters_topk(queued, "host", k=1).collect()
+        est = int(top[0]["est_count"]) if top else 0
+        if est > cfg.scheduler_auto_salt_threshold:
+            # CMS estimates never undercount, so `need` never under-shards
+            need = -(-est // cfg.scheduler_auto_salt_threshold)
+            salt_buckets = max(salt_buckets, min(64, need))
     selected = select_for_fetch(
         queued, hosts, round_no, cfg.default_delay_ms, cfg.default_max_parallel,
-        salt_buckets=cfg.scheduler_salt_buckets,
+        salt_buckets=salt_buckets,
     ).cache()
 
     # 2. simulated fetch: join selected ⋈ pages on canonical url. NO forced
@@ -571,7 +591,9 @@ def run_round(
         c.unpersist()
     if bloom_bc is not None:
         bloom_bc.destroy()
-    return dict(resolved)
+    out = dict(resolved)
+    out["salt_buckets_used"] = salt_buckets
+    return out
 
 
 def add_seeds(

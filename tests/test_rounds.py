@@ -455,3 +455,38 @@ def test_checkpoint_only_commit_uses_active_session(spark, tmp_path):
     )
     rows = store.read(spark, "checkpoints", S.CHECKPOINTS).collect()
     assert len(rows) == 1 and rows[0]["seen_count"] == 2
+
+
+def test_auto_salt_output_identical_and_engaged(spark, pages_df, seeds, tmp_path):
+    """scheduler_auto_salt_threshold: the CMS hot-host monitor raises the
+    salt shard count per round without changing one output row (the
+    salting identity select_for_fetch documents). Threshold 1 forces
+    engagement; run_round's salt_buckets_used metric proves it fired."""
+    from layerg_crawler_v2_spark.streaming.rounds import run_round
+
+    base = run_engine(spark, pages_df, seeds, str(tmp_path / "plain"))
+
+    store = SnapshotStore(str(tmp_path / "auto"))
+    cfg = CrawlConfig(rounds=ROUNDS, scheduler_auto_salt_threshold=1)
+    run_crawl(spark, pages_df, seeds, store, cfg)
+    assert fetch_log_tuples(spark, store) == fetch_log_tuples(spark, base)
+
+    # direct metric check on one more round of the auto store
+    from layerg_crawler_v2_spark.streaming.rounds import canonical_pages
+
+    pages_canon = canonical_pages(pages_df).cache()
+    m = run_round(
+        spark, store, pages_canon, None, None, store.last_round() + 1, cfg
+    )
+    assert m["salt_buckets_used"] >= 2  # threshold 1 => sharded
+    pages_canon.unpersist()
+
+    # default config never salts
+    store2 = SnapshotStore(str(tmp_path / "plain2"))
+    cfg2 = CrawlConfig(rounds=1)
+    run_crawl(spark, pages_df, seeds, store2, cfg2)
+    m2 = run_round(
+        spark, store2, canonical_pages(pages_df), None, None,
+        store2.last_round() + 1, cfg2,
+    )
+    assert m2["salt_buckets_used"] == 0
