@@ -2787,6 +2787,90 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_ASOF_DUCK = """
+WITH s AS (SELECT user_id, ts, max(CAST(value AS DECIMAL(30,2))) AS sval
+           FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 <> 0)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%dT%H:%M:%S') AS ts,
+       strftime(s.ts, '%Y-%m-%dT%H:%M:%S') AS asof_ts,
+       round(CAST(s.sval AS DOUBLE), 2) AS asof_value
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@_q("asof_join_latest_state", _ASOF_DUCK)
+def asof_q(spark, sf):
+    """As-of join (brief-named custom operator Spark lacks): every probe
+    event gets the latest preceding state row of its user (state.ts <=
+    probe.ts). Spark runs the union + carry-forward plan — ONE shuffle on
+    the key, linear per-key (operators/asof.py); the oracle runs DuckDB's
+    NATIVE ASOF LEFT JOIN — two different algorithms certifying the same
+    semantics, inclusive-boundary and all. States = events with
+    event_id % 5 == 0 (deduped per (user, ts) by max), probes = the rest."""
+    from layerg_crawler_v2_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    states = (
+        ev.filter(F.expr("event_id % 5 = 0"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(_dec(F.col("value"))).alias("sval"))
+    )
+    probes = ev.filter(F.expr("event_id % 5 <> 0")).select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(probes, states, "user_id", "ts", ["sval"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("asof_ts"),
+        F.round(F.col("asof_sval").cast("double"), 2).alias("asof_value"),
+    )
+
+
+_RANGE_DUCK = """
+WITH iv AS (SELECT event_id AS window_id, ts AS start_ts,
+                   ts + INTERVAL 6 HOUR AS end_ts
+            FROM events WHERE event_id % 97 = 0),
+p AS (SELECT event_id, ts, value FROM events)
+SELECT window_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+         AS total_value
+FROM p JOIN iv ON p.ts >= iv.start_ts AND p.ts < iv.end_ts
+GROUP BY window_id
+"""
+
+
+@_q("range_join_windows", _RANGE_DUCK)
+def range_join_q(spark, sf):
+    """Range (interval) join, the other brief-named shape: events rolled
+    up into 6-hour windows anchored at every 97th event. Spark runs the
+    BUCKETED form (operators/asof.py:range_join_bucketed — both sides
+    equi-joined on floor(epoch/bucket) first, so the theta predicate only
+    sees co-resident rows; the broadcast form is the small-dim variant and
+    tests pin their equality); the oracle is the plain inequality join.
+    Half-open [start, end) boundary on both engines."""
+    from layerg_crawler_v2_spark.operators.asof import range_join_bucketed
+
+    ev = _t(spark, sf, "events")
+    iv = ev.filter(F.expr("event_id % 97 = 0")).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 6 HOURS").alias("end_ts"),
+    )
+    probes = ev.select("event_id", "ts", "value")
+    joined = range_join_bucketed(
+        probes, iv, "ts", bucket_seconds=6 * 3600
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias(
+            "total_value"
+        ),
+    )
+
+
 @_q("heavy_hitters_sketch", None)  # xxhash64 cell placement: not SQL
 def heavy_hitters_q(spark, sf):
     """Shuffle-light hot-key detection: count-min sketch (d tiny bounded-
@@ -2848,8 +2932,10 @@ _PRIORITY = [
     "j3_point_lookup_limit1", "j4_disjunctive_key", "j5_broadcast_dim_join",
     "j6_get_or_create_anti", "j1_qb_relation", "j2_qb_derived",
     "qb_resolve_single",
-    # §2.4 aggregations
-    "a1_distinct", "a2_unique_set_first", "a3_min_fold", "a5_group_agg",
+    # §2.4 aggregations (a2_unique_set_first demoted r4s3: its rn=1-per-key
+    # oracle/plan is the identical row_number physics w2_topk_per_key
+    # drives in-window with rn<=3)
+    "a1_distinct", "a3_min_fold", "a5_group_agg",
     # §2.5 windows
     "w2_topk_per_key", "w3_lag_pacing",
     # §2.6 sorts / pagination (o1_order_passthrough demoted r4s3: same
@@ -2863,9 +2949,14 @@ _PRIORITY = [
     # embedded in every in-window md5 dedup oracle; f9_rfc3339_format
     # demoted r4s3: strftime/date_format parity is embedded in a3_min_fold's
     # and o2_topn_by_time's in-window oracles)
+    # (f13_array_explode demoted r4s3: explode/unnest physics is embedded
+    # in the in-window dedup shingling oracles)
     "f3_lower_normalize", "f5_bigint_string_arith",
     "f8_template_substitution",
-    "f10_json_extract", "f13_array_explode",
+    "f10_json_extract",
+    # r4 session-3 join flagships: as-of join (union+carry-forward vs
+    # DuckDB's native ASOF JOIN) and bucketed range join
+    "asof_join_latest_state", "range_join_windows",
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
     # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
@@ -2906,7 +2997,7 @@ _PRIORITY = [
     "text_repetition_stats", "dedup_ngram_coverage",
     # r4 session-3 demotions (rationales at their old window positions)
     "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
-    "f9_rfc3339_format",
+    "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",
 ]
 
 _REGISTRY = {

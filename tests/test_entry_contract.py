@@ -54,6 +54,8 @@ def test_flagship_new_components_have_driver_rows():
         "bm25_keyword_topk",
         "events_sessionize",
         "ccnet_quality_buckets",
+        "asof_join_latest_state",
+        "range_join_windows",
     ):
         assert name in window, name
 
@@ -72,6 +74,8 @@ def test_demotions_have_in_window_twins():
         "set_union_seeds": "dedup_pipeline_keep_best",
         "f2_hex_encode": "f3_lower_normalize",
         "f9_rfc3339_format": "o2_topn_by_time",
+        "a2_unique_set_first": "w2_topk_per_key",
+        "f13_array_explode": "dedup_ngram_jaccard",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
