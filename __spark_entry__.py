@@ -2787,6 +2787,47 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_NFC_DUCK = """
+WITH cat AS (
+  SELECT doc_id, 'Café - ' || text AS raw FROM documents
+)
+SELECT doc_id,
+       length(raw) AS len_raw,
+       length(nfc_normalize(raw)) AS len_nfc,
+       md5(nfc_normalize(raw)) AS nfc_md5,
+       (nfc_normalize(raw) <> raw) AS changed
+FROM cat
+"""
+
+
+@_q("text_nfc_normalize", _NFC_DUCK)
+def nfc_q(spark, sf):
+    """Unicode NFC normalization (pretraining cleaning pass): mixed-form
+    web text must be normalized before dedup/tokenize or near-dups hide
+    behind codepoint form. Each doc is prefixed with a DECOMPOSED
+    'Cafe'+U+0301 so the pass provably composes something on every row
+    (the synthetic corpus is ASCII). Cross-IMPLEMENTATION certification:
+    Spark runs Python unicodedata via an Arrow-batched str.normalize
+    (functions/text.py); the oracle runs DuckDB's utf8proc nfc_normalize —
+    two independent Unicode implementations, compared by md5 and code-point
+    lengths. BMP-only fixture keeps Spark's UTF-16 length() equal to
+    DuckDB's code-point length()."""
+    from layerg_crawler_v2_spark.functions.text import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("Café - "), F.col("text")).alias("raw")
+    )
+    out = docs.select("doc_id", "raw", nfc(F.col("raw")).alias("norm"))
+    return out.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length("norm").alias("len_nfc"),
+        F.md5(F.encode("norm", "UTF-8")).alias("nfc_md5"),
+        (F.col("norm") != F.col("raw")).alias("changed"),
+    )
+
+
 _ASOF_DUCK = """
 WITH s AS (SELECT user_id, ts, max(CAST(value AS DECIMAL(30,2))) AS sval
            FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts),

@@ -207,3 +207,33 @@ def gopher_quality(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_wl & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# --- Unicode normalization (pretraining cleaning pass) -----------------------
+#
+# Web text arrives in mixed normalization forms: decomposed accents from Mac
+# filesystems, compatibility ligatures from PDFs, zero-width joiners from
+# CMSes. Tokenizers treat "Café" (NFC) and "Café" (NFD) as different
+# strings, so a corpus must be normalized BEFORE dedup/tokenize or near-dups
+# hide behind codepoint form. Python's unicodedata implements the same
+# Unicode-standard NFC as DuckDB's utf8proc `nfc_normalize` — the oracle
+# entry (text_nfc_normalize) therefore certifies two independent
+# implementations against each other. Arrow-batched pandas UDF: one
+# `str.normalize` C call per batch column, no per-row Python.
+
+
+def nfc_normalize_udf():
+    """Deferred construction (pandas_udf needs no active session with type
+    objects, but keep the import local to the function like langid does)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and the local pd import is invisible to the
+    # hint resolver — the un-hinted form defaults to SCALAR eval
+    @pandas_udf(StringType())
+    def _nfc(texts):
+        # vectorized: pandas .str.normalize wraps unicodedata.normalize
+        return texts.str.normalize("NFC")
+
+    return _nfc

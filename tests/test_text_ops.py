@@ -132,3 +132,16 @@ def test_warc_roundtrip_entry_lossless(spark, sf_dir):
     )
     assert out.exceptAll(want).count() == 0
     assert want.exceptAll(out).count() == 0
+
+
+def test_nfc_normalize_udf(spark):
+    from layerg_crawler_v2_spark.functions.text import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "Café"), (3, "plain"), (4, None)],
+        "i long, t string",
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", nfc("t").alias("n")).collect()}
+    assert got[1] == got[2] == "Café"  # decomposed composes to NFC
+    assert got[3] == "plain" and got[4] is None
