@@ -2787,6 +2787,57 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_HOPPING_DUCK = """
+WITH bounds AS (
+  SELECT TIMESTAMP '1970-01-01'
+           + (CAST(floor(epoch(min(ts)) / 43200) AS BIGINT) * 43200
+              - 43200) * INTERVAL 1 SECOND AS lo,
+         max(ts) AS hi
+  FROM events
+),
+starts AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 12 HOUR)) AS ws FROM bounds
+)
+SELECT strftime(s.ws, '%Y-%m-%dT%H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE), 2)
+         AS total_value
+FROM starts s JOIN events e
+  ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 24 HOUR
+GROUP BY s.ws
+"""
+
+
+@_q("events_hopping_window", _HOPPING_DUCK)
+def hopping_q(spark, sf):
+    """Hopping (sliding) time windows — 24h windows every 12h — via
+    Spark's native F.window(ts, '1 day', '12 hours') (each event lands in
+    exactly 2 windows, assigned inside codegen, NO self-join), against an
+    oracle that materializes the same epoch-aligned window grid explicitly
+    (generate_series + range join). Spark aligns window starts to the
+    Unix epoch, which 1970-01-01 being a 12h-grid point makes identical
+    to the oracle's floor(epoch/43200) grid. Windows with zero events are
+    absent on BOTH sides (inner semantics). Extends the tumbling-window
+    coverage (SURVEY §2.9 T5) to the overlapping form."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _NFC_DUCK = """
 WITH cat AS (
   SELECT doc_id, 'Café - ' || text AS raw FROM documents
