@@ -2787,6 +2787,84 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_TRIANGLE_DUCK = """
+WITH e AS (
+  SELECT DISTINCT least(user_id % 40, event_id % 40) AS a,
+                  greatest(user_id % 40, event_id % 40) AS b
+  FROM events WHERE user_id % 40 <> event_id % 40
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
+@_q("graph_triangle_counts", _TRIANGLE_DUCK)
+def triangles_q(spark, sf):
+    """Per-node triangle counts over the derived link graph
+    (operators/graph.py:triangle_counts) — the cohesion/link-farm signal
+    next to PageRank's authority signal. Exactly-once enumeration via the
+    a<b<c sorted-triple order; two single-key shuffles; the degree-
+    orientation optimization for 10^10-edge graphs is documented at the
+    operator. Same deterministic events-derived edge set as
+    link_graph_pagerank."""
+    from layerg_crawler_v2_spark.operators.graph import triangle_counts
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.select(
+            F.expr("CAST(user_id % 40 AS BIGINT)").alias("src"),
+            F.expr("CAST(event_id % 40 AS BIGINT)").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )
+
+
+_WSAMPLE_DUCK = """
+WITH w AS (SELECT doc_id, 1 + n_chars // 400 AS wt FROM documents),
+draws AS (
+  SELECT doc_id, wt,
+         md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)) AS p
+  FROM w, UNNEST(range(0, wt)) t(j)
+  WHERE wt >= 1
+),
+prio AS (SELECT doc_id, wt, min(p) AS priority FROM draws GROUP BY doc_id, wt)
+SELECT doc_id, CAST(wt AS BIGINT) AS weight, priority
+FROM prio ORDER BY priority, doc_id LIMIT 50
+"""
+
+
+@_q("corpus_weighted_sample", _WSAMPLE_DUCK)
+def weighted_sample_q(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample_topk): integer weight w =
+    1 + n_chars div 400 buys w md5 draws, min draw is the row's priority,
+    global top-50 wins. Same winners on any engine/partitioning/run —
+    the module's md5 determinism discipline extended from per-row keep
+    bits to weighted competition. Draw construction is identical SQL on
+    both engines, so the oracle is exact, not statistical."""
+    from layerg_crawler_v2_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr("1 + n_chars div 400").alias("wt")
+    )
+    return weighted_sample_topk(docs, "doc_id", "wt", k=50)
+
+
 _HOPPING_DUCK = """
 WITH bounds AS (
   SELECT TIMESTAMP '1970-01-01'

@@ -101,3 +101,48 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph —
+    the standard cohesion/spam signal (link farms are near-cliques; honest
+    hub neighborhoods are sparse). Input: directed (src, dst) rows; edges
+    are canonicalized to (a < b) distinct first, so each undirected edge
+    and each triangle is counted exactly once.
+
+    Plan: the two-join enumeration e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with the
+    a < b < c total order — every triangle materializes exactly once as
+    its sorted vertex triple. Each join shuffles on one key (b, then
+    (a,c) pair); the classic degree-ordering optimization (orient edges
+    low-degree -> high-degree so the wedge fan-out is bounded by
+    sqrt(|E|)) is a one-column re-sort away and noted here for the
+    10^10-edge host graph; at validation scale Catalyst's AQE picks
+    broadcast wedges automatically.
+
+    Returns (node, n_triangles), nodes with zero triangles absent.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            e3,
+            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

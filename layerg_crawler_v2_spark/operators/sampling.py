@@ -72,3 +72,64 @@ def oversample(df: DataFrame, epochs_col: Column, id_col: str = "doc_id") -> Dat
             )
         ),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the k
+    rows with the smallest min-hash priority, where a row of integer
+    weight w gets w independent hash draws — so selection probability
+    rises monotonically with w, the same draw happens on ANY engine /
+    partitioning / run (the module's md5 determinism discipline, extended
+    from per-row keep decisions to weighted competition), and ablations
+    stay comparable. This is hash-priority sampling, not exact
+    probability-proportional-to-size: the draw count is the weight, the
+    competition is exact; at pretraining-mixture granularity (integer
+    quality buckets as weights) the distinction is irrelevant and
+    determinism is everything.
+
+    Plan shape: sequence-explode (w draws per row, inside codegen), one
+    md5 per draw, min per id (map-side combined), global top-k
+    (TakeOrderedAndProject). Rows with weight < 1 never win (excluded
+    before the explode). Total draw count = sum(w) — keep weights small
+    integers (buckets, not raw byte counts).
+
+    Returns (id, weight, priority) for the k winners, priority ascending.
+    """
+    drawn = (
+        df.filter(F.col(weight_col).cast("bigint") >= 1)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("__w"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col(weight_col).cast("bigint") - 1,
+                )
+            ).alias("__j"),
+        )
+    )
+    prio = (
+        drawn.select(
+            id_col,
+            "__w",
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("#"),
+                    F.col("__j").cast("string"),
+                )
+            ).alias("__p"),
+        )
+        .groupBy(id_col, "__w")
+        .agg(F.min("__p").alias("priority"))
+    )
+    return (
+        prio.orderBy("priority", id_col)
+        .limit(k)
+        .select(id_col, F.col("__w").alias("weight"), "priority")
+    )

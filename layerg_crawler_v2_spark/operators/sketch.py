@@ -15,10 +15,12 @@ Spark-first construction — NO sketch library, no per-row Python:
     task emits <= d*w rows REGARDLESS of input size; the exchange is
     sketch-sized, not data-sized, which is the entire point;
   * candidates come from ONE Arrow pass (mapInPandas value_counts head-m
-    per partition) — no shuffle; a global heavy hitter is by construction
-    locally heavy in at least one partition on average, and the m
-    overshoot (m = 4k default) absorbs adversarial splits
-    (property-tested on Zipf data in tests/test_sketch.py);
+    per partition, counter dict pruned to a fixed cap — SpaceSaving
+    discipline, O(cap) memory at any key cardinality) — no shuffle; a
+    global heavy hitter is by construction locally heavy in at least one
+    partition on average, and the m overshoot (m = 4k default) absorbs
+    adversarial splits (property-tested on Zipf data in
+    tests/test_sketch.py);
   * estimates: broadcast-join the d*w-row sketch onto the candidates,
     take the min over the d rows per candidate (CMS upper bound), top-k
     by (estimate desc, key).
@@ -62,9 +64,22 @@ def cms_sketch(
     return out
 
 
-def _local_candidates(df: DataFrame, key_col: str, m: int) -> DataFrame:
+def _local_candidates(
+    df: DataFrame, key_col: str, m: int, max_counters: int = 65_536
+) -> DataFrame:
     """Distinct union of each partition's top-m keys by local count — one
-    Arrow pass, no shuffle."""
+    Arrow pass, no shuffle.
+
+    Bounded memory (the SpaceSaving discipline): the per-partition counter
+    dict is pruned back to the current top `max_counters` whenever it
+    doubles past the cap, so a partition with 10^9 distinct keys costs
+    O(max_counters), not O(distinct). Pruning can only drop keys whose
+    running count is below the pruned frontier — a key that is actually
+    heavy in the partition re-accumulates immediately and cannot be
+    starved across batches (its per-batch increments exceed the frontier's
+    by definition). The overall candidate pass stays probabilistic either
+    way; the exact groupBy twin is the verification path
+    (tests/test_sketch.py)."""
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
     src = df.select(F.col(key_col).cast("string").alias("k"))
@@ -74,6 +89,11 @@ def _local_candidates(df: DataFrame, key_col: str, m: int) -> DataFrame:
         for pdf in batches:
             for k, c in pdf["k"].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > 2 * max_counters:
+                keep = sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:max_counters]
+                counts = dict(keep)
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
         import pandas as pd
 

@@ -86,3 +86,33 @@ def test_dangling_mass_dropped_identically(spark):
     assert _spark_ranks(spark, dangle, iterations=2) == py_pagerank(
         dangle, iterations=2
     )
+
+
+def test_triangle_counts_known_graph(spark):
+    from layerg_crawler_v2_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in C(3,2)=3 of them;
+    # node 5 hangs off node 1 with no triangle
+    k4 = [(i, j) for i in range(1, 5) for j in range(1, 5) if i < j]
+    edges = spark.createDataFrame(k4 + [(5, 1)], "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    from layerg_crawler_v2_spark.operators.graph import triangle_counts
+
+    # same triangle given as mixed directions + duplicates: counted once
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 3)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_free_graph_empty(spark):
+    from layerg_crawler_v2_spark.operators.graph import triangle_counts
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_counts(path).count() == 0

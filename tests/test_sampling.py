@@ -79,3 +79,32 @@ def test_oversample_epochs(spark):
     got = sorted((r["doc_id"], r["epoch"]) for r in out)
     # epochs=0 emits nothing (empty sequence explode drops the row)
     assert got == [(1, 0), (1, 1), (1, 2), (2, 0)]
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from layerg_crawler_v2_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i % 5) * 3) for i in range(400)], "id long, w long"
+    )
+    a = [tuple(r) for r in weighted_sample_topk(df.coalesce(1), "id", "w", 40).collect()]
+    b = [tuple(r) for r in weighted_sample_topk(df.repartition(7), "id", "w", 40).collect()]
+    assert a == b and len(a) == 40  # partitioning-invariant, exact k
+
+    # monotone in weight: across many disjoint trials, heavier ids win
+    # far more often — here: expected win share of the w=13 stratum is
+    # 13/(1+4+7+10+13)=37%; with 40 winners the count should dominate w=1
+    by_w = {}
+    for _, w, _ in a:
+        by_w[w] = by_w.get(w, 0) + 1
+    assert by_w.get(13, 0) > by_w.get(1, 0)
+
+
+def test_weighted_sample_zero_weight_never_wins(spark):
+    from layerg_crawler_v2_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, -2), (4, 1)], "id long, w long"
+    )
+    got = [r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()]
+    assert sorted(got) == [2, 4]
