@@ -2787,6 +2787,52 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_CHUNK_DUCK = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+         array_to_string(ws[s : s + 63], ' ') AS chunk_text,
+         len(ws[s : s + 63]) AS n_words
+  FROM w, UNNEST(range(1, greatest(len(ws) - 16, 1) + 1, 48)) t(s)
+)
+SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       CAST(n_words AS BIGINT) AS n_words, md5(chunk_text) AS chunk_md5
+FROM c
+"""
+
+
+@_q("doc_chunk_overlap", _CHUNK_DUCK)
+def chunking_q(spark, sf):
+    """Overlapping-window document chunking (RAG / embedding prep): 64-word
+    chunks every 48 words (16-word overlap), the stride guaranteeing full
+    coverage (stride < window) with no sub-overlap tail chunk (starts stop
+    at len-overlap). Entirely inside whole-stage codegen — one
+    sequence+transform per row, chunks never round-trip through Python —
+    then an explode; the oracle slices the same 1-based word array with
+    DuckDB list ranges. Chunks are emitted as md5 + word count (compact,
+    value-hashable); chunk_idx = (start-1) div stride."""
+    ev = _t(spark, sf, "documents")
+    arr = "filter(split(text, ' '), x -> x != '')"
+    starts = f"sequence(1, greatest(size({arr}) - 16, 1), 48)"
+    chunks = (
+        f"transform({starts}, s -> struct("
+        f"s AS s, array_join(slice({arr}, s, 64), ' ') AS txt,"
+        f" size(slice({arr}, s, 64)) AS n))"
+    )
+    return (
+        ev.select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.expr("CAST((c.s - 1) div 48 AS BIGINT)").alias("chunk_idx"),
+            F.col("c.n").cast("bigint").alias("n_words"),
+            F.md5(F.encode(F.col("c.txt"), "UTF-8")).alias("chunk_md5"),
+        )
+    )
+
+
 _TRIANGLE_DUCK = """
 WITH e AS (
   SELECT DISTINCT least(user_id % 40, event_id % 40) AS a,

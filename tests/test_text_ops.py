@@ -145,3 +145,32 @@ def test_nfc_normalize_udf(spark):
     got = {r["i"]: r["n"] for r in df.select("i", nfc("t").alias("n")).collect()}
     assert got[1] == got[2] == "Café"  # decomposed composes to NFC
     assert got[3] == "plain" and got[4] is None
+
+
+def test_doc_chunk_overlap_coverage(spark, sf_dir):
+    """Every word is covered exactly once outside the 16-word overlaps:
+    sum(n_words) - 16*(n_chunks-1) == len(words) per doc; interior chunks
+    are exactly 64 words; the tail chunk always exceeds the overlap."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["doc_chunk_overlap"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_words"]))
+    lens = dict(
+        duckdb.sql(
+            "SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> ''))"
+            f" FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    assert set(by_doc) == set(lens)
+    for doc, chunks in by_doc.items():
+        chunks.sort()
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        n_words = [n for _, n in chunks]
+        assert all(n == 64 for n in n_words[:-1])
+        if lens[doc] > 16:
+            assert n_words[-1] > 16  # tail never shrinks below the overlap
+        assert sum(n_words) - 16 * (len(chunks) - 1) == lens[doc]
