@@ -54,12 +54,22 @@ def pagerank(
     iterations: int = 3,
     scale: int = PAGERANK_SCALE,
     damp_pct: int = DAMP_PCT,
+    reuse: bool = True,
 ) -> DataFrame:
     """k rounds of integer-exact PageRank over distinct (src, dst) edges.
 
     Returns (node BIGINT, rank BIGINT) with sum(rank) <= scale. Callers
     pass edges already DISTINCT (duplicate edges would double-count cash,
     matching neither PageRank nor the oracle).
+
+    reuse=True persists the two key-sized invariants every iteration
+    re-reads (the node set and the out-degree table) with the default
+    MEMORY_AND_DISK policy — without it the unrolled lazy plan recomputes
+    both subtrees k+1 times (the r4 plan audit counted 50 exchanges for
+    k=3; with reuse the recomputation collapses to the per-iteration
+    rank shuffle). They stay cached after return because the returned
+    frame is lazy; Spark's LRU evicts them, or the caller clears them
+    explicitly — the documented trade for a k-times-smaller plan.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -71,8 +81,11 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    total = nodes.agg(F.count("*").alias("n_nodes"))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if reuse:
+        nodes = nodes.persist()
+        deg = deg.persist()
+    total = nodes.agg(F.count("*").alias("n_nodes"))
 
     # even split of the integer mass; the floor remainder (< n_nodes) is
     # dropped identically on both engines
