@@ -2787,6 +2787,45 @@ def anchor_index_q(spark, sf):
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
+_ROLLUP_DUCK = """
+WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+)
+SELECT event_type, day,
+       CAST(2 * grouping(event_type) + grouping(day) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+FROM e GROUP BY ROLLUP(event_type, day)
+"""
+
+
+@_q("olap_rollup_day", _ROLLUP_DUCK)
+def rollup_q(spark, sf):
+    """OLAP ROLLUP — (type, day) -> (type) -> grand total in ONE pass:
+    Spark's native rollup() emits all three grouping levels from a single
+    expand+aggregate (no union of three scans); grouping_id() — MSB =
+    leftmost group column, matching 2*grouping(a)+grouping(b) in the
+    oracle — disambiguates a NULL group value from the rolled-up marker
+    (the P6 null-semantics discipline applied to OLAP). At scale the
+    expand multiplies rows by #levels before the exchange; partial
+    aggregation still combines map-side, so the exchange stays
+    groups-sized."""
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+        .select("event_type", "day", "gid", "n", "total")
+    )
+
+
 _CHUNK_DUCK = """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
