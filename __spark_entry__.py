@@ -3179,9 +3179,78 @@ def collocations_q(spark, sf):
     return collocations_pmi_topk(_t(spark, sf, "documents"), k=20, min_count=5)
 
 
+_REDIRECTS_DUCK = """
+WITH ids AS (SELECT DISTINCT event_id % 256 AS i FROM events),
+edges AS (
+  SELECT 'https://s.test/u' || CAST(i AS VARCHAR) AS src,
+         'https://s.test/u' || CAST(i - 1 AS VARCHAR) AS dst
+  FROM ids WHERE i % 16 <> 0
+  UNION ALL SELECT 'https://s.test/c0', 'https://s.test/c1'
+  UNION ALL SELECT 'https://s.test/c1', 'https://s.test/c2'
+  UNION ALL SELECT 'https://s.test/c2', 'https://s.test/c0'
+),
+walk AS (
+  WITH RECURSIVE w(src, cur, hops) AS (
+    SELECT src, dst, 1 FROM edges
+    UNION ALL
+    SELECT w.src, e.dst, w.hops + 1 FROM w JOIN edges e ON e.src = w.cur
+    WHERE w.hops < 64
+  ) SELECT * FROM w
+),
+term AS (
+  SELECT w.src, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+)
+SELECT e.src AS url,
+       t.cur AS terminal_url,
+       CAST(t.hops AS BIGINT) AS hops,
+       t.src IS NOT NULL AS resolved
+FROM (SELECT DISTINCT src FROM edges) e
+LEFT JOIN term t ON t.src = e.src
+"""
+
+
+@_q("redirect_chain_resolve", _REDIRECTS_DUCK)
+def redirects_q(spark, sf):
+    """Terminal-URL resolution over a redirect map by pointer doubling
+    (operators/redirects.py): 6 self-join rounds resolve chains up to 64
+    hops — O(log H) shuffles where the naive chase pays O(H) — and flag
+    redirect cycles unresolved. The reference resolves every write to one
+    canonical row (internal/services/query_service.go ResolveSingle);
+    a crawl needs the same discipline across 3xx chains before dedup.
+    Oracle: DuckDB WITH RECURSIVE capped at the same 64-hop horizon, so
+    chains, hop counts, and the planted 3-cycle verdict match exactly.
+    Edges derive deterministically from events (u_i -> u_{i-1} except at
+    multiples of 16: chains of length <= 15) plus a literal 3-cycle."""
+    from layerg_crawler_v2_spark.operators.redirects import resolve_redirects
+
+    ids = (
+        _t(spark, sf, "events")
+        .select((F.col("event_id") % 256).alias("i"))
+        .distinct()
+    )
+    chain = ids.filter(F.col("i") % 16 != 0).select(
+        F.concat(F.lit("https://s.test/u"), F.col("i").cast("string")).alias("src"),
+        F.concat(F.lit("https://s.test/u"), (F.col("i") - 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    cyc = spark.createDataFrame(
+        [
+            ("https://s.test/c0", "https://s.test/c1"),
+            ("https://s.test/c1", "https://s.test/c2"),
+            ("https://s.test/c2", "https://s.test/c0"),
+        ],
+        "src string, dst string",
+    )
+    return resolve_redirects(chain.unionAll(cyc), rounds=6)
+
+
 _PRIORITY = [
-    # §2.2 projections / filters
-    "p1_projection_pruning", "p6_null_semantics", "p4_comparison_filter",
+    # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
+    # in-window p5_bool_connectives oracle is AND/OR composed of the
+    # identical comparison predicates over the same columns)
+    "p1_projection_pruning", "p6_null_semantics",
     "p5_bool_connectives", "p2_allowlist_filter",
     # §2.3 joins (QueryBuilder forms retained; raw twins demoted)
     "j3_point_lookup_limit1", "j4_disjunctive_key", "j5_broadcast_dim_join",
@@ -3210,8 +3279,9 @@ _PRIORITY = [
     "f8_template_substitution",
     "f10_json_extract",
     # r4 session-3 join flagships: as-of join (union+carry-forward vs
-    # DuckDB's native ASOF JOIN) and bucketed range join
-    "asof_join_latest_state", "range_join_windows",
+    # DuckDB's native ASOF JOIN) and bucketed range join; r4s4: redirect
+    # chains resolved by pointer doubling vs a recursive-CTE oracle
+    "asof_join_latest_state", "range_join_windows", "redirect_chain_resolve",
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
     # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
@@ -3253,6 +3323,8 @@ _PRIORITY = [
     # r4 session-3 demotions (rationales at their old window positions)
     "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
     "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",
+    # r4 session-4 demotions (rationales at their old window positions)
+    "p4_comparison_filter",
 ]
 
 _REGISTRY = {

@@ -1,0 +1,96 @@
+"""Redirect-chain resolution by pointer doubling — O(log H) shuffles.
+
+A crawl's fetch log is full of 3xx hops: the URL the frontier scheduled is
+not the URL whose content got stored, and dedup/canonicalization wants
+every source URL mapped to its *terminal* target (the analog of the
+reference's canonical-entity resolution on write,
+internal/services/query_service.go's ResolveSingle discipline — every
+lookup lands on the one canonical row). The naive plan follows one hop per
+pass: H self-joins for the longest chain H. At 10^10 URLs with chains up
+to ~20 hops that is 20 full shuffles of the whole mapping.
+
+Pointer doubling (a.k.a. pointer jumping, the classic PRAM list-ranking
+move) gets the same answer in ceil(log2(H)) rounds: maintain for every
+node a pair (cur, hops) = "the node 2^k redirects ahead (saturating at a
+terminal), and how many real hops that skipped", then compose the map with
+itself — jump[x] = jump[jump[x]], hops adding. Terminals self-loop with
+hop cost 0, so resolved rows saturate exactly; rows still sitting on a
+node with an outgoing edge after the final round are redirect *cycles*
+(or chains longer than 2^rounds) and come back unresolved=false, the same
+verdict the DuckDB oracle's depth-capped recursive CTE reaches.
+
+Scale shape: each round is ONE self-equi-join of the map on its own key
+(shuffle on `cur`) — no driver state, no iteration-count proportional to
+chain length, and the map is |nodes| rows throughout. 6 rounds cover
+chains of length 64; real redirect chains beyond a handful of hops are
+policy-rejected by crawlers anyway (the politeness scheduler's analog of
+max_redirects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Resolve every redirect source to its terminal URL.
+
+    `edges` is (src, dst) with at most one outgoing edge per src (a
+    redirect map is a function; callers dedupe upstream). Returns one row
+    per distinct src:
+
+        (url, terminal_url, hops BIGINT, resolved BOOLEAN)
+
+    where chains longer than 2**rounds and cycles yield
+    (url, NULL, NULL, false) — matching a WITH RECURSIVE oracle whose
+    recursion is capped at 2**rounds hops.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # jump map at k=0: one redirect ahead, terminals self-loop at cost 0
+    jump = nodes.join(edges, nodes["node"] == edges["src"], "left").select(
+        "node",
+        F.coalesce("dst", "node").alias("cur"),
+        F.when(F.col("dst").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("hops"),
+    )
+    for _ in range(rounds):
+        ahead = jump.select(
+            F.col("node").alias("a_node"),
+            F.col("cur").alias("a_cur"),
+            F.col("hops").alias("a_hops"),
+        )
+        # compose the map with itself: every cur IS a node (dst and
+        # terminals are both in the node set), so inner join is total
+        jump = jump.join(ahead, jump["cur"] == ahead["a_node"]).select(
+            "node",
+            F.col("a_cur").alias("cur"),
+            (F.col("hops") + F.col("a_hops")).alias("hops"),
+        )
+
+    has_out = edges.select(F.col("src").alias("cur")).distinct().withColumn(
+        "open", F.lit(True)
+    )
+    return (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(jump, "node")
+        .join(has_out, "cur", "left")
+        .select(
+            F.col("node").alias("url"),
+            F.when(F.col("open").isNull(), F.col("cur")).alias("terminal_url"),
+            F.when(F.col("open").isNull(), F.col("hops"))
+            .cast("bigint")
+            .alias("hops"),
+            F.col("open").isNull().alias("resolved"),
+        )
+    )
