@@ -3246,6 +3246,40 @@ def redirects_q(spark, sf):
     return resolve_redirects(chain.unionAll(cyc), rounds=6)
 
 
+_EDITDIST_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z ]+', '', 'g'), 1, 32)
+           AS title
+  FROM documents
+),
+b AS (SELECT doc_id, title, substr(title, 1, 6) AS blk FROM t)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b2.title) AS BIGINT) AS edit_dist
+FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+WHERE levenshtein(a.title, b2.title) <= 10
+"""
+
+
+@_q("dedup_editdist_pairs", _EDITDIST_DUCK)
+def editdist_q(spark, sf):
+    """Character-level near-dup pairs: banded Levenshtein under prefix
+    blocking (operators/dedup.py editdist_near_dup_pairs) — the
+    record-linkage complement to the shingle/minhash family, catching
+    template/typo mirrors that token-set similarity misses. One shuffle on
+    the 6-char block key, O(sum block^2) compares, per-pair DP banded at
+    the threshold via Spark's 3-arg levenshtein (O(L*k), -1 beyond) — the
+    kept distances are bit-identical to DuckDB's unbanded levenshtein()
+    twin. The reference dedupes entities by canonical key on write
+    (internal/services/query_service.go); fuzzy text identity is the
+    webtext analog."""
+    from layerg_crawler_v2_spark.operators.dedup import editdist_near_dup_pairs
+
+    return editdist_near_dup_pairs(
+        _t(spark, sf, "documents"), title_len=32, prefix_len=6, max_dist=10
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -3263,8 +3297,10 @@ _PRIORITY = [
     # §2.5 windows
     "w2_topk_per_key", "w3_lag_pacing",
     # §2.6 sorts / pagination (o1_order_passthrough demoted r4s3: same
-    # global ORDER BY + LIMIT physics as the in-window o2_topn_by_time)
-    "o2_topn_by_time", "o3_pagination",
+    # global ORDER BY + LIMIT physics as the in-window o2_topn_by_time;
+    # o2_topn_by_time demoted r4s4: o3_pagination drives the identical
+    # global sort + limit physics and adds the offset)
+    "o3_pagination",
     # §2.7 set ops (set_union_seeds demoted r4s3: UNION physics is embedded
     # in dedup_pipeline_keep_best's in-window oracle CTE)
     "set_anti_seen_diff",
@@ -3291,6 +3327,7 @@ _PRIORITY = [
     # dedup (connected_components' oracle embeds the identical lsh_pairs
     # CTE, so the demoted pairs entry is transitively driver-covered)
     "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
+    "dedup_editdist_pairs",
     # r4 flagship ops: end-to-end fuzzy-dedup keeper election, two-pass
     # prefix-sum sequence packing, PII scrub, benchmark decontamination,
     # crawl-trap detection
@@ -3324,7 +3361,7 @@ _PRIORITY = [
     "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
     "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",
     # r4 session-4 demotions (rationales at their old window positions)
-    "p4_comparison_filter",
+    "p4_comparison_filter", "o2_topn_by_time",
 ]
 
 _REGISTRY = {

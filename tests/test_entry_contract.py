@@ -70,12 +70,15 @@ def test_demotions_have_in_window_twins():
         "text_subword_tokens": "text_token_count",
         "f4_fixed_width_slice": "f3_lower_normalize",
         # r4 session-3 demotions (rationales in _PRIORITY comments)
-        "o1_order_passthrough": "o2_topn_by_time",
+        "o1_order_passthrough": "o3_pagination",
         "set_union_seeds": "dedup_pipeline_keep_best",
         "f2_hex_encode": "f3_lower_normalize",
-        "f9_rfc3339_format": "o2_topn_by_time",
+        "f9_rfc3339_format": "a3_min_fold",
         "a2_unique_set_first": "w2_topk_per_key",
         "f13_array_explode": "dedup_ngram_jaccard",
+        # r4 session-4 demotions
+        "p4_comparison_filter": "p5_bool_connectives",
+        "o2_topn_by_time": "o3_pagination",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
