@@ -3280,6 +3280,58 @@ def editdist_q(spark, sf):
     )
 
 
+_BIGRAM_LM_DUCK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+uni AS (SELECT u.w AS w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM train) u GROUP BY u.w),
+tot AS (SELECT sum(c) AS total FROM uni),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+        FROM train, UNNEST(range(1, len(t))) r(i) GROUP BY 1, 2),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, UNNEST(range(1, len(t))) r(i)),
+contrib AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c12 IS NOT NULL THEN (b.c12 * 1000000) // u1.c
+              WHEN u2.c IS NOT NULL
+                THEN (u2.c * 1000000) // ((SELECT total FROM tot) * 4)
+              ELSE 0 END AS contrib
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN uni u2 ON u2.w = p.w2
+),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(contrib) AS score_scaled
+        FROM contrib GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.score_scaled, 0) AS BIGINT) AS score_scaled,
+       CAST(CASE WHEN a.n_bigrams > 0 THEN a.score_scaled // a.n_bigrams END
+            AS BIGINT) AS avg_score_scaled
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+@_q("text_bigram_lm_score", _BIGRAM_LM_DUCK)
+def bigram_lm_q(spark, sf):
+    """Bigram-LM fluency scoring with unigram backoff (operators/
+    scoring.py bigram_backoff_scores): the integer twin of CCNet's
+    LM-perplexity quality signal, trained on the deterministic doc_id%2==0
+    half so the held-out half really exercises the backoff branch.
+    Stupid-backoff (score, not probability) in BIGINT floor arithmetic —
+    bit-exact vs the DuckDB CTE twin where a float log-prob would drift.
+    In-row bigram build (no posexplode self-join), broadcast vocab-sized
+    LM tables, one map-side-combined per-doc groupBy."""
+    from layerg_crawler_v2_spark.operators.scoring import bigram_backoff_scores
+
+    return bigram_backoff_scores(_t(spark, sf, "documents"), train_mod=2)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -3310,9 +3362,10 @@ _PRIORITY = [
     # demoted r4s3: strftime/date_format parity is embedded in a3_min_fold's
     # and o2_topn_by_time's in-window oracles)
     # (f13_array_explode demoted r4s3: explode/unnest physics is embedded
-    # in the in-window dedup shingling oracles)
+    # in the in-window dedup shingling oracles; f8_template_substitution
+    # demoted r4s4: same single-expression string-codegen projection family
+    # as the in-window f3, the f2/f4 rationale)
     "f3_lower_normalize", "f5_bigint_string_arith",
-    "f8_template_substitution",
     "f10_json_extract",
     # r4 session-3 join flagships: as-of join (union+carry-forward vs
     # DuckDB's native ASOF JOIN) and bucketed range join; r4s4: redirect
@@ -3338,6 +3391,9 @@ _PRIORITY = [
     # gaps-and-islands oracle, CCNet head/middle/tail bucketing
     "link_graph_pagerank", "bm25_keyword_topk", "events_sessionize",
     "ccnet_quality_buckets",
+    # r4 session-4 flagship: bigram-LM fluency scoring with backoff (the
+    # CCNet LM-perplexity signal's integer twin, held-out split)
+    "text_bigram_lm_score",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
     # enrichment / dispatch / entities / backfill
@@ -3361,7 +3417,7 @@ _PRIORITY = [
     "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
     "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",
     # r4 session-4 demotions (rationales at their old window positions)
-    "p4_comparison_filter", "o2_topn_by_time",
+    "p4_comparison_filter", "o2_topn_by_time", "f8_template_substitution",
 ]
 
 _REGISTRY = {

@@ -126,3 +126,124 @@ def quality_buckets_approx(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --- bigram LM with unigram backoff ----------------------------------------
+
+def bigram_backoff_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_mod: int = 2,
+    scale: int = QUALITY_SCALE,
+    backoff_div: int = 4,
+) -> DataFrame:
+    """Integer-exact bigram-LM fluency scoring with unigram backoff.
+
+    The CCNet/Gopher pipelines score crawl text against a language model
+    trained on a REFERENCE corpus and keep the most model-typical head;
+    the sandbox stand-in trains the LM on the deterministic doc_id %
+    train_mod == 0 half and scores every document, so the held-out half
+    genuinely exercises the backoff path (a same-corpus LM would contain
+    every bigram it scores and backoff would be dead code). Per adjacent
+    pair (w1, w2):
+
+        seen bigram:    (c12 * scale) div c1        -- P(w2|w1), scaled
+        unseen, w2 in V:(c2  * scale) div (T * backoff_div)
+                                                    -- alpha*P(w2), scaled
+        OOV w2:         0
+
+    all in BIGINT floor arithmetic — the integer twin of stupid-backoff
+    (Brants et al., EMNLP'07: score, not probability; no normalization),
+    chosen over Katz precisely so the DuckDB oracle matches bit-for-bit
+    where a float log-prob would drift in the last ulp. A real perplexity
+    ranking is monotone in this score per bigram count, and production
+    would take logs after parity is proven.
+
+    Scale shape: adjacency never leaves the row (one codegen array
+    transform builds in-row bigrams, the collocations_pmi_topk idiom);
+    the LM tables are vocab-sized and BROADCAST into the score join (a
+    10^12-token LM would bucket both sides on w1 instead); one map-side-
+    combined groupBy per doc closes it. Returns
+    (id, n_bigrams, score_scaled, avg_score_scaled) with NULL avg for
+    docs under 2 tokens.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"filter(split(lower({text_col}), '[^a-z]+'), x -> x != '')").alias(
+            "t"
+        ),
+    )
+    train = toks.filter((F.col(id_col) % train_mod) == 0)
+    uni = train.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    big = (
+        train.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    total = train.select(F.explode("t").alias("w")).count()
+
+    pairs = toks.select(
+        F.col(id_col),
+        # same empty-safe slice formulation as the train-side `big` build:
+        # sequence(0, size-2) is DESCENDING for size<2 and t[i+1] would
+        # throw under ANSI mode on single-token docs
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    scored = (
+        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("c12").isNotNull(),
+                F.expr(f"(c12 * {scale}) div c1"),
+            )
+            .when(
+                F.col("c2").isNotNull(),
+                F.expr(f"(c2 * {scale}) div ({total} * {backoff_div})"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contrib"),
+        )
+    )
+    return (
+        toks.select(id_col)
+        .join(scored.groupBy(id_col).agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("contrib").alias("score_scaled"),
+        ), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("score_scaled", F.lit(0)).cast("bigint").alias("score_scaled"),
+            F.expr("CASE WHEN n_bigrams > 0 THEN score_scaled div n_bigrams END")
+            .cast("bigint")
+            .alias("avg_score_scaled"),
+        )
+    )

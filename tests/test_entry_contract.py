@@ -56,6 +56,9 @@ def test_flagship_new_components_have_driver_rows():
         "ccnet_quality_buckets",
         "asof_join_latest_state",
         "range_join_windows",
+        # r4 session-4 flagships
+        "redirect_chain_resolve",
+        "text_bigram_lm_score",
     ):
         assert name in window, name
 
@@ -79,6 +82,7 @@ def test_demotions_have_in_window_twins():
         # r4 session-4 demotions
         "p4_comparison_filter": "p5_bool_connectives",
         "o2_topn_by_time": "o3_pagination",
+        "f8_template_substitution": "f3_lower_normalize",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted

@@ -80,3 +80,31 @@ def test_approx_no_global_sort(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # the scale path must not contain a single-partition window sort
     assert "Window" not in plan
+
+
+def test_bigram_backoff_branches(spark):
+    from layerg_crawler_v2_spark.operators.scoring import bigram_backoff_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),        # train: bigrams (the,cat) (cat,sat)
+            (2, "the cat ran"),        # train
+            (1, "the cat sat"),        # held-out, all bigrams seen
+            (3, "cat the"),            # held-out: unseen bigram, w2 in vocab
+            (5, "zzz qqq"),            # held-out: OOV everywhere -> 0
+            (7, "x"),                  # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           bigram_backoff_scores(docs, train_mod=2, scale=1000, backoff_div=4).collect()}
+    # train tokens: the cat sat the cat ran -> T=6, c(the)=2 c(cat)=2 c(sat)=1 c(ran)=1
+    # doc 1: (the,cat) c12=2,c1=2 -> 1000; (cat,sat) c12=1,c1=2 -> 500
+    assert got[1]["score_scaled"] == 1500 and got[1]["n_bigrams"] == 2
+    assert got[1]["avg_score_scaled"] == 750
+    # doc 3: (cat,the) unseen bigram, backoff c(the)=2 -> (2*1000)//(6*4) = 83
+    assert got[3]["score_scaled"] == 83
+    assert got[5]["score_scaled"] == 0 and got[5]["n_bigrams"] == 1
+    assert got[7]["n_bigrams"] == 0 and got[7]["avg_score_scaled"] is None
+    # train docs score themselves through the seen branch
+    assert got[0]["score_scaled"] == 1500
