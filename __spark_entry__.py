@@ -3332,6 +3332,32 @@ def bigram_lm_q(spark, sf):
     return bigram_backoff_scores(_t(spark, sf, "documents"), train_mod=2)
 
 
+_PCTL_DUCK = " UNION ALL ".join(
+    f"SELECT lang, CAST({p} AS BIGINT) AS pct,"
+    f" CAST(quantile_disc(n_chars, {p / 100}) AS BIGINT) AS val"
+    " FROM documents GROUP BY lang"
+    for p in (25, 50, 75, 90, 99)
+)
+
+
+@_q("stats_percentiles_exact", _PCTL_DUCK)
+def pctl_q(spark, sf):
+    """Exact per-language n_chars percentiles (operators/stats.py
+    grouped_percentiles_disc): percentile_disc semantics certified against
+    DuckDB's independent quantile_disc implementation (a sort-based
+    algorithm vs our histogram+rank resolution — cross-algorithm, the
+    asof_join pattern). Only the (lang, n_chars) histogram shuffles, never
+    the documents; BIGINT ceil-rank arithmetic where float q*n drifts.
+    The reference resolves every aggregate exactly — no sampling in its
+    query surface (query_resolver.go aggregates; SURVEY.md §2.4) — so the
+    curation cut lines ("cap at p99") are exact too."""
+    from layerg_crawler_v2_spark.operators.stats import grouped_percentiles_disc
+
+    return grouped_percentiles_disc(
+        _t(spark, sf, "documents"), "lang", "n_chars"
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the

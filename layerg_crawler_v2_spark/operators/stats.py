@@ -1,0 +1,81 @@
+"""Exact distribution statistics over corpus-scale tables.
+
+Corpus curation decisions ("drop the bottom decile by length", "cap at the
+p99 token count") are made against length/score distributions, and the
+reference's query surface resolves every aggregate exactly (no sampling
+anywhere in its generated query service — SURVEY.md §2.4). approx_percentile
+answers these with a sketch whose error bound moves the cut line; these
+operators compute the EXACT discrete percentile (the value an ORDER BY ...
+OFFSET would return) without ever globally sorting the data.
+
+Scale shape: the only thing shuffled is the VALUE HISTOGRAM — one row per
+distinct (group, value), built with a map-side-combined groupBy — never the
+corpus rows themselves. Cumulative counts run in a window PARTITIONED BY
+group (each group's histogram is processed in parallel across groups; no
+single-partition global window). The assumption is per-group distinct-value
+cardinality fits a partition — true for lengths/scores/counts (bounded
+domains); a boundless-domain column would swap the window for the
+range-partitioned two-pass prefix sum `operators/sequence.py` already uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_percentiles_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: Sequence[int] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Exact discrete percentiles of `value_col` per `group_col`.
+
+    Semantics are percentile_disc / DuckDB quantile_disc: the element at
+    1-indexed rank max(1, ceil(q*n)) in the group's sorted order — an
+    actual data value, never an interpolation. Ranks are resolved in BIGINT
+    arithmetic (`(pct*n + 99) div 100`), so parity with the oracle is exact
+    where a float `q*n` drifts at rank boundaries (0.9*500 in doubles is
+    450.0000000000000111).
+
+    One shuffle total: the histogram groupBy and both window passes (cum
+    count and group total n) share the group-hash partitioning. The tiny
+    pct list is exploded per histogram row inside codegen — no join, no
+    driver round-trip. Returns (group, pct, val) with val = the percentile
+    value, one row per (group, pct).
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
+    by_group = Window.partitionBy(group_col)
+    running = by_group.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        group_col,
+        value_col,
+        F.sum("cnt").over(running).alias("cum"),
+        F.sum("cnt").over(by_group).alias("n"),
+    )
+    fanned = cum.select(
+        group_col,
+        value_col,
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    )
+    target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("(pct * n + 99) div 100").cast("bigint"),
+    )
+    return (
+        fanned.filter(F.col("cum") >= target)
+        .groupBy(group_col, "pct")
+        .agg(F.min(value_col).alias("val"))
+        .select(
+            group_col,
+            F.col("pct").cast("bigint").alias("pct"),
+            F.col("val").cast("bigint").alias("val"),
+        )
+    )
