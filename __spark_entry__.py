@@ -1097,6 +1097,32 @@ def dedup_lsh_q(spark, sf):
     return lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
 
 
+_LSH_INCR_DUCK = f"""
+{_DUPES_SQL},{_LSH_CTES}
+SELECT id_a, id_b FROM lsh_pairs WHERE id_a >= 100000 OR id_b >= 100000
+"""
+
+
+@_q("dedup_lsh_incremental", _LSH_INCR_DUCK)
+def dedup_lsh_incr_q(spark, sf):
+    """Incremental near-dup: ONLY the new batch's band rows (the two
+    synthetic dup batches, doc_id >= 100000) probe the full band index —
+    new×all, never the index×index self-join the full-corpus form redoes
+    every batch (operators/dedup.py lsh_incremental_pairs). The broadcast
+    batch means the index side never shuffles; the oracle is the SAME
+    full-LSH CTE filtered to pairs with a new side, certifying the
+    incremental formulation against the all-pairs one."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs2(spark, sf), n_hashes=8, shingle_n=3)
+    return lsh_incremental_pairs(
+        sigs, F.col("doc_id") >= 100000, n_hashes=8, n_bands=4
+    )
+
+
 _JACCARD_DUCK = f"""
 {_DUPES_SQL},
 sh AS (

@@ -72,15 +72,13 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_rows(
     sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, n_bands: int = 4,
     hash_family: str = "md5",
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal band-hash in ≥1 band (a < b, distinct).
-
-    Band hash follows the signature family: md5-of-concat for the
-    oracle-portable path, one native xxhash64 over the band's columns for
-    production (no string materialization at all)."""
+    """(id, band, band_hash) — the LSH band index rows for a signature
+    table; the storage shape of a persistent near-dup index (bucketed by
+    (band, band_hash) on disk)."""
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
@@ -99,6 +97,19 @@ def lsh_candidate_pairs(
     stacked = bands[0]
     for x in bands[1:]:
         stacked = stacked.unionByName(x)
+    return stacked
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, n_bands: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Candidate near-dup pairs: equal band-hash in ≥1 band (a < b, distinct).
+
+    Band hash follows the signature family: md5-of-concat for the
+    oracle-portable path, one native xxhash64 over the band's columns for
+    production (no string materialization at all)."""
+    stacked = band_rows(sigs, id_col, n_hashes, n_bands, hash_family)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -109,6 +120,55 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_incremental_pairs(
+    sigs: DataFrame,
+    new_pred,
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_family: str = "md5",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Candidate pairs TOUCHING this batch: new×index ∪ new×new, never
+    index×index.
+
+    The streaming-ingest dedup shape: the corpus index is already deduped
+    among itself, so re-running the all-pairs self-join every batch redoes
+    O(index²) bucket work for pairs that cannot be emitted. Joining only
+    the batch's band rows against the full band index makes per-batch cost
+    ∝ |batch| × bucket-occupancy. With `broadcast_new` (batch ≪ index, the
+    steady state) the index side never shuffles AT ALL — each index
+    partition is probed in place against the broadcast batch, the same
+    delta-cost discipline as the seen-filter path (`operators/seen.py`).
+    A batch too large to broadcast flips to the sort-merge path, where a
+    (band, band_hash)-bucketed on-disk index still avoids its shuffle.
+
+    `new_pred` is a boolean Column over the signature rows (e.g.
+    `F.col("doc_id") >= watermark`). Emits (id_a, id_b), a < b, distinct —
+    exactly the full-corpus `lsh_candidate_pairs` output filtered to pairs
+    with ≥1 new side (parity-tested both ways).
+
+    Reference: the add-if-absent unique-set gate before expensive RPC
+    (cmd/helpers/unique-set-onchain.go) — delta-vs-seen, never
+    seen-vs-seen.
+    """
+    index = band_rows(sigs, id_col, n_hashes, n_bands, hash_family)
+    new_rows = band_rows(
+        sigs.filter(new_pred), id_col, n_hashes, n_bands, hash_family
+    )
+    n = F.broadcast(new_rows) if broadcast_new else new_rows
+    pairs = (
+        n.alias("n")
+        .join(index.alias("i"), on=["band", "band_hash"])
+        .filter(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"i.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"i.{id_col}")).alias("id_b"),
+        )
+    )
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(

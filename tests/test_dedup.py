@@ -188,3 +188,59 @@ def test_editdist_pairs_partitioning_invariance(spark):
     a = sorted(map(tuple, editdist_near_dup_pairs(docs).collect()))
     b = sorted(map(tuple, editdist_near_dup_pairs(docs.repartition(13)).collect()))
     assert a == b and len(a) > 0
+
+
+# --- incremental LSH (new-batch-vs-index) ----------------------------------
+
+def _incr_fixture(spark):
+    from layerg_crawler_v2_spark.operators.dedup import minhash_signatures
+
+    rows = []
+    for i in LONG_IDS:
+        t = synth_text(i)
+        rows.append((i, t))                      # index
+        rows.append((i + 10_000, t))             # index: exact dup pair inside index
+        rows.append((i + 50_000, t))             # NEW: dup of an indexed doc
+    rows.append((50_001 + 10 ** 6, synth_text(LONG_IDS[0])))  # NEW: dup of new
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return minhash_signatures(df, n_hashes=8, shingle_n=3)
+
+
+def test_incremental_equals_full_filtered(spark):
+    from layerg_crawler_v2_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+    )
+
+    sigs = _incr_fixture(spark).cache()
+    new = F.col("doc_id") >= 50_000
+    full = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+    expect = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.filter(
+            (F.col("id_a") >= 50_000) | (F.col("id_b") >= 50_000)
+        ).collect()
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in lsh_incremental_pairs(sigs, new, n_hashes=8, n_bands=4).collect()
+    )
+    assert got == expect and len(got) > 0
+    # index×index pairs (both sides < 50k) are never emitted
+    assert all(b >= 50_000 for _, b in got) or all(
+        a >= 50_000 or b >= 50_000 for a, b in got
+    )
+    sigs.unpersist()
+
+
+def test_incremental_index_side_not_shuffled(spark):
+    from layerg_crawler_v2_spark.operators.dedup import lsh_incremental_pairs
+
+    sigs = _incr_fixture(spark)
+    plan = (
+        lsh_incremental_pairs(sigs, F.col("doc_id") >= 50_000, n_hashes=8, n_bands=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
