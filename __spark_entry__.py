@@ -1123,6 +1123,93 @@ def dedup_lsh_incr_q(spark, sf):
     )
 
 
+def _morton_oracle() -> str:
+    from layerg_crawler_v2_spark.sources.layout import morton_sql
+
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_s FROM events
+),
+b AS (
+  SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+         min(ts_s) AS ylo, max(ts_s) AS yhi
+  FROM ev
+),
+q AS (
+  SELECT event_id,
+         ((user_id - xlo) * 65535) // greatest(xhi - xlo, 1) AS xq,
+         ((ts_s - ylo) * 65535) // greatest(yhi - ylo, 1) AS yq
+  FROM ev, b
+)
+SELECT event_id, CAST({morton_sql('xq', 'yq', 16)} AS BIGINT) AS z FROM q
+"""
+
+
+@_q("layout_zorder_code", _morton_oracle())
+def layout_code_q(spark, sf):
+    """Z-order clustering code over (user_id, event time): quantize both
+    axes to 16-bit fixed point from the table's bounds, interleave bits
+    (sources/layout.py). The unrolled OR-chain runs inside whole-stage
+    codegen on Spark and verbatim on DuckDB — bit-for-bit certification of
+    the layout math the pruning entry depends on. The reference's
+    (height, tx index) event key (db/migrations events PK) serves the same
+    two-axis locality via B-tree indexes; a lake gets it from layout."""
+    from layerg_crawler_v2_spark.sources.layout import (
+        column_bounds,
+        morton_interleave,
+        zorder_quantize,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    bounds = column_bounds(ev, ["user_id", "ts_s"])
+    return (
+        ev.withColumn("xq", zorder_quantize("user_id", *bounds["user_id"]))
+        .withColumn("yq", zorder_quantize("ts_s", *bounds["ts_s"]))
+        .select(
+            "event_id",
+            morton_interleave("xq", "yq", 16).cast("bigint").alias("z"),
+        )
+    )
+
+
+_ZBOX_DUCK = """
+SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_s
+FROM events
+WHERE user_id BETWEEN 3 AND 7
+  AND epoch_ms(ts) // 1000 BETWEEN 1704844800 AND 1705276800
+"""
+
+_LAYOUT_CACHE: dict[str, str] = {}
+
+
+@_q("layout_zorder_prune", _ZBOX_DUCK)
+def layout_prune_q(spark, sf):
+    """File-skipping box query over a Z-ordered layout: events rewritten
+    clustered by morton(user_id, ts) into 8 files, footer min/max stats
+    read manifest-style, only intersecting files opened, predicate
+    re-applied (sources/layout.py pruned_read). The oracle is the SAME box
+    over the RAW table — equality proves no file was wrongly pruned, the
+    property a perf-only test cannot give. tests/test_layout.py asserts
+    the skip actually happens (files read < files written)."""
+    import tempfile
+
+    from layerg_crawler_v2_spark.sources.layout import pruned_read, write_zordered
+
+    path = _LAYOUT_CACHE.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="zlayout_")
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+        )
+        write_zordered(ev, path, "user_id", "ts_s", n_files=8)
+        _LAYOUT_CACHE[sf] = path
+    return pruned_read(
+        spark, path, {"user_id": (3, 7), "ts_s": (1704844800, 1705276800)}
+    ).select("event_id", "user_id", "ts_s")
+
+
 _JACCARD_DUCK = f"""
 {_DUPES_SQL},
 sh AS (
