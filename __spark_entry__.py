@@ -3471,6 +3471,95 @@ def pctl_q(spark, sf):
     )
 
 
+# --- C4 page cleaning (operators/quality.py) --------------------------------
+# The synthetic documents table is punctuation-free token soup, so the
+# entries derive a deterministic LINE-STRUCTURED page from doc_id with the
+# SAME expression on both engines (the frontier_trap_filter URL-synthesis
+# pattern): every C4 rule — terminal punctuation, min words/line, the
+# javascript line drop, lorem-ipsum / curly-brace page drops, min kept
+# sentences — has both passing and failing pages in the 500-doc corpus.
+_C4_SYNTH = """concat_ws(chr(10),
+  'data rows flow through the engine.',
+  'short line',
+  concat(repeat('scan ', cast(doc_id % 4 as int)), 'tables complete quickly',
+         case when doc_id % 3 = 0 then '.' else '' end),
+  case when doc_id % 7 = 0 then 'please enable javascript to continue.'
+       else 'the quick brown fox jumps over it.' end,
+  case when doc_id % 11 = 0 then 'lorem ipsum dolor sit amet.'
+       else 'another well formed sentence here.' end,
+  case when doc_id % 13 = 0 then 'var x = { y: 1 };'
+       else 'closing remarks end the page.' end,
+  rtrim(repeat('all good things come in rows. ', cast(doc_id % 2 as int))))"""
+
+_C4_KEPT_DUCK = (
+    "list_filter(string_split(text, chr(10)), ln ->"
+    " regexp_matches(ln, '[.!?]$') AND len(string_split(ln, ' ')) >= 3"
+    " AND NOT contains(lower(ln), 'javascript'))"
+)
+
+
+@_q(
+    "c4_quality_filter",
+    "WITH s AS (SELECT doc_id, " + _C4_SYNTH + " AS text FROM documents),\n"
+    "k AS (SELECT doc_id, text, " + _C4_KEPT_DUCK + " AS kept FROM s)\n"
+    "SELECT doc_id,\n"
+    "  len(string_split(text, chr(10))) AS n_lines,\n"
+    "  len(kept) AS n_kept_lines,\n"
+    "  contains(lower(text), 'lorem ipsum') AS has_lorem,\n"
+    "  contains(text, '{') AS has_brace,\n"
+    "  (len(kept) >= 5 AND NOT contains(lower(text), 'lorem ipsum')\n"
+    "   AND NOT contains(text, '{')) AS keep,\n"
+    "  array_to_string(kept, chr(10)) AS cleaned_text\n"
+    "FROM k",
+)
+def c4_filter_q(spark, sf):
+    """C4 page cleaning (operators/quality.py c4_page_filter; Raffel et al.
+    2020 §2.2): line retention (terminal punct, >=3 words, no javascript)
+    + page drops (lorem ipsum, curly brace, <5 kept sentences), emitting
+    per-rule verdicts and the cleaned text. One JVM higher-order pass per
+    document inside whole-stage codegen — zero shuffle, zero Python."""
+    from layerg_crawler_v2_spark.operators.quality import c4_page_filter
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_C4_SYNTH).alias("text")
+    )
+    return c4_page_filter(d)
+
+
+@_q(
+    "c4_span_dedup",
+    "WITH s AS (SELECT doc_id, " + _C4_SYNTH + " AS text FROM documents),\n"
+    "k AS (SELECT doc_id, " + _C4_KEPT_DUCK + " AS kept FROM s),\n"
+    "sen AS (SELECT doc_id, unnest(kept) AS sent,\n"
+    "               unnest(range(len(kept))) AS span_idx FROM k),\n"
+    "sp AS (SELECT doc_id, span_idx,\n"
+    "         md5(sent || chr(10) || lead(sent, 1) OVER w\n"
+    "                  || chr(10) || lead(sent, 2) OVER w) AS span_hash,\n"
+    "         (lead(sent, 2) OVER w IS NOT NULL) AS complete\n"
+    "       FROM sen WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx)),\n"
+    "d AS (SELECT *, count(*) OVER (PARTITION BY span_hash) AS occurrences,\n"
+    "        row_number() OVER (PARTITION BY span_hash\n"
+    "                           ORDER BY doc_id, span_idx) AS rn\n"
+    "      FROM sp WHERE complete)\n"
+    "SELECT doc_id, span_idx, span_hash FROM d\n"
+    "WHERE occurrences > 1 AND rn > 1",
+)
+def c4_span_dedup_q(spark, sf):
+    """C4 corpus-level three-sentence-span dedup (operators/quality.py
+    c4_span_dedup_drops): every duplicated 3-consecutive-sentence span
+    keeps its smallest-(doc_id, idx) occurrence; all others are emitted as
+    drop rows. One doc-partitioned lead() window builds spans; the global
+    groupBy shuffles (hash, id, idx) triples only — the text never moves.
+    md5 oracle family here; the xxhash64 production twin is pytest-covered
+    (tests/test_quality.py family-parity)."""
+    from layerg_crawler_v2_spark.operators.quality import c4_span_dedup_drops
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_C4_SYNTH).alias("text")
+    )
+    return c4_span_dedup_drops(d, hash_fn="md5")
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
