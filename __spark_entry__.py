@@ -3560,6 +3560,78 @@ def c4_span_dedup_q(spark, sf):
     return c4_span_dedup_drops(d, hash_fn="md5")
 
 
+# --- registrable domain / public-suffix list (operators/domains.py) ---------
+# Hosts synthesized from doc_id so every PSL rule kind fires: plain rules at
+# several depths, the '*.ck' / '*.kawasaki.jp' wildcards, both '!' exception
+# rules (exact-host and one-below), hosting-platform private suffixes
+# (github.io / blogspot.com), the implicit-'*' unknown-TLD fallback, and a
+# host that IS a public suffix (NULL registrable domain).
+_PSL_HOST_SYNTH = """case cast(doc_id % 12 as int)
+  when 0 then concat('site', cast(doc_id as string), '.com')
+  when 1 then concat('shop', cast(doc_id as string), '.co.uk')
+  when 2 then concat('n', cast(doc_id as string), '.example.org')
+  when 3 then concat('a.b.site', cast(doc_id as string), '.github.io')
+  when 4 then 'www.ck'
+  when 5 then concat('foo', cast(doc_id as string), '.bar.ck')
+  when 6 then 'city.kawasaki.jp'
+  when 7 then 'x.city.kawasaki.jp'
+  when 8 then concat('b', cast(doc_id as string), '.other.kawasaki.jp')
+  when 9 then concat('u', cast(doc_id as string), '.blogspot.com')
+  when 10 then concat('unknown', cast(doc_id as string), '.zz')
+  else 'com' end"""
+
+_PSL_RULES_DUCK = """rules(key, kind) AS (VALUES
+  ('com','p'),('org','p'),('net','p'),('io','p'),('jp','p'),('uk','p'),
+  ('co.uk','p'),('ac.uk','p'),('gov.uk','p'),('com.au','p'),
+  ('github.io','p'),('blogspot.com','p'),('s3.amazonaws.com','p'),
+  ('*.ck','w'),('www.ck','e'),
+  ('*.kawasaki.jp','w'),('city.kawasaki.jp','e'))"""
+
+
+@_q(
+    "psl_registrable_domain",
+    "WITH h AS (SELECT doc_id, " + _PSL_HOST_SYNTH + " AS host FROM documents),\n"
+    + _PSL_RULES_DUCK + ",\n"
+    "l AS (SELECT doc_id, host, string_split(host, '.') AS ls,\n"
+    "             len(string_split(host, '.')) AS n FROM h),\n"
+    "cand AS (SELECT doc_id, n, ls, unnest(range(1, least(n, 4) + 1)) AS k FROM l),\n"
+    "keyed AS (SELECT doc_id, n, k,\n"
+    "            array_to_string(ls[n - k + 1 : n], '.') AS suf,\n"
+    "            CASE WHEN k >= 2 THEN '*.' ||\n"
+    "              array_to_string(ls[n - k + 2 : n], '.') END AS wsuf\n"
+    "          FROM cand),\n"
+    "m AS (SELECT doc_id, k, coalesce(r1.kind, r2.kind) AS kind\n"
+    "      FROM keyed LEFT JOIN rules r1 ON r1.key = keyed.suf\n"
+    "                 LEFT JOIN rules r2 ON r2.key = keyed.wsuf\n"
+    "      WHERE coalesce(r1.kind, r2.kind) IS NOT NULL),\n"
+    "win AS (SELECT doc_id,\n"
+    "          max(CASE WHEN kind = 'e' THEN k END) AS exc_k,\n"
+    "          max(CASE WHEN kind <> 'e' THEN k END) AS plain_k\n"
+    "        FROM m GROUP BY doc_id),\n"
+    "fin AS (SELECT l.doc_id, l.host, l.ls, l.n,\n"
+    "          coalesce(win.exc_k - 1, win.plain_k, 1) AS ps\n"
+    "        FROM l LEFT JOIN win ON win.doc_id = l.doc_id)\n"
+    "SELECT doc_id, host,\n"
+    "  array_to_string(ls[n - ps + 1 : n], '.') AS public_suffix,\n"
+    "  CASE WHEN n > ps THEN array_to_string(ls[n - ps : n], '.') END\n"
+    "    AS registrable_domain\n"
+    "FROM fin",
+)
+def psl_domain_q(spark, sf):
+    """Registrable-domain (eTLD+1) extraction (operators/domains.py):
+    publicsuffix.org semantics — exception beats wildcard beats shorter —
+    as a zero-shuffle in-row fold over a constant-folded rule map (the PSL
+    is bounded, so it rides the plan like a broadcast). The oracle resolves
+    the same rules relationally (explode + join + window) — two independent
+    formulations of the PSL algorithm certifying each other."""
+    from layerg_crawler_v2_spark.operators.domains import with_registrable_domain
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PSL_HOST_SYNTH).alias("host")
+    )
+    return with_registrable_domain(d)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
