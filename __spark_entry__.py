@@ -3632,6 +3632,37 @@ def psl_domain_q(spark, sf):
     return with_registrable_domain(d)
 
 
+@_q(
+    "dedup_substring_spans",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, i,
+            md5(array_to_string(ws[i : i + 7], ' ')) AS h
+          FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+    c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+    d AS (SELECT doc_id, i FROM g JOIN c USING (h)),
+    isl AS (SELECT doc_id, i,
+              CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+                   THEN 0 ELSE 1 END AS brk
+            FROM d),
+    grp AS (SELECT doc_id, i,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM isl)
+    SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, island""",
+)
+def substring_spans_q(spark, sf):
+    """Maximal duplicated-substring spans, Lee et al. 2022 (operators/
+    dedup.py duplicated_substring_spans): sliding 8-word windows built
+    in-row, multiplicity election on md5(window), per-doc gaps-and-islands
+    merge. The positional clip-coordinate form of exact substring dedup —
+    one hash-keyed shuffle + one doc-partitioned window, never a
+    self-join."""
+    from layerg_crawler_v2_spark.operators.dedup import duplicated_substring_spans
+
+    return duplicated_substring_spans(_t(spark, sf, "documents"), k=8)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the

@@ -594,3 +594,66 @@ def editdist_near_dup_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", F.col("edit_dist").cast("bigint").alias("edit_dist"))
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every length-k word
+    window whose exact text occurs more than once in the corpus is a
+    duplicated window; overlapping/adjacent duplicated windows within a
+    document merge into maximal spans — the regions their suffix-array
+    pipeline would excise.
+
+    Returns (id_col, span_start, span_end, n_windows): 1-based inclusive
+    word positions of each maximal span and how many duplicated windows it
+    absorbed.
+
+    Distinct from chunk_exact_dedup (non-overlapping chunks, first-wins
+    election) and dedup_ngram_coverage (a per-doc scalar fraction): this is
+    the POSITIONAL form — sliding windows, so a duplicated region is found
+    at any word offset, and the output is clip coordinates, not a score.
+
+    Scale shape: windows are built in-row (one JVM transform over the token
+    array — the corpus is never self-joined); the multiplicity election
+    groups on md5(window) so the exchange carries a fixed 32-byte key + id
+    + position, never window text (md5, not xxhash64, so the DuckDB oracle
+    shares the exact key; a 128-bit key also makes collision-merges
+    negligible where a 64-bit key would not be at 10^12 windows). The
+    gaps-and-islands merge is one window function partitioned by document —
+    linear, partition-local. Suffix arrays find duplicates of ANY length
+    >= k with the same asymptotics; fixed-k windows + merge is the
+    shuffle-friendly approximation (spans are unions of k-windows, so
+    boundaries are exact to within k-1 words).
+    """
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("pos0", "h")).select(
+        id_col, (F.col("pos0") + 1).cast("long").alias("i"), "h"
+    )
+    dup_keys = g.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    dup = g.join(dup_keys, "h").select(id_col, "i")
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= k, 0).otherwise(1)
+    islands = dup.withColumn("island", F.sum(brk).over(w))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + k - 1).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("island")
+    )

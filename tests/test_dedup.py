@@ -244,3 +244,44 @@ def test_incremental_index_side_not_shuffled(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --- duplicated_substring_spans (Lee et al. positional form) -----------------
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_spans_planted_cross_doc(spark):
+    from layerg_crawler_v2_spark.operators.dedup import duplicated_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared words
+    a = "a0 a1 a2 a3 " + shared + " a4 a5 a6 a7"   # shared at words 5..16
+    b = shared + " b0 b1 b2 b3 b4 b5 b6 b7 b8"     # shared at words 1..12
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_substring_spans(
+            _span_docs(spark, [(1, a), (2, b)]), k=8
+        ).collect()
+    }
+    # 12-word region, k=8 -> 5 duplicated windows, merged into ONE span each
+    assert out == {(1, 5, 16, 5), (2, 1, 12, 5)}
+
+
+def test_substring_spans_within_doc_repeat(spark):
+    from layerg_crawler_v2_spark.operators.dedup import duplicated_substring_spans
+
+    phrase = " ".join(f"p{i}" for i in range(8))
+    text = phrase + " x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 " + phrase
+    rows = duplicated_substring_spans(
+        _span_docs(spark, [(1, text)]), k=8
+    ).collect()
+    got = sorted((r.span_start, r.span_end) for r in rows)
+    assert got == [(1, 8), (19, 26)]
+
+
+def test_substring_spans_short_doc_and_unique_doc_empty(spark):
+    from layerg_crawler_v2_spark.operators.dedup import duplicated_substring_spans
+
+    rows = [(1, "only three words"), (2, " ".join(f"u{i}" for i in range(30)))]
+    assert duplicated_substring_spans(_span_docs(spark, rows), k=8).count() == 0
