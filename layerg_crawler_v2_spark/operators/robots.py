@@ -8,10 +8,12 @@ matching rule = allowed (standard robots exclusion semantics).
 
 Scale shape (north rule: "robots.txt allow/deny compiled to broadcast
 tries"): `compile_robots` linearizes each host's prefix trie into ONE row per
-host holding the rules sorted longest-prefix-first (allow before deny at
-equal length) — the flattened broadcast form of the trie, exact for the
-startswith-match semantics because the first matching element of that
-ordering IS the trie's deepest (tie-broken) node. `apply_robots` then
+host holding the rules sorted most-specific-first (most pattern octets,
+allow before deny at equal length, RFC 9309 §2.2.2) — the flattened
+broadcast form of the trie: the first matching element of that ordering IS
+the winning rule. Patterns support the full RFC 9309 §2.2.3 syntax: plain
+prefixes take a startswith fast path; '*' / trailing-'$' rules are
+precompiled to anchored regexes at compile_robots time. `apply_robots` then
 broadcast-joins one compiled row per host and picks the winner with
 `F.get(F.filter(rules, ...), 0)` — a per-row array probe in whole-stage
 codegen. The candidate set is never shuffled, never fanned out per rule, and
@@ -40,22 +42,44 @@ def _path_expr(url_col: str):
     )
 
 
+def _wildcard_rx(p):
+    """RFC 9309 §2.2.3 pattern → anchored Java regex, for rules that use
+    '*' (any octet sequence) or a trailing '$' (end-of-path anchor). NULL
+    for plain prefixes — those keep the cheap startswith fast path.
+
+    Translation: escape every regex metachar EXCEPT '*', then '*' → '.*';
+    a '$' at the end of the raw pattern (escaped to '\\$' by the first
+    step) becomes a real end anchor. A '$' anywhere else stays literal,
+    per the RFC."""
+    special = F.contains(p, F.lit("*")) | p.endswith("$")
+    esc = F.regexp_replace(p, r"([.^$+?(){}\[\]|\\])", "\\\\$1")
+    star = F.replace(esc, F.lit("*"), F.lit(".*"))
+    n = F.length(star)
+    body = F.when(
+        p.endswith("$"), F.concat(F.substring(star, 1, n - 2), F.lit("$"))
+    ).otherwise(star)
+    return F.when(special, F.concat(F.lit("^"), body))
+
+
 def compile_robots(robots: DataFrame) -> DataFrame:
     """(host, rule_type, path_prefix) rows → (host, rules) — one row per host.
 
-    `rules` is array<struct<rule_type,path_prefix>> sorted so the first
-    startswith-match is the longest-prefix winner with allow beating deny on
-    ties. Rule tables are tiny (a few rules per politeness-relevant host), so
-    the groupBy here shuffles kilobytes; callers that run many rounds should
-    compile once and cache (run_crawl does). Non-path carrier rows
-    (crawl_delay / sitemap) are dropped here, so raw parse_robots_txt
+    `rules` is array<struct<rule_type,path_prefix,rx>> sorted so the first
+    match is the most-specific winner (RFC 9309 §2.2.2: most pattern
+    octets) with allow beating deny on ties. `rx` is the precompiled
+    anchored regex for '*'/'$' patterns (NULL = plain prefix, matched by
+    startswith). Rule tables are tiny (a few rules per politeness-relevant
+    host), so the groupBy here shuffles kilobytes; callers that run many
+    rounds should compile once and cache (run_crawl does). Non-path carrier
+    rows (crawl_delay / sitemap) are dropped here, so raw parse_robots_txt
     output is safe to compile directly."""
     robots = robots.filter(F.col("rule_type").isin("allow", "deny"))
+    robots = robots.withColumn("rx", _wildcard_rx(F.col("path_prefix")))
     return robots.groupBy("host").agg(
         F.expr(
             """
             array_sort(
-              collect_list(struct(rule_type, path_prefix)),
+              collect_list(struct(rule_type, path_prefix, rx)),
               (l, r) -> CASE
                 WHEN length(l.path_prefix) > length(r.path_prefix) THEN -1
                 WHEN length(l.path_prefix) < length(r.path_prefix) THEN 1
@@ -90,10 +114,16 @@ def apply_robots(
     # first match in the longest-first ordering = the winning rule; F.get is
     # out-of-bounds-null (ANSI-safe), so empty/absent rule sets fall through
     # to NULL = allowed
+    # Plain prefixes match with startswith (the common case, cheap);
+    # '*'/'$' patterns match their precompiled anchored regex via
+    # regexp_like with a per-element pattern — rule arrays are a handful of
+    # entries, so the non-foldable-regex cost is bounded per row.
     best = F.get(
         F.filter(
             F.col("rules"),
-            lambda r: F.col("__path").startswith(r["path_prefix"]),
+            lambda r: F.when(
+                r["rx"].isNull(), F.col("__path").startswith(r["path_prefix"])
+            ).otherwise(F.regexp_like(F.col("__path"), r["rx"])),
         ),
         F.lit(0),
     )

@@ -12,6 +12,7 @@ the engine; all orchestration here is independent sequential code."""
 from __future__ import annotations
 
 import datetime
+import re
 from dataclasses import dataclass, field
 
 from layerg_crawler_v2_spark.functions.canon import canonicalize, host_of, resolve
@@ -28,15 +29,28 @@ class SimResult:
     frontier: dict[str, tuple] = field(default_factory=dict)  # url -> (depth, priority_units)
 
 
+def _robots_rule_matches(path: str, pattern: str) -> bool:
+    """RFC 9309 §2.2.3: '*' = any octet sequence, trailing '$' = end
+    anchor; plain patterns are prefixes (independent twin of
+    operators/robots.py _wildcard_rx)."""
+    if "*" in pattern or pattern.endswith("$"):
+        rx = "^" + re.escape(pattern).replace(r"\*", ".*")
+        if pattern.endswith("$"):
+            rx = rx[: -len(re.escape("$"))] + "$"
+        return re.search(rx, path) is not None
+    return path.startswith(pattern)
+
+
 def robots_allowed(url: str, host: str, robots: list[tuple] | None) -> bool:
-    """(host, rule_type, path_prefix) rules; longest prefix wins, allow ties."""
+    """(host, rule_type, pattern) rules; most pattern octets win, allow
+    ties (RFC 9309 §2.2.2)."""
     if robots is None:
         return True
     rest = url.split("://", 1)[1]
     path = rest[rest.index("/"):] if "/" in rest else "/"
     best_len, best_allow = -1, True
     for h, rule_type, prefix in robots:
-        if h != host or not path.startswith(prefix):
+        if h != host or not _robots_rule_matches(path, prefix):
             continue
         if len(prefix) > best_len or (len(prefix) == best_len and rule_type == "allow"):
             best_len, best_allow = len(prefix), rule_type == "allow"

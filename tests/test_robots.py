@@ -268,3 +268,106 @@ def test_robots_to_sitemap_to_seeds_pipeline(spark):
         ("https://c.org/p/1", "c.org"),
         ("https://c.org/p/2", "c.org"),
     ]
+
+
+# --- RFC 9309 §2.2.3 wildcard / end-anchor patterns --------------------------
+
+def _allowed(spark, rules, url_paths, host="w.com"):
+    cand = spark.createDataFrame(
+        [(f"http://{host}{p}", host, p) for p in url_paths],
+        "url string, host string, p string",
+    )
+    rules_df = spark.createDataFrame(
+        [(host, t, pat) for t, pat in rules],
+        "host string, rule_type string, path_prefix string",
+    )
+    return {r.p for r in apply_robots(cand, rules_df).collect()}
+
+
+def test_wildcard_star_matches_any_sequence(spark):
+    # Google robots-spec example: /fish* == /fish prefix; /*.php matches any
+    # path containing .php after any prefix.
+    got = _allowed(
+        spark,
+        [("deny", "/fish*"), ("deny", "/*.php")],
+        ["/fish", "/fishheads/yummy", "/fis", "/index.php",
+         "/folder/any.php.x", "/windows.PHP", "/"],
+    )
+    assert got == {"/fis", "/windows.PHP", "/"}
+
+
+def test_end_anchor_dollar(spark):
+    got = _allowed(
+        spark,
+        [("deny", "/fish$")],
+        ["/fish", "/fishheads", "/fish/", "/fish.html"],
+    )
+    assert got == {"/fishheads", "/fish/", "/fish.html"}
+
+
+def test_star_with_end_anchor(spark):
+    got = _allowed(
+        spark,
+        [("deny", "/*.php$")],
+        ["/filename.php", "/folder/filename.php", "/filename.php5",
+         "/filename.php/"],
+    )
+    assert got == {"/filename.php5", "/filename.php/"}
+
+
+def test_specificity_wildcard_vs_prefix(spark):
+    # Google example: Allow /page (5 octets) vs Disallow /*.htm (6 octets):
+    # the longer wildcard rule wins for /page.htm; /page stays allowed.
+    got = _allowed(
+        spark,
+        [("allow", "/page"), ("deny", "/*.htm")],
+        ["/page", "/page.htm"],
+    )
+    assert got == {"/page"}
+
+
+def test_dollar_mid_pattern_is_literal(spark):
+    got = _allowed(
+        spark,
+        [("deny", "/price$usd*")],
+        ["/price$usd/x", "/priceusd/x", "/price"],
+    )
+    assert got == {"/priceusd/x", "/price"}
+
+
+def test_regex_metachars_in_patterns_are_literal(spark):
+    got = _allowed(
+        spark,
+        [("deny", "/a(b)+c*"), ("deny", "/d.e$")],
+        ["/a(b)+c/x", "/abbc", "/d.e", "/dxe"],
+    )
+    assert got == {"/abbc", "/dxe"}
+
+
+def test_wildcard_rules_match_python_reference_randomized(spark):
+    """The randomized parity property, re-run over a pattern pool that
+    includes '*' and '$' forms (engine regexp path vs the simulator's
+    independent re-based twin)."""
+    rng = random.Random(20260819)
+    hosts = [f"wh{i}.com" for i in range(4)]
+    patterns = ["/", "/a", "/a/*/c", "/*.php", "/fish$", "/a*b$", "/q?*=v",
+                "/x", "/*z*"]
+    rules = []
+    for h in hosts[:3]:
+        for _ in range(rng.randint(2, 6)):
+            rules.append((h, rng.choice(["allow", "deny"]), rng.choice(patterns)))
+    paths = ["/", "/a", "/a/b/c", "/a/x/c/d", "/i.php", "/fish", "/fish/",
+             "/axyb", "/axybz", "/q?k=v", "/xz", "/zebra", "/x"]
+    cand_rows = [
+        (f"http://{h}{p}", h, i)
+        for i, (h, p) in enumerate(
+            (rng.choice(hosts), rng.choice(paths)) for _ in range(300)
+        )
+    ]
+    cand = spark.createDataFrame(cand_rows, "url string, host string, idx int")
+    rules_df = spark.createDataFrame(
+        rules, "host string, rule_type string, path_prefix string"
+    )
+    got = sorted(r.idx for r in apply_robots(cand, rules_df).collect())
+    want = sorted(i for (u, h, i) in cand_rows if robots_allowed(u, h, rules))
+    assert got == want

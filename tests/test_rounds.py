@@ -490,3 +490,26 @@ def test_auto_salt_output_identical_and_engaged(spark, pages_df, seeds, tmp_path
         store2.last_round() + 1, cfg2,
     )
     assert m2["salt_buckets_used"] == 0
+
+
+def test_robots_wildcard_rules_golden(spark, pages_df, pages_dict, seeds, tmp_path):
+    """RFC 9309 '*'/'$' patterns inside a full crawl: the engine's
+    regex-compiled rules and the simulator's independent re-based matcher
+    produce the identical fetch log, and the rules demonstrably prune."""
+    hosts = sorted({u.split("/")[2] for u in pages_dict})
+    rules = []
+    for h in hosts:
+        rules += [(h, "deny", "/d/1*"), (h, "allow", "/d/1$"),
+                  (h, "deny", "/*7$")]
+    sim = simulate(pages_dict, seeds, ROUNDS, robots=rules)
+    sim_open = simulate(pages_dict, seeds, ROUNDS)
+    assert 0 < len(sim.fetch_log) < len(sim_open.fetch_log)  # really pruned
+    store = run_engine(
+        spark, pages_df, seeds, str(tmp_path / "rw"), robots_rows=rules
+    )
+    got = fetch_log_tuples(spark, store)
+    want = [
+        (r, q, u, h, d, ts.replace(tzinfo=None), b, st)
+        for (r, q, u, h, d, ts, b, st) in sim.fetch_log
+    ]
+    assert got == want
