@@ -3663,6 +3663,21 @@ def substring_spans_q(spark, sf):
     return duplicated_substring_spans(_t(spark, sf, "documents"), k=8)
 
 
+@_q("bpe_train_merges", None)  # iterative argmax loop: not SQL-expressible;
+# golden-verified against an independent sequential implementation in
+# tests/test_bpe.py (textbook example, overlapping runs, corpus sample, fuzz)
+def bpe_q(spark, sf):
+    """Distributed BPE merge-rule training (operators/bpe.py, Sennrich et
+    al. 2016): one corpus pass to the word-frequency table, then k
+    vocabulary-sized iterations (in-row pair zip_with + freq-weighted
+    groupBy + argmax broadcast + in-row greedy merge fold). The
+    tokenizer-training stage of the LLM pipeline, run where the data
+    lives."""
+    from layerg_crawler_v2_spark.operators.bpe import train_bpe_merges
+
+    return train_bpe_merges(_t(spark, sf, "documents"), n_merges=10)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
