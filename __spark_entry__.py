@@ -3678,6 +3678,24 @@ def bpe_q(spark, sf):
     return train_bpe_merges(_t(spark, sf, "documents"), n_merges=10)
 
 
+@_q("dedup_cdc_chunks", None)  # gear-hash scan is not SQL-expressible;
+# invariants (exact coverage, min/max bounds, determinism, re-sync after
+# insertion, distributed==local) are property-tested in tests/test_cdc.py
+def cdc_q(spark, sf):
+    """Content-defined chunking + shared-chunk ledger (operators/cdc.py):
+    gear-hash boundaries (vectorized numpy — K shifted adds, no per-byte
+    Python), mapInPandas with zero shuffle, then a hash-only groupBy for
+    cross-document chunk reuse. The dedup primitive that survives byte
+    insertions, which fixed word windows (chunk_exact_dedup) cannot."""
+    from layerg_crawler_v2_spark.operators.cdc import cdc_chunks, cdc_shared_chunks
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    chunks = cdc_chunks(d, min_size=32, mask_bits=6, max_size=512)
+    return cdc_shared_chunks(chunks)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
