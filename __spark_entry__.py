@@ -3696,6 +3696,96 @@ def cdc_q(spark, sf):
     return cdc_shared_chunks(chunks)
 
 
+_ANALYZE_COLS = ["l_orderkey", "l_linestatus", "l_shipdate", "l_returnflag"]
+
+@_q(
+    "analyze_table_stats",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+           count(*) AS row_count,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS STRING) AS min_value,
+           CAST(max({c}) AS STRING) AS max_value FROM lineitem"""
+        for c in _ANALYZE_COLS
+    ),
+)
+def analyze_q(spark, sf):
+    """ANALYZE-TABLE column statistics (operators/stats.py analyze_table):
+    row/null/NDV/min/max per column in ONE pass (single multi-distinct agg,
+    in-row unpivot) — the catalog stats feeding CBO decisions and the
+    z-order layout chooser (sources/layout.py). Exact NDV keeps it
+    oracle-checkable; 100-TB mode swaps count_distinct for HLL with the
+    same plan shape."""
+    from layerg_crawler_v2_spark.operators.stats import analyze_table
+
+    return analyze_table(_t(spark, sf, "lineitem"), _ANALYZE_COLS)
+
+
+# --- URL tracking-parameter mining (operators/urlparams.py) -----------------
+# URLs synthesized from doc_id with three params of known character: 'utm'
+# never affects content (pure tracker -> noise_score 1.0), 'sort' always
+# does (score 0.0), 'id' determines the page (stripping it merges different
+# pages -> score 0.0). Content hash depends on (id, sort) only.
+_URLPARAM_SYNTH = (
+    "'https://h' || CAST(doc_id % 5 AS STRING) || '.com/p"
+    "?id=' || CAST(doc_id % 40 AS STRING)"
+    " || '&utm=' || CAST(doc_id % 7 AS STRING)"
+    " || '&sort=' || CAST(doc_id % 3 AS STRING)"
+)
+_URLPARAM_CONTENT = (
+    "md5('c' || CAST(doc_id % 40 AS STRING) || '-' ||"
+    " CAST(doc_id % 3 AS STRING))"
+)
+
+
+@_q(
+    "url_param_noise",
+    "WITH u0 AS (SELECT DISTINCT " + _URLPARAM_SYNTH + " AS url, "
+    + _URLPARAM_CONTENT + " AS content_hash FROM documents),\n"
+    "e AS (SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,\n"
+    "             split_part(url, '?', 1) AS base,\n"
+    "             string_split(split_part(url, '?', 2), '&') AS params,\n"
+    "             content_hash FROM u0),\n"
+    "x AS (SELECT host, content_hash, base, params, unnest(params) AS p FROM e),\n"
+    "r AS (SELECT host, split_part(p, '=', 1) AS param,\n"
+    "        md5(base || '?' || array_to_string(\n"
+    "          list_sort(list_filter(params, z -> z <> p)), '&')) AS residual,\n"
+    "        content_hash FROM x),\n"
+    "g AS (SELECT host, param, residual, count(*) AS n_urls_g,\n"
+    "        count(DISTINCT content_hash) AS n_contents_g\n"
+    "      FROM r GROUP BY 1, 2, 3)\n"
+    "SELECT host, param, sum(n_urls_g) AS n_urls,\n"
+    "  sum(CASE WHEN n_urls_g > 1 THEN 1 ELSE 0 END) AS n_multi_groups,\n"
+    "  sum(CASE WHEN n_urls_g > 1 AND n_contents_g = 1 THEN 1 ELSE 0 END)\n"
+    "    AS n_collapsible,\n"
+    "  CASE WHEN sum(CASE WHEN n_urls_g > 1 THEN 1 ELSE 0 END) > 0 THEN\n"
+    "    round(sum(CASE WHEN n_urls_g > 1 AND n_contents_g = 1\n"
+    "              THEN 1 ELSE 0 END)::DOUBLE\n"
+    "          / sum(CASE WHEN n_urls_g > 1 THEN 1 ELSE 0 END), 6)\n"
+    "  END AS noise_score\n"
+    "FROM g GROUP BY 1, 2",
+)
+def url_param_noise_q(spark, sf):
+    """URL tracking-parameter mining (operators/urlparams.py): per
+    (host, param), group URLs identical after removing that one param; a
+    >1-URL group with exactly 1 distinct content hash proves the param is
+    noise. In-row parse + one bounded posexplode + two map-side-combined
+    aggs on md5 residual keys — the crawl-learned strip list for
+    functions/canon.py."""
+    from layerg_crawler_v2_spark.operators.urlparams import url_param_noise
+
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            F.expr(_URLPARAM_SYNTH).alias("url"),
+            F.expr(_URLPARAM_CONTENT).alias("content_hash"),
+        )
+        .distinct()
+    )
+    return url_param_noise(d)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the

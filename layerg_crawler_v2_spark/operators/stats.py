@@ -79,3 +79,43 @@ def grouped_percentiles_disc(
             F.col("val").cast("bigint").alias("val"),
         )
     )
+
+
+def analyze_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-TABLE statistics: one row per column with
+    (col_name, row_count, n_nulls, n_distinct, min_value, max_value) —
+    the catalog stats a cost-based optimizer (and a data-layout chooser
+    like sources/layout.py's z-order) consumes. min/max are emitted as
+    strings so one schema serves every column type.
+
+    ONE pass over the table: a single agg computes every column's stats
+    (Catalyst expands multi-distinct aggregates internally), then the wide
+    1-row result unpivots in-row with posexplode — no per-column scans, no
+    driver loop. NDV here is EXACT (count_distinct) to keep the operator
+    oracle-checkable; at 100 TB swap in approx_count_distinct (HLL) per
+    column — same plan shape, one pass, sketch-sized state."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+            # min/max in the column's NATIVE order, cast to string after —
+            # casting first would make numeric min/max lexicographic
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__rows").alias("row_count"),
+                (F.col("__rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("s")).select("s.*")

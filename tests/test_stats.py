@@ -44,3 +44,29 @@ def test_no_global_single_partition_window(spark):
     # the cumulative window is partitioned by group — a global percentile
     # via a single-partition sort would show SinglePartition here
     assert "SinglePartition" not in plan
+
+
+def test_analyze_table_one_pass_with_nulls(spark):
+    from layerg_crawler_v2_spark.operators.stats import analyze_table
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a"), (None, "a")],
+        "k long, s string",
+    )
+    got = {
+        r.col_name: (r.row_count, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+        for r in analyze_table(df, ["k", "s"]).collect()
+    }
+    assert got == {
+        "k": (4, 1, 2, "1", "2"),
+        "s": (4, 1, 2, "a", "b"),
+    }
+
+
+def test_analyze_numeric_minmax_is_native_order(spark):
+    from layerg_crawler_v2_spark.operators.stats import analyze_table
+
+    df = spark.createDataFrame([(9,), (10,), (100,)], "n long")
+    row = analyze_table(df, ["n"]).collect()[0]
+    # lexicographic order would give min='10', max='9'
+    assert (row.min_value, row.max_value) == ("9", "100")
