@@ -3828,9 +3828,19 @@ _PRIORITY = [
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
     # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
-    # embeds the identical md5-of-normalized-text expression)
-    "text_token_count", "text_quality_score",
+    # embeds the identical md5-of-normalized-text expression;
+    # text_token_count demoted r4s5: regexp-count cross-engine parity is
+    # certified harder by the in-window text_pii_scrub oracle (regexp_count
+    # AND global regexp_replace on two patterns), and the projection shape
+    # is the f3 single-expression codegen family; text_quality_score
+    # demoted r4s5: its stopword-density higher-order physics IS the core
+    # signal of the in-window ccnet_quality_buckets oracle)
     "sitemap_parse_seeds", "text_lang_id",
+    # r4 session-5 flagships: C4 page cleaning (line rules + page gates,
+    # Raffel et al. 2020) and eTLD+1 registrable domains under full
+    # public-suffix semantics (constant-map fold — physics no other window
+    # entry drives)
+    "c4_quality_filter", "psl_registrable_domain",
     # dedup (connected_components' oracle embeds the identical lsh_pairs
     # CTE, so the demoted pairs entry is transitively driver-covered)
     "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
@@ -3872,6 +3882,8 @@ _PRIORITY = [
     "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",
     # r4 session-4 demotions (rationales at their old window positions)
     "p4_comparison_filter", "o2_topn_by_time", "f8_template_substitution",
+    # r4 session-5 demotions (rationales at their old window positions)
+    "text_token_count", "text_quality_score",
 ]
 
 _REGISTRY = {

@@ -70,7 +70,9 @@ def test_demotions_have_in_window_twins():
         "qb_ops_in_contains_null": "qb_resolve_single",
         "agg_day_histogram": "a5_group_agg",
         "entity_users_get_or_create": "j6_get_or_create_anti",
-        "text_subword_tokens": "text_token_count",
+        # retargeted r4s5 when text_token_count itself demoted: the
+        # regexp_count machinery's in-window representative is pii_scrub
+        "text_subword_tokens": "text_pii_scrub",
         "f4_fixed_width_slice": "f3_lower_normalize",
         # r4 session-3 demotions (rationales in _PRIORITY comments)
         "o1_order_passthrough": "o3_pagination",
@@ -83,6 +85,9 @@ def test_demotions_have_in_window_twins():
         "p4_comparison_filter": "p5_bool_connectives",
         "o2_topn_by_time": "o3_pagination",
         "f8_template_substitution": "f3_lower_normalize",
+        # r4 session-5 demotions
+        "text_token_count": "text_pii_scrub",
+        "text_quality_score": "ccnet_quality_buckets",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
