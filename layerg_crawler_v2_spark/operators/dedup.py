@@ -645,15 +645,48 @@ def duplicated_substring_spans(
     dup_keys = g.groupBy("h").count().filter(F.col("count") > 1).select("h")
     dup = g.join(dup_keys, "h").select(id_col, "i")
 
-    w = Window.partitionBy(id_col).orderBy("i")
-    brk = F.when(F.col("i") - F.lag("i").over(w) <= k, 0).otherwise(1)
-    islands = dup.withColumn("island", F.sum(brk).over(w))
+    # gaps-and-islands as an in-row fold over the doc's sorted duplicated
+    # positions (ONE exchange on the id, no Window nodes): extend the open
+    # span while the next window starts within k of the previous one, else
+    # open a new span. A window-function formulation costs an extra
+    # exchange for the final (id, island) regroup because Catalyst can't
+    # see that island is id-local.
+    span_t = "array<struct<start:bigint,last_i:bigint,n:bigint>>"
+    merged = F.aggregate(
+        F.array_sort(F.collect_list("i")),
+        F.expr(f"cast(array() as {span_t})"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (x - F.element_at(acc, -1)["last_i"] <= F.lit(k)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        x.alias("last_i"),
+                        (F.element_at(acc, -1)["n"] + 1).alias("n"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x.alias("start"), x.alias("last_i"), F.lit(1).cast("bigint").alias("n")
+                    )
+                ),
+            )
+        ),
+    )
     return (
-        islands.groupBy(id_col, "island")
-        .agg(
-            F.min("i").alias("span_start"),
-            (F.max("i") + k - 1).alias("span_end"),
-            F.count("*").alias("n_windows"),
+        dup.groupBy(id_col)
+        .agg(merged.alias("spans"))
+        .select(F.col(id_col), F.explode("spans").alias("s"))
+        .select(
+            id_col,
+            F.col("s.start").alias("span_start"),
+            (F.col("s.last_i") + k - 1).alias("span_end"),
+            F.col("s.n").alias("n_windows"),
         )
-        .drop("island")
     )

@@ -69,6 +69,42 @@ AUDITS = [
         "The classic agg: partial aggregation before the exchange "
         "(map-side combine), scan prunes to the referenced columns.",
     ),
+    (
+        "psl_registrable_domain",
+        "Public-suffix resolution with ZERO exchanges and zero joins: the "
+        "PSL rides the plan as a constant-folded map literal and every "
+        "host resolves in-row (try_element_at fold inside codegen). The "
+        "relational alternative (explode + join + window) would be 2 "
+        "exchanges per 10^10-row frontier pass.",
+    ),
+    (
+        "c4_quality_filter",
+        "C4 line/page rules: pure per-document projection — higher-order "
+        "filter over split lines inside whole-stage codegen; the only "
+        "exchange in the plan (if any) belongs to the scan boundary, not "
+        "the operator.",
+    ),
+    (
+        "dedup_substring_spans",
+        "Lee-et-al duplicated spans: windows built in-row (transform over "
+        "the token array, corpus never self-joined); ONE hash-keyed "
+        "exchange for the multiplicity election (32-byte md5 keys, "
+        "broadcast back), ONE id-keyed exchange for the per-doc merge — "
+        "the gaps-and-islands itself is an in-row fold, zero Window nodes "
+        "(a window formulation costs a third exchange re-grouping "
+        "(id, island)).",
+    ),
+    (
+        "url_param_noise",
+        "Tracking-param mining: in-row URL parse + bounded explode; both "
+        "aggregations are map-side combined and the group key is the md5 "
+        "residual — the residual string itself never shuffles.",
+    ),
+    (
+        "analyze_table_stats",
+        "ANALYZE stats: ONE pass — a single multi-distinct aggregate "
+        "(Catalyst Expand) then an in-row unpivot; no per-column scans.",
+    ),
 ]
 
 OPS = [
