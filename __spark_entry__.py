@@ -1444,6 +1444,55 @@ def emb_near_dup_q(spark, sf):
     ).select("id_a", "id_b")
 
 
+# --- distributed k-means + SemDeDup (clustering-based curation) ----------------
+
+from layerg_crawler_v2_spark.operators.clustering import (  # noqa: E402
+    kmeans_oracle_sql,
+    semdedup_oracle_sql,
+)
+
+
+@_q(
+    "embedding_kmeans_assign",
+    kmeans_oracle_sql(k=8, iters=4, dim=64)
+    + "\nSELECT vid AS vec_id, best.c AS cluster FROM asg_final",
+)
+def kmeans_assign_q(spark, sf):
+    """Lloyd k-means (k=8, 4 iterations, deterministic lowest-id init) over
+    the embeddings table; emits the final (vec_id, cluster) assignment. The
+    oracle is the SAME iterative algorithm unrolled as chained DuckDB CTEs —
+    an end-to-end cross-engine check of a multi-round iterative job, not
+    just one operator. Scale shape: assignment is a zero-shuffle Arrow
+    matmul pass; the update shuffle is map-side-combined to <= k*dim rows
+    per task; driver state is the k*dim model only (clustering.py header)."""
+    from layerg_crawler_v2_spark.operators.clustering import kmeans_lloyd
+
+    assign, _ = kmeans_lloyd(_t(spark, sf, "embeddings"), k=8, iters=4)
+    return assign
+
+
+@_q(
+    "semantic_dedup_clusters",
+    semdedup_oracle_sql(tau=0.5, k=8, iters=4, dim=64),
+)
+def semantic_dedup_q(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding table,
+    then within each cluster drop any row whose cosine to a LOWER-id member
+    is >= tau (keep-first-seen; deterministic). tau=0.5 on the near-
+    orthogonal driver fixture yields a small nonzero drop set; the planted
+    perturbed-near-dup behavior is pinned by tests/test_clustering.py.
+    Pairwise cost is bounded per cluster (blocked gram matrix), never
+    O(n^2) corpus-wide — the reason the paper clusters first."""
+    from layerg_crawler_v2_spark.operators.clustering import (
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    assign, _ = kmeans_lloyd(emb, k=8, iters=4)
+    return semantic_dedup(emb, assign, tau=0.5)
+
+
 # --- S5 batched lookup + U1 handler dispatch (VERDICT r1 partial rows) ----------------
 
 @_q(
@@ -3798,8 +3847,10 @@ _PRIORITY = [
     "qb_resolve_single",
     # §2.4 aggregations (a2_unique_set_first demoted r4s3: its rn=1-per-key
     # oracle/plan is the identical row_number physics w2_topk_per_key
-    # drives in-window with rn<=3)
-    "a1_distinct", "a3_min_fold", "a5_group_agg",
+    # drives in-window with rn<=3; a1_distinct demoted r4s6: all-column
+    # HashAggregate dedup is the identical physics the in-window
+    # dedup_exact_groups and a5_group_agg drive)
+    "a3_min_fold", "a5_group_agg",
     # §2.5 windows
     "w2_topk_per_key", "w3_lag_pacing",
     # §2.6 sorts / pagination (o1_order_passthrough demoted r4s3: same
@@ -3808,8 +3859,9 @@ _PRIORITY = [
     # global sort + limit physics and adds the offset)
     "o3_pagination",
     # §2.7 set ops (set_union_seeds demoted r4s3: UNION physics is embedded
-    # in dedup_pipeline_keep_best's in-window oracle CTE)
-    "set_anti_seen_diff",
+    # in dedup_pipeline_keep_best's in-window oracle CTE; set_anti_seen_diff
+    # demoted r4s6: left-anti physics is in-window as j6_get_or_create_anti
+    # and exercised in every frontier-round parity test)
     # §2.8 scalar functions (f2_hex_encode demoted r4s3: same
     # single-expression codegen projection as f3, and hex-string parity is
     # embedded in every in-window md5 dedup oracle; f9_rfc3339_format
@@ -3860,6 +3912,10 @@ _PRIORITY = [
     "text_bigram_lm_score",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
+    # r4 session-6 flagships: Lloyd k-means whose oracle replays the full
+    # iterative algorithm as unrolled CTEs, and SemDeDup semantic dedup on
+    # the trained clusters (blocked per-cluster gram, never O(n^2))
+    "embedding_kmeans_assign", "semantic_dedup_clusters",
     # enrichment / dispatch / entities / backfill
     "s5_batched_lookup", "u1_handler_dispatch", "entity_balances_replay",
     "backfill_reindex_progress",
@@ -3884,6 +3940,8 @@ _PRIORITY = [
     "p4_comparison_filter", "o2_topn_by_time", "f8_template_substitution",
     # r4 session-5 demotions (rationales at their old window positions)
     "text_token_count", "text_quality_score",
+    # r4 session-6 demotions (rationales at their old window positions)
+    "a1_distinct", "set_anti_seen_diff",
 ]
 
 _REGISTRY = {
