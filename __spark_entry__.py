@@ -1493,6 +1493,38 @@ def semantic_dedup_q(spark, sf):
     return semantic_dedup(emb, assign, tau=0.5)
 
 
+# --- distributed quality-classifier training (GD logistic regression) ----------
+
+from layerg_crawler_v2_spark.operators.classifier import (  # noqa: E402
+    logreg_oracle_sql,
+)
+
+
+@_q(
+    "quality_classifier_train",
+    logreg_oracle_sql(lr=1.0, iters=3, dim=64, label_expr="label = 0"),
+)
+def quality_classifier_q(spark, sf):
+    """Quality-classifier training (the GPT-3/PaLM curation step): 3 steps
+    of full-batch-GD logistic regression over the embeddings table against
+    y = (label == 0), then score every row — emits (vec_id, prob, pred).
+    The oracle replays the ENTIRE training run as unrolled DuckDB CTEs with
+    identical rounding (sigmoid 9, gradient 9, weights 6), so the match
+    certifies the distributed iterative job end-to-end.  The driver fixture's
+    labels are not linearly separable (so probs hover near 0.5 — the parity
+    is the point here); tests/test_classifier.py plants separable data and
+    proves the trainer actually LEARNS.  Scale shape: model-sized driver
+    state only; gradient = one map-side-combined posexplode shuffle
+    (<= dim+1 rows per task) per iteration (classifier.py header)."""
+    from layerg_crawler_v2_spark.operators.classifier import logreg_train_gd
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("double").alias("y")
+    )
+    scores, _, _ = logreg_train_gd(emb, lr=1.0, iters=3)
+    return scores
+
+
 # --- S5 batched lookup + U1 handler dispatch (VERDICT r1 partial rows) ----------------
 
 @_q(
@@ -3871,7 +3903,11 @@ _PRIORITY = [
     # in the in-window dedup shingling oracles; f8_template_substitution
     # demoted r4s4: same single-expression string-codegen projection family
     # as the in-window f3, the f2/f4 rationale)
-    "f3_lower_normalize", "f5_bigint_string_arith",
+    # (f5_bigint_string_arith demoted r4s7: decimal cast-and-arithmetic
+    # cross-engine parity is driven in-window by entity_balances_replay's
+    # DECIMAL(30,2) signed-sum oracle, and the projection shape is the f3
+    # single-expression codegen family — the f2/f4/f8 rationale)
+    "f3_lower_normalize",
     "f10_json_extract",
     # r4 session-3 join flagships: as-of join (union+carry-forward vs
     # DuckDB's native ASOF JOIN) and bucketed range join; r4s4: redirect
@@ -3916,6 +3952,11 @@ _PRIORITY = [
     # iterative algorithm as unrolled CTEs, and SemDeDup semantic dedup on
     # the trained clusters (blocked per-cluster gram, never O(n^2))
     "embedding_kmeans_assign", "semantic_dedup_clusters",
+    # r4 session-7 flagship: quality-classifier training — full-batch-GD
+    # logistic regression whose oracle unrolls the whole training run as
+    # CTEs (iterative-ML physics: Arrow matvec scoring + map-side-combined
+    # gradient shuffle — machinery no other window entry drives end-to-end)
+    "quality_classifier_train",
     # enrichment / dispatch / entities / backfill
     "s5_batched_lookup", "u1_handler_dispatch", "entity_balances_replay",
     "backfill_reindex_progress",
@@ -3942,6 +3983,8 @@ _PRIORITY = [
     "text_token_count", "text_quality_score",
     # r4 session-6 demotions (rationales at their old window positions)
     "a1_distinct", "set_anti_seen_diff",
+    # r4 session-7 demotions (rationales at their old window positions)
+    "f5_bigint_string_arith",
 ]
 
 _REGISTRY = {

@@ -105,6 +105,29 @@ AUDITS = [
         "ANALYZE stats: ONE pass — a single multi-distinct aggregate "
         "(Catalyst Expand) then an in-row unpivot; no per-column scans.",
     ),
+    (
+        "embedding_kmeans_assign",
+        "Lloyd k-means, final assignment pass: ONE Arrow matvec projection "
+        "(ArrowEvalPython), ZERO exchanges — the k x dim model rides in "
+        "the UDF closure. Each training iteration (not in this plan; it "
+        "ran before the returned DF) is the same Arrow pass + a "
+        "map-side-combined posexplode shuffle of <= k*dim rows per task.",
+    ),
+    (
+        "semantic_dedup_clusters",
+        "SemDeDup: the pairwise stage is applyInPandas after ONE exchange "
+        "on cluster (plus the id-join to attach assignments); per-group "
+        "cost is a blocked gram matrix — O(block*|cluster|) memory, never "
+        "an O(n^2) corpus-wide self-join (no Cartesian/NestedLoop nodes).",
+    ),
+    (
+        "quality_classifier_train",
+        "GD logistic regression, final scoring pass: ONE Arrow matvec "
+        "projection, ZERO exchanges — model-sized closure state only. "
+        "Each of the 3 training iterations before it is one Arrow pass + "
+        "one map-side-combined posexplode gradient shuffle (<= dim+1 rows "
+        "per map task), the treeAggregate shape.",
+    ),
 ]
 
 OPS = [

@@ -59,6 +59,10 @@ def test_flagship_new_components_have_driver_rows():
         # r4 session-4 flagships
         "redirect_chain_resolve",
         "text_bigram_lm_score",
+        # r4 session-6/7 flagships
+        "embedding_kmeans_assign",
+        "semantic_dedup_clusters",
+        "quality_classifier_train",
     ):
         assert name in window, name
 
@@ -88,6 +92,10 @@ def test_demotions_have_in_window_twins():
         # r4 session-5 demotions
         "text_token_count": "text_pii_scrub",
         "text_quality_score": "ccnet_quality_buckets",
+        # r4 session-6/7 demotions
+        "a1_distinct": "dedup_exact_groups",
+        "set_anti_seen_diff": "j6_get_or_create_anti",
+        "f5_bigint_string_arith": "entity_balances_replay",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
