@@ -1525,6 +1525,63 @@ def quality_classifier_q(spark, sf):
     return scores
 
 
+# --- product quantization: compressed ANN storage + ADC search -----------------
+
+from layerg_crawler_v2_spark.operators.pq import (  # noqa: E402
+    pq_adc_oracle_sql,
+    pq_oracle_sql,
+)
+
+
+def _pq_books(spark, sf):
+    from layerg_crawler_v2_spark.operators.pq import pq_train
+
+    emb = _t(spark, sf, "embeddings")
+    return emb, pq_train(emb, m=4, ksub=16, iters=2)
+
+
+@_q(
+    "pq_encode_codes",
+    pq_oracle_sql(m=4, ksub=16, iters=2, dim=64),
+)
+def pq_encode_q(spark, sf):
+    """Product quantization (Jegou et al. 2011) train + encode: 4 subspaces
+    of 16 dims k-means'd to 16 codewords each, every vector stored as 4
+    small ints — 256 bytes -> 4 bytes per vector, the storage story that
+    makes a 10^10-vector ANN scan cache-resident.  The oracle replays all
+    4 per-subspace Lloyd trainings as parallel unrolled CTE chains plus the
+    encode, so parity certifies the multi-subspace iterative job
+    end-to-end.  Scale shape: training is the map-side-combined update
+    shuffle per subspace (sample-bounded at corpus scale); encode is ONE
+    zero-shuffle Arrow pass with all codebooks in closure (pq.py header)."""
+    from layerg_crawler_v2_spark.operators.pq import pq_encode
+
+    emb, books = _pq_books(spark, sf)
+    return pq_encode(emb, books)
+
+
+@_q(
+    "pq_ann_adc_topk",
+    pq_adc_oracle_sql(nq=3, k=5, m=4, ksub=16, iters=2, dim=64),
+)
+def pq_adc_q(spark, sf):
+    """ADC (asymmetric-distance) top-5 over the PQ codes for the 3
+    smallest-id vectors as queries: per query an exact 4x16 query-to-
+    codeword distance table; each doc's distance is 4 lookups summed —
+    no float vector ever decoded.  One zero-shuffle Arrow scoring pass +
+    one top-k; ties break (dist, id) in both engines.  Recall vs the
+    uncompressed brute-force scan is pinned by tests/test_pq.py."""
+    import numpy as np
+
+    from layerg_crawler_v2_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb, books = _pq_books(spark, sf)
+    codes = pq_encode(emb, books)
+    qrows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return pq_adc_topk(codes, Q, [r["vec_id"] for r in qrows], books, k=5)
+
+
 # --- S5 batched lookup + U1 handler dispatch (VERDICT r1 partial rows) ----------------
 
 @_q(
@@ -3874,7 +3931,11 @@ _PRIORITY = [
     "p1_projection_pruning", "p6_null_semantics",
     "p5_bool_connectives", "p2_allowlist_filter",
     # §2.3 joins (QueryBuilder forms retained; raw twins demoted)
-    "j3_point_lookup_limit1", "j4_disjunctive_key", "j5_broadcast_dim_join",
+    # (j3_point_lookup_limit1 demoted r4s7: qb_resolve_single drives the
+    # identical point-lookup LIMIT-1 physics THROUGH the WhereInput
+    # compiler — the QueryBuilder-form-retained / raw-twin-demoted rule
+    # that already demoted j1/j2's raw twins)
+    "j4_disjunctive_key", "j5_broadcast_dim_join",
     "j6_get_or_create_anti", "j1_qb_relation", "j2_qb_derived",
     "qb_resolve_single",
     # §2.4 aggregations (a2_unique_set_first demoted r4s3: its rn=1-per-key
@@ -3957,6 +4018,11 @@ _PRIORITY = [
     # CTEs (iterative-ML physics: Arrow matvec scoring + map-side-combined
     # gradient shuffle — machinery no other window entry drives end-to-end)
     "quality_classifier_train",
+    # r4 session-7 flagship: product quantization train+encode — the
+    # compressed-ANN-storage physics (M parallel per-subspace Lloyd chains
+    # + zero-shuffle multi-codebook encode); its ADC-search twin
+    # pq_ann_adc_topk sits at 51+ on the same trained codebooks
+    "pq_encode_codes",
     # enrichment / dispatch / entities / backfill
     "s5_batched_lookup", "u1_handler_dispatch", "entity_balances_replay",
     "backfill_reindex_progress",
@@ -3984,7 +4050,11 @@ _PRIORITY = [
     # r4 session-6 demotions (rationales at their old window positions)
     "a1_distinct", "set_anti_seen_diff",
     # r4 session-7 demotions (rationales at their old window positions)
-    "f5_bigint_string_arith",
+    "f5_bigint_string_arith", "j3_point_lookup_limit1",
+    # r4 session-7 oracled 51+ entries (window-covered by their in-window
+    # siblings: pq_encode_codes shares the trained codebooks with the ADC
+    # search below)
+    "pq_ann_adc_topk",
 ]
 
 _REGISTRY = {

@@ -128,6 +128,21 @@ AUDITS = [
         "one map-side-combined posexplode gradient shuffle (<= dim+1 rows "
         "per map task), the treeAggregate shape.",
     ),
+    (
+        "pq_encode_codes",
+        "PQ encode: ONE Arrow pass with all M codebooks in closure, ZERO "
+        "exchanges — each 10^10-row corpus vector becomes M small ints "
+        "without ever shuffling a float vector. (Training ran before the "
+        "returned DF: per-subspace map-side-combined Lloyd updates, "
+        "sample-bounded at corpus scale.)",
+    ),
+    (
+        "pq_ann_adc_topk",
+        "ADC search: the NQ x M x KSUB distance tables ride the Arrow "
+        "closure (broadcast-side analog); scoring is a zero-exchange pass "
+        "over the codes, then ONE top-k exchange on q_id. No decode, no "
+        "float-vector scan, no cross join.",
+    ),
 ]
 
 OPS = [

@@ -63,6 +63,7 @@ def test_flagship_new_components_have_driver_rows():
         "embedding_kmeans_assign",
         "semantic_dedup_clusters",
         "quality_classifier_train",
+        "pq_encode_codes",
     ):
         assert name in window, name
 
@@ -96,6 +97,7 @@ def test_demotions_have_in_window_twins():
         "a1_distinct": "dedup_exact_groups",
         "set_anti_seen_diff": "j6_get_or_create_anti",
         "f5_bigint_string_arith": "entity_balances_replay",
+        "j3_point_lookup_limit1": "qb_resolve_single",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
