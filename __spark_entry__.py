@@ -3816,6 +3816,30 @@ def bpe_q(spark, sf):
     return train_bpe_merges(_t(spark, sf, "documents"), n_merges=10)
 
 
+@_q("bpe_encode_corpus", None)  # encoding applies the (non-SQL-expressible)
+# iteratively-trained merges; golden-verified against an independent
+# sequential encoder in tests/test_bpe.py (exactness of rank-order
+# application, round-trip reconstruction, partition independence)
+def bpe_encode_q(spark, sf):
+    """Tokenize the corpus with the trained BPE merges — the encode half of
+    the tokenizer story (train: bpe_train_merges).  Scale shape: the merge
+    folds run once per DISTINCT word (vocabulary-sized by Heaps' law, never
+    corpus-sized), the (word -> tokens) map joins back to the positional
+    word explode, and docs reassemble with ONE groupBy(id) shuffle
+    (operators/bpe.py `bpe_encode`).  Emits (doc_id, n_tokens, token_hash)
+    — the hash pins the full token sequence without shipping it."""
+    from layerg_crawler_v2_spark.operators.bpe import bpe_encode, train_bpe_merges
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "")).alias("token_hash"),
+    )
+
+
 @_q("dedup_cdc_chunks", None)  # gear-hash scan is not SQL-expressible;
 # invariants (exact coverage, min/max bounds, determinism, re-sync after
 # insertion, distributed==local) are property-tested in tests/test_cdc.py

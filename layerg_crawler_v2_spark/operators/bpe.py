@@ -152,6 +152,88 @@ def train_bpe_merges(
     )
 
 
+def encode_words(words: DataFrame, merges: list[tuple[str, str]],
+                 word_col: str = "word") -> DataFrame:
+    """(word, tokens) — apply the trained merges to each word, IN RANK
+    ORDER, each as the same greedy left-to-right in-row fold training used.
+
+    One pass in rank order is exact BPE encoding: a merge's operands are
+    symbols produced only by LOWER-rank merges, and merging never makes two
+    pre-existing symbols newly adjacent, so an earlier merge can never
+    become applicable again after a later one runs.  The k folds chain as
+    nested column expressions — zero shuffles, zero joins, JVM-side
+    higher-order functions, no Python in the loop."""
+    out = words.withColumn("syms", _initial_symbols(F.col(word_col)))
+    for left, right in merges:
+        out = _apply_merge(out, F.lit(left), F.lit(right))
+    return out.select(word_col, F.col("syms").alias("tokens"))
+
+
+def bpe_encode(df: DataFrame, merges_df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize the corpus with trained merges: (id, n_tokens, tokens).
+
+    Scale design — encode the VOCABULARY, not the corpus: the merge folds
+    run once per DISTINCT word (vocabulary-sized, Heaps' law: ~10^8 rows at
+    100 TB, not 10^13 word occurrences), then the (word -> tokens) map
+    joins back to the corpus' (doc, pos, word) explode and documents
+    reassemble by position.  The map join broadcasts when the vocab fits
+    (Spark's auto threshold / AQE decides from its actual size); the
+    reassembly is ONE groupBy(id) shuffle carrying token arrays, never raw
+    text.  merges_df is the model-sized training output (rank, left,
+    right) — collected driver-side like every other model here."""
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").select("left", "right").collect()
+    ]
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab_map = encode_words(words.select("word").distinct(), merges)
+    return (
+        words.join(vocab_map, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tokens"))
+                    ),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, F.size("tokens").alias("n_tokens"), "tokens")
+    )
+
+
+def encode_reference(texts: list[str],
+                     merges: list[tuple[str, str]]) -> list[list[str]]:
+    """Independent sequential BPE encoder (textbook while-loop per merge)
+    for golden tests — shares NO code with the distributed path."""
+    out = []
+    for t in texts:
+        toks: list[str] = []
+        for w in t.split(" "):
+            if not w:
+                continue
+            syms = list(w) + [END_OF_WORD]
+            for l, r in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            toks.extend(syms)
+        out.append(toks)
+    return out
+
+
 def train_bpe_reference(
     texts: list[str], n_merges: int = 16, min_freq: int = 1
 ) -> list[tuple[int, str, str, str, int]]:

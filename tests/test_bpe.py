@@ -7,6 +7,9 @@ from __future__ import annotations
 import random
 
 from layerg_crawler_v2_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    encode_reference,
     train_bpe_merges,
     train_bpe_reference,
 )
@@ -71,3 +74,64 @@ def test_min_freq_prune(spark):
     got, want = _merges(spark, texts, 3, min_freq=2)
     assert got == want
     assert all("q" not in m for _, _, _, m, _ in got)
+
+
+# --- encode (vocabulary-encode + positional rejoin) --------------------------
+
+def _encode(spark, texts, n_merges, parts=4):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(parts)
+    merges_df = train_bpe_merges(df, n_merges)
+    merges = [
+        (r.left, r.right) for r in merges_df.orderBy("rank").collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe_encode(df, merges_df).collect()
+    }
+    return got, merges
+
+
+def test_encode_matches_sequential_reference(spark):
+    texts = [
+        "low low low low low lower lower newest newest newest widest",
+        "newest widest low lower",
+        "aaaa aaa aa a low",
+    ]
+    got, merges = _encode(spark, texts, 10)
+    want = encode_reference(texts, merges)
+    for i, toks in enumerate(want):
+        assert got[i] == (len(toks), toks), f"doc {i}"
+
+
+def test_encode_round_trip(spark):
+    """Stripping token boundaries reconstructs the exact original words —
+    encoding is lossless."""
+    texts = ["the quick brown fox", "jumps over the lazy dog dog dog"]
+    got, _ = _encode(spark, texts, 8)
+    for i, t in enumerate(texts):
+        joined = "".join(got[i][1])
+        assert joined == "".join(w + END_OF_WORD for w in t.split(" "))
+
+
+def test_encode_partition_independent(spark):
+    texts = ["abc abd abe abc " * 3, "abc abd", "xyz abc abd"]
+    a, _ = _encode(spark, texts, 6, parts=2)
+    b, _ = _encode(spark, texts, 6, parts=16)
+    assert a == b
+
+
+def test_encode_real_corpus_sample(spark, sf_dir):
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .limit(40)
+        .collect()
+    ]
+    got, merges = _encode(spark, texts, 8)
+    want = encode_reference(texts, merges)
+    assert len(got) == len(want)
+    for i, toks in enumerate(want):
+        assert got[i] == (len(toks), toks), f"doc {i}"
