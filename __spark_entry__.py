@@ -1582,6 +1582,29 @@ def pq_adc_q(spark, sf):
     return pq_adc_topk(codes, Q, [r["vec_id"] for r in qrows], books, k=5)
 
 
+@_q("ann_ivfpq_topk", None)  # approximate by design (coarse prune + residual
+# codes); the quality contract is recall/pruning/reconstruction physics,
+# pinned in tests/test_pq.py (probed-cells-only, self-retrieval, residual
+# codes reconstruct strictly better than plain PQ at the same budget)
+def ivfpq_q(spark, sf):
+    """IVF-PQ (the FAISS IVFPQ architecture composed from kmeans_lloyd +
+    the PQ codecs): coarse-quantize, PQ-encode the RESIDUAL, search by
+    probing nprobe cells with per-(query, cell) ADC tables.  Scale shape:
+    the index is (cluster, 4 int codes) per vector — written PARTITIONED BY
+    cluster, a probe prunes to nprobe partitions of 4-byte codes; index
+    build after training is ONE zero-shuffle Arrow pass (pq.py header)."""
+    import numpy as np
+
+    from layerg_crawler_v2_spark.operators.pq import ivfpq_build, ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    idx, coarse, books = ivfpq_build(emb, n_clusters=8, m=4, ksub=16, iters=2)
+    qrows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivfpq_topk(idx, coarse, books, Q,
+                      [r["vec_id"] for r in qrows], k=5, nprobe=3)
+
+
 # --- S5 batched lookup + U1 handler dispatch (VERDICT r1 partial rows) ----------------
 
 @_q(

@@ -169,6 +169,164 @@ def pq_adc_topk(codes_df: DataFrame, queries: np.ndarray, query_ids: list,
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer prunes, PQ-on-residuals scores (the FAISS IVFPQ
+# architecture, composed from clustering.kmeans_lloyd + the codecs above)
+# --------------------------------------------------------------------------
+
+def ivfpq_build(df: DataFrame, n_clusters: int = 8, m: int = 4,
+                ksub: int = 16, iters: int = 2,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Build the IVF-PQ index: coarse-quantize every vector to its nearest
+    L2 centroid, then PQ-encode the RESIDUAL (x - centroid) — residuals
+    are what PQ compresses well, because the coarse step has already
+    removed the between-cluster variance (Jégou et al. 2011 §III).
+
+    Returns (index_df, coarse_centroids, codebooks) with index_df =
+    (id, cluster, code0..code{m-1}).  At 100-TB scale index_df is written
+    PARTITIONED BY cluster, so a probe prunes to nprobe partitions of
+    4-byte codes.  Index build after training is ONE zero-shuffle Arrow
+    pass (coarse centroids + codebooks in closure)."""
+    from layerg_crawler_v2_spark.operators.clustering import kmeans_lloyd
+
+    from pyspark.sql.functions import pandas_udf
+
+    _, coarse = kmeans_lloyd(df, k=n_clusters, iters=iters,
+                             vec_col=vec_col, id_col=id_col)
+
+    # residuals for PQ training: one Arrow pass; the PQ trainer then runs
+    # its per-subspace Lloyd on the residual column.
+    CC = np.ascontiguousarray(coarse, dtype=np.float64)
+    cc_sq = (CC * CC).sum(axis=1)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def residual(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ CC.T) + cc_sq[None, :]
+        a = np.argmin(np.round(d2, 9), axis=1)
+        return pd.Series(list(X - CC[a]))
+
+    resid_df = df.select(
+        F.col(id_col), residual(F.col(vec_col)).alias("resid")
+    )
+    books = pq_train(resid_df, m=m, ksub=ksub, iters=iters,
+                     vec_col="resid", id_col=id_col)
+
+    # index: cluster + residual codes in ONE pass (both models in closure)
+    B = np.ascontiguousarray(books, dtype=np.float64)
+    msub, _, dsub = B.shape
+    b_sq = (B * B).sum(axis=2)
+    out_schema = ArrayType(IntegerType())
+
+    @pandas_udf(out_schema)
+    def cluster_and_codes(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ CC.T) + cc_sq[None, :]
+        a = np.argmin(np.round(d2, 9), axis=1)
+        R = X - CC[a]
+        out = np.empty((X.shape[0], msub + 1), dtype=np.int32)
+        out[:, 0] = a
+        for s in range(msub):
+            Rs = R[:, s * dsub:(s + 1) * dsub]
+            dd = (Rs * Rs).sum(1)[:, None] - 2.0 * (Rs @ B[s].T) + b_sq[s][None, :]
+            out[:, s + 1] = np.argmin(np.round(dd, 9), axis=1)
+        return pd.Series(list(out))
+
+    idx = df.select(
+        F.col(id_col),
+        cluster_and_codes(F.col(vec_col)).alias("cc"),
+    ).select(
+        id_col,
+        F.element_at("cc", 1).alias("cluster"),
+        *[F.element_at("cc", s + 2).alias(f"code{s}") for s in range(msub)],
+    )
+    return idx, coarse, books
+
+
+def ivfpq_topk(index_df: DataFrame, coarse: np.ndarray, books: np.ndarray,
+               queries: np.ndarray, query_ids: list, k: int = 5,
+               nprobe: int = 3, id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ search: per query, probe the nprobe nearest coarse centroids;
+    within probed clusters, ADC over the residual codes with PER-(query,
+    cluster) distance tables (the residual tables differ per probed
+    centroid — that's the price of residual encoding and why nprobe stays
+    small).  Scan cost ≈ nprobe/n_clusters of the codes; the cluster filter
+    is a partition-prune on a cluster-partitioned index.  Output
+    (q_id, id, adc_dist) — approximate L2^2, ties to the lowest id."""
+    from pyspark.sql.functions import pandas_udf
+
+    CC = np.ascontiguousarray(coarse, dtype=np.float64)
+    B = np.ascontiguousarray(books, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    Q = np.ascontiguousarray(queries, dtype=np.float64)
+    nq = len(Q)
+
+    # probes[q] = the nprobe nearest coarse cells (L2, rounded, ties low)
+    d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ CC.T) + (CC * CC).sum(1)[None, :]
+    order = np.argsort(np.round(d2, 9), axis=1, kind="stable")
+    probes = order[:, :nprobe]                      # (nq, nprobe)
+    probed_cells = sorted({int(c) for row in probes for c in row})
+
+    # tables[q, cell, s, c] = |(Q[q]-CC[cell])_s - B[s, c]|^2 for probed
+    # cells, rounded; inf rows stay masked out via probe_mask below
+    tables = np.full((nq, CC.shape[0], m, ksub), np.inf)
+    for qi in range(nq):
+        for c in probes[qi]:
+            R = Q[qi] - CC[c]
+            for s in range(m):
+                Rs = R[s * dsub:(s + 1) * dsub]
+                tables[qi, c, s, :] = (
+                    (Rs * Rs).sum() - 2.0 * (B[s] @ Rs) + (B[s] * B[s]).sum(1)
+                )
+    tables = np.round(tables, 9)
+    probe_mask = np.zeros((nq, CC.shape[0]), dtype=bool)
+    for qi in range(nq):
+        probe_mask[qi, probes[qi]] = True
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def adc(cc: pd.Series) -> pd.Series:
+        A = np.array(cc.tolist(), dtype=np.int64)   # (rows, m+1): cluster+codes
+        if A.size == 0:
+            return pd.Series([], dtype=object)
+        cl, codes = A[:, 0], A[:, 1:]
+        d = np.zeros((nq, A.shape[0]))
+        for s in range(m):
+            d += tables[:, cl, s, codes[:, s]]      # (nq, rows) gather
+        d = np.round(d, 9)
+        d[~probe_mask[:, cl]] = np.nan              # not probed by this query
+        return pd.Series(list(d.T))
+
+    m_cols = ["cluster"] + [f"code{s}" for s in range(m)]
+    scored = (
+        index_df.filter(F.col("cluster").isin(probed_cells))
+        .select(
+            F.col(id_col),
+            F.posexplode(adc(F.array(*m_cols))).alias("qpos", "adc_dist"),
+        )
+        # the unprobed-cell NaN mask arrives as NULL through Arrow; guard
+        # both spellings or NULLs sort FIRST in the ascending rank below
+        .filter(F.col("adc_dist").isNotNull() & ~F.isnan("adc_dist"))
+    )
+    qid = F.element_at(
+        F.array(*[F.lit(int(q)) for q in query_ids]), F.col("qpos") + 1
+    )
+    scored = scored.select(qid.alias("q_id"), id_col, "adc_dist")
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(
+            F.col("adc_dist").asc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        scored.withColumn("rn", rn).filter(F.col("rn") <= k)
+        .select("q_id", id_col, "adc_dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # SQL oracles: per-subspace Lloyd chains + encode (+ ADC on top)
 # --------------------------------------------------------------------------
 

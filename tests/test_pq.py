@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 
 from layerg_crawler_v2_spark.operators.pq import (
+    ivfpq_build,
+    ivfpq_topk,
     pq_adc_topk,
     pq_encode,
     pq_train,
@@ -106,3 +108,72 @@ def test_dim_not_divisible_raises(spark):
     X = _corpus(n=20)[0][:, : DIM - 1]
     with pytest.raises(ValueError):
         pq_train(_df(spark, X), m=M, ksub=KSUB, iters=1)
+
+
+# --- IVF-PQ (coarse prune + residual codes) ----------------------------------
+
+def test_ivfpq_prunes_and_retrieves(spark):
+    """IVF-PQ: results only come from each query's probed cells (the
+    partition-prune contract), self-retrieval holds, and top-5 stays in
+    the query's planted cluster."""
+    X, labels = _corpus(n=120)
+    df = _df(spark, X)
+    idx, coarse, books = ivfpq_build(df, n_clusters=8, m=M, ksub=KSUB,
+                                     iters=ITERS)
+    idx_rows = {r["vec_id"]: r["cluster"] for r in idx.collect()}
+    qids = list(range(0, 24))
+    out = ivfpq_topk(idx, coarse, books, X[qids].astype(np.float64),
+                     qids, k=5, nprobe=3)
+    # recompute each query's probed cells the same way the operator does
+    CC = coarse
+    d2 = ((X[qids].astype(np.float64)[:, None, :] - CC[None]) ** 2).sum(-1)
+    probes = {q: set(np.argsort(np.round(d2[i], 9), kind="stable")[:3].tolist())
+              for i, q in enumerate(qids)}
+    top, self_hits, same = {}, 0, []
+    for r in out.collect():
+        top.setdefault(r["q_id"], []).append(r["vec_id"])
+        assert idx_rows[r["vec_id"]] in probes[r["q_id"]], "unprobed cell leaked"
+    for q in qids:
+        assert len(top[q]) == 5
+        self_hits += q in top[q]
+        same.append(np.mean([labels[v] == labels[q] for v in top[q]]))
+    assert self_hits >= 22  # >= 90%
+    assert float(np.mean(same)) >= 0.9
+
+
+def test_ivfpq_index_partition_independent(spark):
+    X, _ = _corpus(n=80)
+    i2, c2, b2 = ivfpq_build(_df(spark, X, parts=2), n_clusters=4, m=M,
+                             ksub=KSUB, iters=ITERS)
+    i16, c16, b16 = ivfpq_build(_df(spark, X, parts=16), n_clusters=4, m=M,
+                                ksub=KSUB, iters=ITERS)
+    assert np.array_equal(c2, c16) and np.array_equal(b2, b16)
+    assert sorted(map(tuple, i2.collect())) == sorted(map(tuple, i16.collect()))
+
+
+def test_ivfpq_residuals_beat_plain_pq(spark):
+    """Residual encoding must reconstruct better than plain PQ at the same
+    code budget: mean ADC distance of each vector to ITSELF (query = the
+    vector) is smaller under IVF-PQ — the reason FAISS encodes residuals."""
+    X, _ = _corpus(n=100)
+    df = _df(spark, X)
+    qids = list(range(0, 30))
+    Q = X[qids].astype(np.float64)
+
+    idx, coarse, books = ivfpq_build(df, n_clusters=8, m=M, ksub=KSUB,
+                                     iters=ITERS)
+    ivf_out = ivfpq_topk(idx, coarse, books, Q, qids, k=1, nprobe=8)
+    ivf_self = {r["q_id"]: r["adc_dist"] for r in ivf_out.collect()
+                if r["vec_id"] == r["q_id"]}
+
+    pbooks = pq_train(df, m=M, ksub=KSUB, iters=ITERS)
+    codes = pq_encode(df, pbooks)
+    pq_out = pq_adc_topk(codes, Q, qids, pbooks, k=1)
+    pq_self = {r["q_id"]: r["adc_dist"] for r in pq_out.collect()
+               if r["vec_id"] == r["q_id"]}
+
+    common = set(ivf_self) & set(pq_self)
+    assert len(common) >= 15
+    assert np.mean([ivf_self[q] for q in common]) < np.mean(
+        [pq_self[q] for q in common]
+    )
