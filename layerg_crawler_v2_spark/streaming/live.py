@@ -158,3 +158,46 @@ def start_live_ingest(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return LiveIngest(store=store, query=writer.start())
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "1 hour",
+) -> "LiveIngest":
+    """Streaming URL-seen set with BOUNDED state: emit each canonical
+    url_hash once per watermark horizon via dropDuplicatesWithinWatermark.
+
+    This is the streaming analog of the batch seen path (operators/seen.py)
+    with an explicit state budget: a key's dedup state lives only until the
+    `warc_ts` watermark passes its event time, so executor state is
+    O(arrival rate x horizon) — never O(all urls ever) — and a URL
+    re-appearing AFTER the horizon is re-emitted (recrawl-tolerant
+    semantics, the same freshness contract operators/recrawl.py schedules
+    by). Rows older than the current watermark are dropped as late data,
+    exactly like every other watermarked stage here (T4).
+
+    Exactly-once: file sink + checkpoint; resume replays no emitted row
+    (pinned, with the expiry semantics, by tests/test_streaming.py)."""
+    stream = spark.readStream.schema(S.PAGES).parquet(feed_dir)
+    canon = stream.select(
+        canonicalize_udf("url").alias("url"),
+        "warc_ts",
+        "lang",
+    ).filter(F.col("url").isNotNull())
+    deduped = (
+        canon.select("url", url_hash_col("url").alias("url_hash"),
+                     "warc_ts", "lang")
+        .withWatermark("warc_ts", delay)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return LiveIngest(store=None, query=query)

@@ -88,6 +88,66 @@ def test_stream_resumes_incrementally(spark, pages_df, tmp_path):
     assert _index_rows(spark, store) == want
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming URL-seen set with BOUNDED state (start_dedup_stream):
+    a canonical url_hash is emitted once per watermark horizon, its dedup
+    state expires once the watermark passes event_time + delay (so a
+    recrawl-aged URL is re-emitted), and rows older than the watermark
+    never produce output."""
+    from datetime import datetime
+
+    from layerg_crawler_v2_spark.streaming.live import start_dedup_stream
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(h, m=0):
+        return datetime(2026, 1, 1, h, m)
+
+    def drop_chunk(name, rows):
+        df = spark.createDataFrame(rows, S.PAGES)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(feed, name))
+
+    a = "http://a.example.com/page"
+    b = "http://b.example.com/page"
+    # batch 1: A twice inside the horizon (one emit), B once at 13:00 so the
+    # post-batch watermark lands at 12:00 (delay = 1 hour)
+    drop_chunk(
+        "chunk0",
+        [
+            (a, ts(10, 0), None, None, "en"),
+            (a, ts(10, 20), None, None, "en"),
+            (b, ts(13, 0), None, None, "en"),
+        ],
+    )
+    q = start_dedup_stream(spark, feed + "/*", out, ckpt, delay="1 hour")
+    q.await_termination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2  # A once, B once
+    assert got1.select("url_hash").distinct().count() == 2
+
+    # batch 2 (same checkpoint, watermark now 12:00):
+    #   A @12:30 — A's state (10:00 + 1h < 12:00) has EXPIRED -> re-emitted
+    #   B @11:00 — below the watermark (late) and/or still in state -> no row
+    drop_chunk(
+        "chunk1",
+        [
+            (a, ts(12, 30), None, None, "en"),
+            (b, ts(11, 0), None, None, "en"),
+        ],
+    )
+    q = start_dedup_stream(spark, feed + "/*", out, ckpt, delay="1 hour")
+    q.await_termination(120)
+    got2 = spark.read.parquet(out)
+    per_url = {r["url"]: r["n"] for r in got2.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    assert sum(per_url.values()) == 3
+    canon_a = [u for u in per_url if "a.example.com" in u]
+    canon_b = [u for u in per_url if "b.example.com" in u]
+    assert per_url[canon_a[0]] == 2  # re-emitted after horizon expiry
+    assert per_url[canon_b[0]] == 1  # late/duplicate row produced nothing
+
+
 def test_stream_stats_windowing(spark, pages_df, tmp_path):
     from layerg_crawler_v2_spark.streaming.live import INGEST_STATS
 
