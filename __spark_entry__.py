@@ -3520,6 +3520,50 @@ def redirects_q(spark, sf):
     return resolve_redirects(chain.unionAll(cyc), rounds=6)
 
 
+@_q(
+    "crawl_snapshot_diff",
+    "WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents\n"
+    "           WHERE doc_id % 7 <> 0),\n"
+    "     b AS (SELECT doc_id,\n"
+    "             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'\n"
+    "                      ELSE text END) AS fp\n"
+    "           FROM documents WHERE doc_id % 5 <> 0)\n"
+    "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,\n"
+    "       CASE WHEN a.doc_id IS NULL THEN 'added'\n"
+    "            WHEN b.doc_id IS NULL THEN 'removed'\n"
+    "            ELSE 'changed' END AS change,\n"
+    "       a.fp AS old_fp, b.fp AS new_fp\n"
+    "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id\n"
+    "WHERE a.doc_id IS NULL OR b.doc_id IS NULL\n"
+    "   OR a.fp IS DISTINCT FROM b.fp",
+)
+def crawl_snapshot_diff_q(spark, sf):
+    """Crawl snapshot CDC diff (operators/diff.py snapshot_diff): classify
+    every key added/removed/changed between two crawl snapshots by content
+    fingerprint — the delta recrawl_schedule consumes and a corpus refresh
+    ships. One full-outer shuffle join on the key (fixed-width fingerprints
+    only, payloads never move), presence from explicit flags so NULL
+    fingerprints classify correctly, `changed` via eqNullSafe — the oracle's
+    IS DISTINCT FROM, certifying null-safe-compare parity cross-engine.
+    Snapshots derive from documents: crawl A drops doc_id%7==0, crawl B
+    drops doc_id%5==0 and edits every doc_id%3==0 text."""
+    from layerg_crawler_v2_spark.operators.diff import snapshot_diff
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    b = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return snapshot_diff(a, b, key_col="doc_id", fingerprint_col="fp")
+
+
 _EDITDIST_DUCK = """
 WITH t AS (
   SELECT doc_id,
@@ -3974,8 +4018,12 @@ def url_param_noise_q(spark, sf):
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
-    # identical comparison predicates over the same columns)
-    "p1_projection_pruning", "p6_null_semantics",
+    # identical comparison predicates over the same columns;
+    # p1_projection_pruning demoted r4s8 by the same rule: a single
+    # comparison-filtered two-column projection over part is physics p5
+    # composes in-window, and column-pruned scans are certified by every
+    # in-window entry's ReadSchema — pushdown pytest kept)
+    "p6_null_semantics",
     "p5_bool_connectives", "p2_allowlist_filter",
     # §2.3 joins (QueryBuilder forms retained; raw twins demoted)
     # (j3_point_lookup_limit1 demoted r4s7: qb_resolve_single drives the
@@ -4021,6 +4069,10 @@ _PRIORITY = [
     # DuckDB's native ASOF JOIN) and bucketed range join; r4s4: redirect
     # chains resolved by pointer doubling vs a recursive-CTE oracle
     "asof_join_latest_state", "range_join_windows", "redirect_chain_resolve",
+    # r4 session-8 flagship: crawl snapshot CDC diff — the one full-outer
+    # shuffle-join entry, certifying null-safe-compare (eqNullSafe vs
+    # IS DISTINCT FROM) parity cross-engine
+    "crawl_snapshot_diff",
     # headline queries
     "q1_pricing_summary", "q3_shipping_priority",
     # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
@@ -4098,6 +4150,8 @@ _PRIORITY = [
     "a1_distinct", "set_anti_seen_diff",
     # r4 session-7 demotions (rationales at their old window positions)
     "f5_bigint_string_arith", "j3_point_lookup_limit1",
+    # r4 session-8 demotions (rationales at their old window positions)
+    "p1_projection_pruning",
     # r4 session-7 oracled 51+ entries (window-covered by their in-window
     # siblings: pq_encode_codes shares the trained codebooks with the ADC
     # search below)

@@ -64,6 +64,8 @@ def test_flagship_new_components_have_driver_rows():
         "semantic_dedup_clusters",
         "quality_classifier_train",
         "pq_encode_codes",
+        # r4 session-8 flagship
+        "crawl_snapshot_diff",
     ):
         assert name in window, name
 
@@ -98,6 +100,8 @@ def test_demotions_have_in_window_twins():
         "set_anti_seen_diff": "j6_get_or_create_anti",
         "f5_bigint_string_arith": "entity_balances_replay",
         "j3_point_lookup_limit1": "qb_resolve_single",
+        # r4 session-8 demotions
+        "p1_projection_pruning": "p5_bool_connectives",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
