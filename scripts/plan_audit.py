@@ -143,6 +143,16 @@ AUDITS = [
         "over the codes, then ONE top-k exchange on q_id. No decode, no "
         "float-vector scan, no cross join.",
     ),
+    (
+        "crawl_snapshot_diff",
+        "CDC diff: md5 fingerprints are computed BELOW each side's "
+        "exchange, so the full-outer sort-merge join (Spark has no "
+        "broadcast full-outer) shuffles (key, 32-byte fp) pairs only — "
+        "page payloads never move; the unchanged-row filter runs before "
+        "the output projection, so the emitted set is O(|delta|). Over a "
+        "bucket(N, url)-partitioned Iceberg pages table both exchanges "
+        "vanish (storage-partitioned join).",
+    ),
 ]
 
 OPS = [
