@@ -41,6 +41,38 @@ def test_probe_report_contention_flag(capsys):
     assert "WARNING" in capsys.readouterr().err
 
 
+def test_io_probe_measures_fixed_io():
+    import bench
+
+    t = bench.io_probe(mb=16)
+    assert 0 < t < 30
+
+
+def test_probe_report_io_contention_flag(capsys):
+    """IO samples flag contention independently of quiet CPU probes — the
+    r4s3 failure mode (2.3x IO-slow leg, quiet CPU probe) is now visible
+    at record time."""
+    import bench
+
+    quiet = bench.probe_report(
+        [bench.PROBE_NOMINAL_S * 0.9],
+        io_samples=[bench.IO_PROBE_NOMINAL_S * 0.9],
+    )
+    assert not quiet["contended"]
+    assert quiet["io_probe_nominal_s"] == bench.IO_PROBE_NOMINAL_S
+    assert quiet["io_probe_worst_ratio"] == 0.9
+
+    loud = bench.probe_report(
+        [bench.PROBE_NOMINAL_S * 0.9],  # CPU quiet
+        io_samples=[bench.IO_PROBE_NOMINAL_S * (bench.IO_PROBE_CONTENDED_RATIO + 1)],
+    )
+    assert loud["contended"]
+    assert "io probe" in capsys.readouterr().err
+
+    no_io = bench.probe_report([bench.PROBE_NOMINAL_S * 0.9])
+    assert "io_probe_worst_ratio" not in no_io  # absent, never fabricated
+
+
 def test_ab_mode_head_vs_head(tmp_path):
     """--ab HEAD runs both sides through real fresh-JVM crawls on the same
     tiny corpus: identical fetched counts, sane throughput ratio, probe
