@@ -565,7 +565,8 @@ def run_scaling(args) -> None:
             run = _crawl_subprocess(REPO, cpus, args.docs, args.rounds, pages_path)
             print(f"run {r} local[{cpus}]: {run['urls_per_sec']} urls/sec "
                   f"({run['wall_s']}s, probes {run.get('probe_before_s')}"
-                  f"/{run.get('probe_after_s')})", file=sys.stderr)
+                  f"/{run.get('probe_after_s')}, io {run.get('io_probe_before_s')}"
+                  f"/{run.get('io_probe_after_s')})", file=sys.stderr)
             if cpus not in results or run["urls_per_sec"] > results[cpus]["urls_per_sec"]:
                 results[cpus] = run
     eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
