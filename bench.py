@@ -19,9 +19,11 @@ compute efficiency = (thr_4N / thr_N) / 4, and write BENCH/BASELINE.md.
 own bench.py (detached worktree) on identical input — the one-command
 engine-vs-host-noise regression answer (VERDICT r3 next #1).
 
-Every timed window is bracketed by a fixed-work CPU probe whose wall time is
-published in the JSON (`probe_*` fields, `contended` flag), so a
-noise-contaminated record is self-identifying at record time.
+Every timed window is bracketed by a fixed-work CPU probe AND a fixed-size
+IO probe (write+fsync+reread on the bench tmp fs) whose wall times are
+published in the JSON (`probe_*` / `io_probe_*` fields, `contended` flag),
+so a noise-contaminated record — CPU-starved or writeback-starved — is
+self-identifying at record time.
 
 Queries are forced end-to-end with a `noop`-format write (full plan executes,
 zero driver collect cost) — the same discipline as Spark's own benchmarks.
