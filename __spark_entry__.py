@@ -4015,6 +4015,75 @@ def url_param_noise_q(spark, sf):
     return url_param_noise(d)
 
 
+# winnowing: shared CTE chain for both entries (k=8 char grams, window w=4,
+# min-hash per window, ties to the RIGHTMOST gram — robust winnowing).
+# The oracle resolves the same rule relationally (gram explode + window-min
+# + max(pos) among minimal hashes), an independent formulation of the
+# in-row fold certifying it.
+_WINNOW_CTES = """g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM docs, UNNEST(range(1, greatest(length(text) - 7, 0) + 1)) AS t(i)
+),
+c AS (SELECT doc_id, count(*) AS gg FROM g GROUP BY doc_id),
+win AS (SELECT doc_id, unnest(range(1, greatest(gg - 3, 1) + 1)) AS j FROM c),
+scored AS (
+  SELECT w.doc_id, w.j, g.h, g.pos,
+         min(g.h) OVER (PARTITION BY w.doc_id, w.j) AS mh
+  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.j AND w.j + 3
+),
+sel AS (SELECT doc_id, j, h AS fp, max(pos) AS pos
+        FROM scored WHERE h = mh GROUP BY doc_id, j, h)"""
+
+
+@_q(
+    "dedup_winnow_fingerprints",
+    "WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),\n"
+    + _WINNOW_CTES
+    + "\nSELECT DISTINCT doc_id, pos, fp FROM sel",
+)
+def winnow_fp_q(spark, sf):
+    """Winnowing document fingerprints (operators/dedup.py
+    winnow_fingerprints; Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): min md5 per sliding w-window of char k-gram hashes, ties
+    rightmost — guarantees a shared fingerprint for any shared substring
+    of length >= w+k-1 at expected density 2/(w+1). The per-document LOCAL
+    fingerprint the minhash/simhash family can't give (positions kept,
+    no corpus-wide election needed): selection is a zero-shuffle
+    whole-stage-codegen fold; only fixed-width (fp, pos) rows ever reach
+    an exchange. Driver entry runs on the doc_id % 4 == 0 quarter to keep
+    the per-row positional compare inside the harness row band; pytest
+    parity covers the full corpus."""
+    from layerg_crawler_v2_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
+    return winnow_fingerprints(d, k=8, w=4)
+
+
+@_q(
+    "dedup_winnow_pairs",
+    "WITH docs AS (SELECT doc_id, text FROM documents),\n"
+    + _WINNOW_CTES
+    + """,
+fp AS (SELECT DISTINCT doc_id, fp FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+def winnow_pairs_q(spark, sf):
+    """Near-dup candidate pairs by shared winnowing fingerprints
+    (operators/dedup.py winnow_candidate_pairs): docs pair when they share
+    >= 2 distinct selected fingerprints. LSH-pairs shuffle physics — one
+    exchange on the 32-byte fp, per-fp bucket join, pair-keyed count —
+    with winnowing's density knob (2/(w+1)) bounding bucket sizes where
+    minhash needs banding."""
+    from layerg_crawler_v2_spark.operators.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _t(spark, sf, "documents"), k=8, w=4, min_shared=2
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -4063,8 +4132,11 @@ _PRIORITY = [
     # cross-engine parity is driven in-window by entity_balances_replay's
     # DECIMAL(30,2) signed-sum oracle, and the projection shape is the f3
     # single-expression codegen family — the f2/f4/f8 rationale)
+    # (f10_json_extract demoted r4s9: get_json_object is the same
+    # single-expression codegen projection family as the in-window f3 —
+    # the f2/f4/f5/f8 rationale; JSON-path parity stays in the pytest
+    # replica)
     "f3_lower_normalize",
-    "f10_json_extract",
     # r4 session-3 join flagships: as-of join (union+carry-forward vs
     # DuckDB's native ASOF JOIN) and bucketed range join; r4s4: redirect
     # chains resolved by pointer doubling vs a recursive-CTE oracle
@@ -4093,6 +4165,12 @@ _PRIORITY = [
     # CTE, so the demoted pairs entry is transitively driver-covered)
     "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
     "dedup_editdist_pairs",
+    # r4 session-9: winnowing (MOSS) — new in-window physics: the in-row
+    # sliding window-min fold with positional output; no other in-window
+    # entry drives a per-row O(grams*w) codegen fold or a position-keyed
+    # fingerprint compare (pairs twin demoted: its bucket-join physics is
+    # dedup_ngram_jaccard's / lsh_pairs')
+    "dedup_winnow_fingerprints",
     # r4 flagship ops: end-to-end fuzzy-dedup keeper election, two-pass
     # prefix-sum sequence packing, PII scrub, benchmark decontamination,
     # crawl-trap detection
@@ -4139,6 +4217,8 @@ _PRIORITY = [
     "p3_sig_dispatch", "dedup_minhash_signatures", "p8_eq_where_order_limit",
     "dedup_minhash_lsh_pairs", "text_fingerprint",
     "text_repetition_stats", "dedup_ngram_coverage",
+    # r4 session-9 demotions (rationales at their old window positions)
+    "f10_json_extract", "dedup_winnow_pairs",
     # r4 session-3 demotions (rationales at their old window positions)
     "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
     "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",

@@ -690,3 +690,118 @@ def duplicated_substring_spans(
             F.col("s.n").alias("n_windows"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every character k-gram, slide a window of w
+    consecutive gram hashes, and in each window select the minimum hash,
+    breaking ties to the RIGHTMOST occurrence (the paper's robust-winnowing
+    rule, which minimizes selected fingerprints). The selected (pos, hash)
+    set is the document's fingerprint.
+
+    Guarantee (the reason this beats "every j-th gram" sampling): any
+    substring of length >= w + k - 1 shared by two documents contributes at
+    least one common fingerprint — detection is position-independent and
+    deterministic, with expected density 2/(w+1).
+
+    Distinct from the rest of the family: minhash/LSH estimates SET
+    similarity (positions lost), simhash compresses to one distance-ranked
+    word, substring_spans needs a corpus-wide multiplicity election first.
+    Winnowing is the per-document LOCAL fingerprint — selectable with no
+    knowledge of other documents, so fingerprinting is a zero-shuffle
+    in-row fold and only the fixed-width (fp, id, pos) triples ever reach
+    an exchange.
+
+    Edge semantics: a document with fewer than k chars has no grams and no
+    fingerprints; with 1 <= grams < w, one window spans all grams (keeps
+    the >= 1-fingerprint guarantee for any doc with a gram).
+
+    Returns (id_col, pos, fp): 1-based char position of each selected
+    k-gram and md5 hex of its text (md5, not xxhash64, so the DuckDB
+    oracle shares the exact key). Scale shape: everything up to the final
+    explode is one whole-stage-codegen projection — no shuffle, no UDF; the
+    O(grams * w) fold is the winnowing definition itself and stays
+    cache-resident per row.
+    """
+    gram_t = "array<struct<h:string,pos:bigint>>"
+    n_grams = F.length(F.col(text_col)) - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.struct(
+                F.md5(F.col(text_col).substr(i, F.lit(k))).alias("h"),
+                i.cast("long").alias("pos"),
+            ),
+        ),
+    ).otherwise(F.expr(f"cast(array() as {gram_t})"))
+
+    def _win_min(j):
+        return F.aggregate(
+            F.slice(F.col("g"), j, w),
+            F.lit(None).cast("struct<h:string,pos:bigint>"),
+            lambda acc, x: F.when(
+                acc.isNull()
+                | (x["h"] < acc["h"])
+                | ((x["h"] == acc["h"]) & (x["pos"] > acc["pos"])),
+                x,
+            ).otherwise(acc),
+        )
+
+    selected = F.when(
+        F.size("g") >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("g") - (w - 1), F.lit(1))),
+                _win_min,
+            )
+        ),
+    ).otherwise(F.expr(f"cast(array() as {gram_t})"))
+
+    return (
+        df.select(F.col(id_col), grams.alias("g"))
+        .select(F.col(id_col), F.explode(selected).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("fp"))
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: docs are
+    paired when they share >= min_shared distinct selected fingerprints
+    (each fp counted once per doc regardless of position multiplicity).
+
+    Returns (doc_a, doc_b, shared_fps) with doc_a < doc_b. Shuffle shape is
+    the LSH-pairs physics: one exchange keyed on the fixed 32-byte fp, a
+    per-fp bucket join (never corpus x corpus), one pair-keyed count. At
+    10^12 grams the winnowing density 2/(w+1) is the knob that bounds
+    bucket row counts before the join."""
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    docs = fps.select(F.col(id_col), "fp").distinct()
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -66,6 +66,8 @@ def test_flagship_new_components_have_driver_rows():
         "pq_encode_codes",
         # r4 session-8 flagship
         "crawl_snapshot_diff",
+        # r4 session-9 flagship
+        "dedup_winnow_fingerprints",
     ):
         assert name in window, name
 

@@ -1,0 +1,107 @@
+"""Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) — parity against
+a pure-Python reference, the paper's coverage guarantee, tie-break rule,
+and the candidate-pair join."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from layerg_crawler_v2_spark.operators.dedup import (
+    winnow_candidate_pairs,
+    winnow_fingerprints,
+)
+
+K, W = 8, 4
+
+
+def _ref_winnow(text: str, k: int = K, w: int = W) -> set[tuple[int, str]]:
+    """Sequential robust winnowing: min hash per window, ties rightmost,
+    selected set deduped. Positions 1-based."""
+    grams = [
+        (hashlib.md5(text[i : i + k].encode()).hexdigest(), i + 1)
+        for i in range(len(text) - k + 1)
+    ]
+    if not grams:
+        return set()
+    n_win = max(len(grams) - w + 1, 1)
+    sel = set()
+    for j in range(n_win):
+        window = grams[j : j + w]
+        best = window[0]
+        for h, pos in window[1:]:
+            if h < best[0] or (h == best[0] and pos > best[1]):
+                best = (h, pos)
+        sel.add((best[1], best[0]))
+    return sel
+
+
+def _spark_winnow(spark, texts: list[str]) -> dict[int, set[tuple[int, str]]]:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, k=K, w=W).collect()
+    out: dict[int, set[tuple[int, str]]] = {i: set() for i in range(len(texts))}
+    for r in rows:
+        out[r["doc_id"]].add((r["pos"], r["fp"]))
+    return out
+
+
+def test_matches_sequential_reference(spark):
+    rng = random.Random(20260819)
+    texts = [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 60)))
+        for _ in range(40)
+    ]
+    got = _spark_winnow(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_short_doc_edges(spark):
+    # < k chars: no grams, no fingerprints; k <= len < k+w-1: ONE window
+    got = _spark_winnow(spark, ["abc", "abcdefgh", "abcdefghij"])
+    assert got[0] == set()
+    assert len(got[1]) == 1  # exactly one gram -> one selected
+    assert got[2] == _ref_winnow("abcdefghij")  # 3 grams < w -> one window
+
+
+def test_tie_breaks_rightmost(spark):
+    # identical grams everywhere: every window's min is its RIGHTMOST gram
+    text = "a" * 20  # 13 grams, windows j=1..10 select pos j+3
+    got = _spark_winnow(spark, [text])[0]
+    assert {pos for pos, _ in got} == {j + W - 1 for j in range(1, 11)}
+
+
+def test_shared_substring_guarantee(spark):
+    # any shared run of >= w+k-1 chars yields >= 1 common fingerprint HASH
+    rng = random.Random(7)
+    shared = "".join(rng.choice("xyzuvw") for _ in range(K + W - 1))
+    a = "AAAA" + shared + "BBBBBBB"
+    b = "CCCCCCCCCC" + shared + "DD"
+    got = _spark_winnow(spark, [a, b])
+    fps_a = {h for _, h in got[0]}
+    fps_b = {h for _, h in got[1]}
+    shared_grams = {
+        hashlib.md5(shared[i : i + K].encode()).hexdigest()
+        for i in range(len(shared) - K + 1)
+    }
+    assert fps_a & fps_b & shared_grams
+
+
+def test_candidate_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, "PREFIX " + base),  # same content at a shifted offset
+        (2, "completely different words here that overlap with nothing"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_candidate_pairs(df, k=K, w=W, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
