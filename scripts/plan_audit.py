@@ -144,6 +144,44 @@ AUDITS = [
         "float-vector scan, no cross join.",
     ),
     (
+        "ann_ivfpq_topk",
+        "IVF-PQ search: the coarse-cell prune is a `cluster IN (probed)` "
+        "filter that reaches the scan (partition-prune on a "
+        "cluster-partitioned index at deployment scale); ADC scoring over "
+        "residual codes is one Arrow pass with the per-(query, cell) "
+        "tables in closure; then ONE top-k exchange on q_id. nprobe/"
+        "n_clusters of the codes is the only data touched.",
+    ),
+    (
+        "bpe_encode_corpus",
+        "BPE encode: the merge fold runs once per DISTINCT word "
+        "(vocabulary-sized by Heaps' law — the distinct aggregate below "
+        "the fold is the evidence), joins back to the positional word "
+        "explode, and docs reassemble with ONE groupBy(id) exchange. The "
+        "trained merge ranks ride the plan as a literal map; no UDF.",
+    ),
+    (
+        "dedup_cdc_chunks",
+        "Gear-hash CDC chunking + shared-chunk ledger: the chunk scan is "
+        "embarrassingly parallel mapInPandas over (id, payload) with NO "
+        "exchange below it (the gear table regenerates from splitmix64 on "
+        "every executor — nothing broadcast); the two exchanges in this "
+        "plan both belong to the downstream ledger's count_distinct "
+        "aggregation (Catalyst's two-phase distinct) and carry 32-byte "
+        "chunk hashes only — payload bytes never shuffle.",
+    ),
+    (
+        "dedup_winnow_fingerprints",
+        "Winnowing (MOSS): gram hashing, the O(grams*w) window-min fold, "
+        "tie-break, and dedup of selections all happen IN-ROW inside "
+        "whole-stage codegen — zero exchanges, zero UDFs, zero joins; "
+        "only the fixed-width (fp, pos) rows exist after the explode. "
+        "Fingerprint selection needs no knowledge of other documents — "
+        "the property that makes it embarrassingly parallel at 10^12 "
+        "grams where the substring-spans election needs a corpus-wide "
+        "shuffle.",
+    ),
+    (
         "crawl_snapshot_diff",
         "CDC diff: md5 fingerprints are computed BELOW each side's "
         "exchange, so the full-outer sort-merge join (Spark has no "
