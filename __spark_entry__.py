@@ -4084,6 +4084,22 @@ def winnow_pairs_q(spark, sf):
     )
 
 
+@_q("dedup_winnow_fingerprints_xx", None)  # production 64-bit hash family:
+# rows-only by design (the md5 twin carries the DuckDB oracle); selection
+# parity vs a sequential reference + the shared-substring guarantee are
+# pinned in tests/test_winnow.py
+def winnow_fp_xx_q(spark, sf):
+    """Production-hash winnowing (operators/dedup.py
+    winnow_fingerprints_xx): identical MOSS selection rule, but one numpy
+    sweep per Arrow batch — vectorized rolling-polynomial grams +
+    splitmix64, stride-tricks sliding argmin, int64 fingerprints (8-byte
+    downstream join keys). The headline-bench form; the md5 twin is the
+    oracle form (the lsh_pairs/_xx precedent)."""
+    from layerg_crawler_v2_spark.operators.dedup import winnow_fingerprints_xx
+
+    return winnow_fingerprints_xx(_t(spark, sf, "documents"), k=8, w=4)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the

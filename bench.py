@@ -57,6 +57,12 @@ HEADLINE = [
                                    # DuckDB-oracle bit-parity, not speed)
     "dedup_simhash",           # JVM simhash (r3: explode→xxhash64→bit-majority;
                                # new headline entry per VERDICT r2 #4)
+    "dedup_winnow_fingerprints_xx",  # r4s9: MOSS winnowing, production
+                                     # 64-bit hash family (one numpy sweep
+                                     # per Arrow batch; the md5 twin exists
+                                     # for DuckDB-oracle bit-parity — it
+                                     # pays interpreted HOF-lambda folds,
+                                     # measured 12.5s vs ~0.3s at sf0.1)
     "ann_cosine_topk",         # brute-force cosine top-k over embeddings
     "link_graph_pagerank",     # r4s3: 3-iteration integer PageRank (3 shuffles)
     "bm25_keyword_topk",       # r4s3: postings-proportional BM25 retrieval

@@ -105,3 +105,76 @@ def test_candidate_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert all(2 not in p for p in pairs)
+
+
+# --- production-hash twin (winnow_fingerprints_xx) --------------------------
+
+def _ref_winnow_xx(text: str, k: int = K, w: int = W) -> set[tuple[int, int]]:
+    """Sequential reference for the xx family: same rolling polynomial +
+    splitmix64, pure-Python 64-bit ints."""
+    M = (1 << 64) - 1
+
+    def mix64(x: int) -> int:
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & M
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & M
+        x ^= x >> 31
+        return x
+
+    b = text.encode("utf-8")
+    n_g = len(b) - k + 1
+    if n_g < 1:
+        return set()
+    hs = []
+    from layerg_crawler_v2_spark.operators.dedup import _WINNOW_FNV
+
+    for i in range(n_g):
+        acc = 0
+        for j in range(k):
+            acc = (acc * _WINNOW_FNV + b[i + j]) & M
+        hs.append(mix64(acc))
+    n_win = max(n_g - w + 1, 1)
+    sel = set()
+    for j in range(n_win):
+        window = list(enumerate(hs[j : j + w]))
+        best = window[0]
+        for off, h in window[1:]:
+            if h < best[1] or (h == best[1] and off > best[0]):
+                best = (off, h)
+        signed = best[1] - (1 << 64) if best[1] >= (1 << 63) else best[1]
+        sel.add((j + best[0] + 1, signed))
+    return sel
+
+
+def test_xx_matches_sequential_reference(spark):
+    from layerg_crawler_v2_spark.operators.dedup import winnow_fingerprints_xx
+
+    rng = random.Random(42)
+    texts = [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 60)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in winnow_fingerprints_xx(df, k=K, w=W).collect():
+        got[r["doc_id"]].add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_winnow_xx(t), f"doc {i}: {t!r}"
+
+
+def test_xx_shared_substring_guarantee(spark):
+    from layerg_crawler_v2_spark.operators.dedup import winnow_fingerprints_xx
+
+    rng = random.Random(99)
+    shared = "".join(rng.choice("xyzuvw") for _ in range(K + W - 1))
+    df = spark.createDataFrame(
+        [(0, "AAAA" + shared + "BBBBBBB"), (1, "CCCCCCCCCC" + shared + "DD")],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {0: set(), 1: set()}
+    for r in winnow_fingerprints_xx(df, k=K, w=W).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[0] & fps[1]
