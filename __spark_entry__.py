@@ -4100,6 +4100,39 @@ def winnow_fp_xx_q(spark, sf):
     return winnow_fingerprints_xx(_t(spark, sf, "documents"), k=8, w=4)
 
 
+@_q(
+    "stats_robust_outliers",
+    """WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+), d AS (
+  SELECT doc_id, documents.source, n_chars, med
+  FROM documents JOIN med ON documents.source = med.source
+), mad AS (
+  SELECT source, median(abs(n_chars - med)) AS mad FROM d GROUP BY source
+)
+SELECT doc_id, d.source, n_chars, round(med, 6) AS med,
+  round(mad, 6) AS mad,
+  CASE WHEN mad > 0
+       THEN round(0.6745 * (n_chars - med) / mad, 6) END AS mz,
+  CASE WHEN mad > 0 THEN abs(round(0.6745 * (n_chars - med) / mad, 6)) > 3.5
+       ELSE FALSE END AS is_outlier
+FROM d JOIN mad ON d.source = mad.source""",
+)
+def robust_outliers_q(spark, sf):
+    """Per-source robust outlier scoring on document lengths
+    (operators/stats.py robust_outliers): Iglewicz-Hoaglin modified
+    z-score over EXACT median/MAD (50% breakdown point — one pathological
+    host can't drag the cut line the way a mean/stddev z-score's own
+    baseline moves). Two map-side-combined percentile aggs + two
+    broadcast joins of the corpus against the group-sized dims; corpus
+    rows are never re-sorted or self-joined."""
+    from layerg_crawler_v2_spark.operators.stats import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf, "documents"), group_col="source", value_col="n_chars"
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the

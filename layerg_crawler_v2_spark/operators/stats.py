@@ -119,3 +119,67 @@ def analyze_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier scoring: the Iglewicz-Hoaglin modified
+    z-score 0.6745 * (x - median) / MAD, where MAD is the median absolute
+    deviation — both medians EXACT (percentile(0.5), linear interpolation
+    at even counts, matching DuckDB's `median`). Unlike mean/stddev
+    z-scores, one pathological host can't drag the cut line: median and
+    MAD have a 50% breakdown point, which is the property a corpus
+    anomaly gate needs when the anomalies are exactly what's being hunted
+    (a host serving 100x-size pages moves a mean z-score's own baseline).
+
+    Emits ONE row per input row: (id, group, value, med, mad, mz,
+    is_outlier) with mz NULL when the group's MAD is 0 (a degenerate
+    constant group scores nobody) and is_outlier = |mz| > threshold.
+    med/mad/mz are rounded to 6 for cross-engine float parity.
+
+    Scale shape: two map-side-combined grouped aggregations over the
+    VALUES (the percentile buffer per group, never the corpus rows
+    re-sorted) + two joins of the corpus against group-sized dims —
+    broadcast when the group count is small (hosts/sources: always).
+    At boundless group counts both joins degrade to hash-exchanges on the
+    same key and AQE picks that automatically.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    withmed = df.join(F.broadcast(med), group_col)
+    mad = (
+        withmed.select(
+            group_col, F.abs(F.col(value_col) - F.col("med")).alias("absdev")
+        )
+        .groupBy(group_col)
+        .agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    )
+    mz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return (
+        withmed.join(F.broadcast(mad), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            mz.alias("mz"),
+        )
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("mz").isNotNull(), F.abs("mz") > threshold).otherwise(
+                F.lit(False)
+            ),
+        )
+    )
