@@ -4101,6 +4101,43 @@ def winnow_fp_xx_q(spark, sf):
 
 
 @_q(
+    "dedup_mirror_hosts",
+    "WITH docs AS (SELECT doc_id, text FROM documents),\n"
+    + _WINNOW_CTES
+    + """,
+fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+prof0 AS (SELECT DISTINCT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host, fp
+          FROM fpd),
+keep AS (SELECT fp FROM prof0 GROUP BY fp HAVING count(*) <= 6),
+prof AS (SELECT host, fp FROM prof0 JOIN keep USING (fp)),
+sz AS (SELECT host, count(*) AS n FROM prof GROUP BY host),
+pair AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared_fps
+         FROM prof a JOIN prof b ON a.fp = b.fp AND a.host < b.host
+         GROUP BY 1, 2)
+SELECT host_a, host_b, shared_fps,
+  round(shared_fps * 1.0 / least(sa.n, sb.n), 6) AS containment
+FROM pair JOIN sz sa ON sa.host = pair.host_a
+          JOIN sz sb ON sb.host = pair.host_b""",
+)
+def mirror_hosts_q(spark, sf):
+    """Mirror-host detection (operators/dedup.py mirror_host_pairs;
+    Bharat & Broder's mirror-site lineage): hosts whose winnowing
+    fingerprint PROFILES overlap are mirrors — the crawl-budget dedup the
+    frontier needs above the per-document level. Containment = shared /
+    min(|A|, |B|) is size-asymmetry-robust (a partial mirror of a big
+    host still scores high). Fingerprints on > 6 of the 8 synthetic hosts
+    are stop-filtered before the pair join — the boilerplate discipline
+    that bounds per-fp bucket cost at 10^7 hosts. Hosts synthesized as
+    doc_id % 8 (documents carry no host column)."""
+    from layerg_crawler_v2_spark.operators.dedup import mirror_host_pairs
+
+    d = _t(spark, sf, "documents").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+    )
+    return mirror_host_pairs(d, host_col="host", k=8, w=4, max_hosts_per_fp=6)
+
+
+@_q(
     "stats_robust_outliers",
     """WITH med AS (
   SELECT source, median(n_chars) AS med FROM documents GROUP BY source

@@ -904,3 +904,84 @@ def winnow_fingerprints_xx(
                 )
 
     return df.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
+
+
+def mirror_host_pairs(
+    df: DataFrame,
+    host_col: str = "host",
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hosts_per_fp: int | None = 64,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder WWW'99, "A technique for
+    measuring the relative size and overlap of public Web search
+    engines" lineage / mirror-site detection): hosts whose CONTENT
+    fingerprint profiles overlap are mirrors, and a crawler that doesn't
+    know it pays the full fetch budget twice. Profile = the host's set of
+    distinct winnowing fingerprints over its documents (shingle-family
+    evidence, so near-mirrors with boilerplate edits still overlap where
+    exact content hashes would not).
+
+    Returns (host_a, host_b, shared_fps, containment) for every host pair
+    sharing >= 1 profile fingerprint, containment = shared /
+    min(|A|, |B|) rounded 6 (the asymmetric-size-robust overlap measure:
+    a small mirror of a big host still scores ~1.0), filtered to
+    >= min_containment.
+
+    Scale shape: fingerprinting is the zero-shuffle winnow pass; the id ->
+    host attach is one co-partitioned join; profiles shuffle as fixed
+    8-to-32-byte (host, fp) rows. The pair join is keyed on fp with
+    per-fp bucket cost |hosts(fp)|^2 — bounded by `max_hosts_per_fp`:
+    a fingerprint on more hosts than that is boilerplate (navigation
+    chrome, license text) carrying no mirror signal and is DROPPED before
+    the join, the stop-shingle discipline that keeps hot keys from
+    quadratic fan-out at 10^7 hosts. Host-pair aggregation shuffles pair
+    keys only.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    hosts = df.select(id_col, host_col)
+    prof = (
+        fps.join(hosts, id_col)
+        .select(host_col, "fp")
+        .distinct()
+    )
+    if max_hosts_per_fp is not None:
+        keep = (
+            prof.groupBy("fp")
+            .agg(F.count("*").alias("nh"))
+            .filter(F.col("nh") <= max_hosts_per_fp)
+            .select("fp")
+        )
+        prof = prof.join(keep, "fp")
+    sizes = prof.groupBy(host_col).agg(F.count("*").alias("n"))
+    a, b = prof.alias("a"), prof.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{host_col}") < F.col(f"b.{host_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{host_col}").alias("host_a"),
+            F.col(f"b.{host_col}").alias("host_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    sa = sizes.withColumnRenamed(host_col, "host_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed(host_col, "host_b").withColumnRenamed("n", "nb")
+    return (
+        pairs.join(sa, "host_a")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -178,3 +178,51 @@ def test_xx_shared_substring_guarantee(spark):
     for r in winnow_fingerprints_xx(df, k=K, w=W).collect():
         fps[r["doc_id"]].add(r["fp"])
     assert fps[0] & fps[1]
+
+
+# --- mirror-host detection ---------------------------------------------------
+
+def test_mirror_hosts_planted(spark):
+    from layerg_crawler_v2_spark.operators.dedup import mirror_host_pairs
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long winter trip",
+        "sphinx of black quartz judge my vow before the morning bell rings",
+    ]
+    rows = []
+    # m1/m2: full mirrors (identical docs); solo: disjoint content
+    for i, t in enumerate(corpus):
+        rows.append((i, "m1", t))
+        rows.append((100 + i, "m2", t))
+    rows.append((200, "solo", "totally unrelated words live here in peace"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_host_pairs(df, max_hosts_per_fp=None).collect()
+    }
+    assert got[("m1", "m2")]["containment"] == 1.0
+    assert ("m1", "solo") not in got and ("m2", "solo") not in got
+
+
+def test_mirror_hosts_stop_filter(spark):
+    from layerg_crawler_v2_spark.operators.dedup import mirror_host_pairs
+
+    # every host shares one ubiquitous boilerplate line; only m1/m2 also
+    # share real content. With max_hosts_per_fp=2 the boilerplate fps
+    # (present on all 4 hosts) drop, so h3/h4 pair with nobody.
+    boiler = "copyright footer navigation menu contact about terms of use"
+    real = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "m1", boiler), (1, "m1", real),
+        (2, "m2", boiler), (3, "m2", real),
+        (4, "h3", boiler), (5, "h3", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (6, "h4", boiler), (7, "h4", "one two three four five six seven eight nine ten eleven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        (r["host_a"], r["host_b"])
+        for r in mirror_host_pairs(df, max_hosts_per_fp=2).collect()
+    }
+    assert ("m1", "m2") in got
+    assert all(p == ("m1", "m2") for p in got)
