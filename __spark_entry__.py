@@ -4100,6 +4100,50 @@ def winnow_fp_xx_q(spark, sf):
     return winnow_fingerprints_xx(_t(spark, sf, "documents"), k=8, w=4)
 
 
+# well-formed HTML synthesized from doc_id so the regex oracle is exact;
+# the tree extractor's robustness on malformed/commented/scripted inputs is
+# pinned by tests/test_extract.py goldens (the sitemap-entry discipline)
+_CANON_HTML_SYNTH = (
+    "CASE WHEN doc_id % 3 = 0 THEN"
+    " '<html><head><link rel=\"canonical\" href=\"https://canon.example/p'"
+    " || CAST(doc_id % 40 AS STRING) ||"
+    " '\"/></head><body>x</body></html>'"
+    " WHEN doc_id % 3 = 1 THEN"
+    " '<html><head><title>t</title></head><body>x</body></html>'"
+    " ELSE"
+    " '<html><head><link rel=\"canonical\" href=\"/first-'"
+    " || CAST(doc_id AS STRING) ||"
+    " '\"><link rel=\"canonical\" href=\"/second\"></head>"
+    "<body>x</body></html>' END"
+)
+
+
+@_q(
+    "extract_rel_canonical",
+    "WITH h AS (SELECT doc_id, " + _CANON_HTML_SYNTH + " AS html\n"
+    "           FROM documents)\n"
+    "SELECT doc_id, NULLIF(regexp_extract(html,\n"
+    "  'rel=\"canonical\" href=\"([^\"]+)\"', 1), '') AS canonical_url\n"
+    "FROM h",
+)
+def rel_canonical_q(spark, sf):
+    """rel=canonical extraction (functions/extract.py extract_canonical):
+    the page's self-declared canonical URL — the semantic alias-collapse
+    layer above functions/canon.py's syntactic normalization (tracking
+    params, session ids, and mirrors collapse at the SOURCE's authority).
+    First-declaration-wins per the WHATWG multiple-canonical rule;
+    non-DOM contexts (comments, script CDATA) never yield one. One
+    Arrow-batched pass, zero shuffle."""
+    from layerg_crawler_v2_spark.functions.extract import extract_canonical_udf
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.expr(_CANON_HTML_SYNTH), "utf-8").alias("html")
+    )
+    return d.select(
+        "doc_id", extract_canonical_udf("html").alias("canonical_url")
+    )
+
+
 @_q(
     "dedup_mirror_hosts",
     "WITH docs AS (SELECT doc_id, text FROM documents),\n"

@@ -236,6 +236,48 @@ def extract_anchors(html: bytes | None) -> list[tuple[str, str]]:
     return p.anchors
 
 
+class _CanonicalExtractor(HTMLParser):
+    """First `<link rel=canonical href=...>` in document order — the
+    WHATWG/Google rule: when a page declares multiple canonicals, UAs
+    honor the first. rel matching is token-based and case-insensitive
+    (`rel="Canonical alternate"` counts, per the link-type grammar), the
+    href may use any attribute syntax the tree accepts (quoted, unquoted,
+    self-closing tag — html.parser routes startendtag through
+    handle_starttag). Same DOM discipline as the other extractors:
+    canonicals inside comments or script CDATA produce no starttag events
+    and are never seen."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.canonical: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "link" or self.canonical is not None:
+            return
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:  # duplicate attributes: first wins (browser rule)
+                d[k] = v
+        rel = d.get("rel") or ""
+        if "canonical" in rel.lower().split() and d.get("href"):
+            self.canonical = d["href"]
+
+
+def extract_canonical(html: bytes | None) -> str | None:
+    """The page's declared canonical URL, or None — the crawl-dedup signal
+    that collapses tracking-parameter/session aliases at the SOURCE's own
+    authority (functions/canon.py normalizes syntax; rel=canonical is the
+    semantic layer above it)."""
+    if html is None:
+        return None
+    if b"canonical" not in bytes(html).lower():
+        return None  # cheap reject: the token must appear somewhere
+    p = _CanonicalExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.canonical
+
+
 # --- charset sniffing (WHATWG encoding-sniffing subset) ---------------------
 #
 # The pinned extraction invariant stays UTF-8 (input_hint: byte-identical
@@ -324,3 +366,8 @@ def extract_outlinks_udf(htmls: pd.Series) -> pd.Series:
 ])))
 def extract_anchors_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_anchors, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def extract_canonical_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_canonical, na_action="ignore")

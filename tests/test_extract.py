@@ -363,3 +363,66 @@ def test_anchors_agree_with_outlinks_on_generator_corpus(spark, sf_dir):
     for row in build_pages(spark, sf_dir).select("html").limit(200).collect():
         h = row["html"]
         assert [a for a, _ in extract_anchors(h)] == extract_outlinks(h)
+
+
+# --- rel=canonical -----------------------------------------------------------
+
+def test_canonical_basic_and_none():
+    from layerg_crawler_v2_spark.functions.extract import extract_canonical
+
+    assert extract_canonical(None) is None
+    assert extract_canonical(b"<p>no head</p>") is None
+    assert (
+        extract_canonical(
+            b'<head><link rel="canonical" href="https://e.x/p"/></head>'
+        )
+        == "https://e.x/p"
+    )
+
+
+def test_canonical_first_wins_and_token_matching():
+    from layerg_crawler_v2_spark.functions.extract import extract_canonical
+
+    two = (
+        b'<link rel="canonical" href="/first">'
+        b'<link rel="canonical" href="/second">'
+    )
+    assert extract_canonical(two) == "/first"
+    # token-based, case-insensitive rel; unquoted href; attr order free
+    assert (
+        extract_canonical(b"<link href=/u rel='Alternate CANONICAL'>") == "/u"
+    )
+    # 'canonical' must be a whole rel token
+    assert extract_canonical(b'<link rel="noncanonical" href="/x">') is None
+
+
+def test_canonical_non_dom_contexts_ignored():
+    from layerg_crawler_v2_spark.functions.extract import extract_canonical
+
+    assert (
+        extract_canonical(
+            b'<!-- <link rel="canonical" href="/ghost"> -->'
+            b'<script>var s = \'<link rel="canonical" href="/js">\';</script>'
+            b'<link rel="canonical" href="/real">'
+        )
+        == "/real"
+    )
+    # comment/script only: nothing found
+    assert (
+        extract_canonical(
+            b'<!-- <link rel="canonical" href="/ghost"> -->'
+        )
+        is None
+    )
+
+
+def test_canonical_missing_href_or_rel():
+    from layerg_crawler_v2_spark.functions.extract import extract_canonical
+
+    assert extract_canonical(b'<link rel="canonical">') is None
+    assert extract_canonical(b'<link href="/h">') is None
+    # duplicate attribute: first wins
+    assert (
+        extract_canonical(b'<link rel="canonical" href="/a" href="/b">')
+        == "/a"
+    )
