@@ -270,8 +270,17 @@ def extract_canonical(html: bytes | None) -> str | None:
     semantic layer above it)."""
     if html is None:
         return None
-    if b"canonical" not in bytes(html).lower():
-        return None  # cheap reject: the token must appear somewhere
+    low = bytes(html).lower()
+    # Cheap rejects, both EXACT: tag names can't be entity-encoded, so a
+    # page with no literal '<link' has no link element; and 'canonical'
+    # can only hide behind a charref inside the rel VALUE (values decode,
+    # names don't — the reason extract_outlinks' b"href" count reject is
+    # exact but a bare b"canonical" reject here would NOT be), so its
+    # absence rejects only when no '&' could be hiding one.
+    if b"<link" not in low:
+        return None
+    if b"canonical" not in low and b"&" not in low:
+        return None
     p = _CanonicalExtractor()
     p.feed(html.decode("utf-8", errors="replace"))
     p.close()

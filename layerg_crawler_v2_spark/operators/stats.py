@@ -144,10 +144,12 @@ def robust_outliers(
 
     Scale shape: two map-side-combined grouped aggregations over the
     VALUES (the percentile buffer per group, never the corpus rows
-    re-sorted) + two joins of the corpus against group-sized dims —
-    broadcast when the group count is small (hosts/sources: always).
-    At boundless group counts both joins degrade to hash-exchanges on the
-    same key and AQE picks that automatically.
+    re-sorted) + two joins of the corpus against group-sized dims. The
+    broadcast hint is explicit and therefore PINNED (AQE does not demote
+    an explicit hint): correct for bounded group domains (hosts, sources,
+    languages — always dim-sized). A boundless group domain would need
+    the hint dropped so both joins plan as hash-exchanges on the group
+    key; that variant is one argument away, not automatic.
     """
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")

@@ -426,3 +426,16 @@ def test_canonical_missing_href_or_rel():
         extract_canonical(b'<link rel="canonical" href="/a" href="/b">')
         == "/a"
     )
+
+
+def test_canonical_entity_encoded_rel_survives_cheap_reject():
+    from layerg_crawler_v2_spark.functions.extract import extract_canonical
+
+    # 'canonical' hidden behind a charref in the rel VALUE: values decode
+    # (names don't), so the fast reject must not fire on the missing
+    # literal token when an '&' could be hiding it
+    assert (
+        extract_canonical(b'<link rel="can&#111;nical" href="/e">') == "/e"
+    )
+    # and a page with no <link> tag at all rejects exactly
+    assert extract_canonical(b'<a href="/x">canonical &amp; more</a>') is None
