@@ -2862,6 +2862,87 @@ def pagerank_q(spark, sf):
     )
 
 
+_TRUSTRANK_DUCK = """
+WITH edges AS (
+  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+  FROM events WHERE user_id % 40 <> event_id % 40
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+seeds AS (SELECT node FROM nodes WHERE node % 7 = 0),
+ns AS (SELECT count(*) AS n FROM seeds),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END AS rank
+       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+i1 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n2.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN ((15 * 1000000000000) // (SELECT n FROM ns)) // 100
+              ELSE 0 END
+         + (85 * coalesce(i.inc, 0)) // 100 AS rank
+       FROM nodes n2 LEFT JOIN seeds s ON s.node = n2.node
+                     LEFT JOIN i1 i ON i.node = n2.node),
+i2 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n2.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN ((15 * 1000000000000) // (SELECT n FROM ns)) // 100
+              ELSE 0 END
+         + (85 * coalesce(i.inc, 0)) // 100 AS rank
+       FROM nodes n2 LEFT JOIN seeds s ON s.node = n2.node
+                     LEFT JOIN i2 i ON i.node = n2.node),
+i3 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n2.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN ((15 * 1000000000000) // (SELECT n FROM ns)) // 100
+              ELSE 0 END
+         + (85 * coalesce(i.inc, 0)) // 100 AS rank
+       FROM nodes n2 LEFT JOIN seeds s ON s.node = n2.node
+                     LEFT JOIN i3 i ON i.node = n2.node)
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+
+
+@_q("link_graph_trustrank", _TRUSTRANK_DUCK)
+def trustrank_q(spark, sf):
+    """TrustRank — seed-personalized PageRank (operators/graph.py
+    trustrank; Gyongyi et al. VLDB 2004): teleport mass lands ONLY on the
+    trusted seed set (here nodes % 7 == 0 of the same events-derived
+    graph pagerank uses), so trust decays outward along links and a
+    densely self-linked farm with no inlink path from the seeds converges
+    to ~0 — the host-spam demotion signal raw PageRank can't give (farms
+    inflate it). Integer-cash arithmetic, 3 unrolled iterations, same
+    one-shuffle-per-iteration physics; the oracle replays the identical
+    recurrence with the seed CASE folded into each CTE."""
+    from layerg_crawler_v2_spark.operators.graph import trustrank
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.select(
+            F.expr("CAST(user_id % 40 AS BIGINT)").alias("src"),
+            F.expr("CAST(event_id % 40 AS BIGINT)").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 7 == 0)
+    )
+    return trustrank(edges, seeds, iterations=3).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 _BM25_DUCK = """
 WITH toks AS (
   SELECT doc_id, tok FROM (

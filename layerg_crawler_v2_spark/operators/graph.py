@@ -159,3 +159,91 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    scale: int = PAGERANK_SCALE,
+    damp_pct: int = DAMP_PCT,
+    reuse: bool = True,
+) -> DataFrame:
+    """k rounds of integer-exact TrustRank (Gyongyi, Garcia-Molina &
+    Pedersen, VLDB 2004: "Combating Web Spam with TrustRank") — PageRank
+    with the teleport mass personalized onto a trusted seed set. Where
+    uniform PageRank hands every node (100-d)% base mass each round, here
+    ONLY seeds receive it:
+
+        rank'(v) = [v in seeds] * ((100-d)*scale div |seeds|) div 100
+                   + (d * incoming(v)) div 100
+
+    so trust decays outward along links and a spam farm with no inlink
+    path from the seeds converges to ~0 regardless of its internal link
+    density — the host-demotion signal a crawl scheduler wants next to
+    raw PageRank (which dense farms inflate). Seeds with no edges keep
+    their teleport mass (node set = graph nodes UNION seeds).
+
+    Same integer-cash discipline and shuffle shape as `pagerank` (ONE
+    edges-to-ranks shuffle + one map-side-combined groupBy(dst) per
+    iteration; node set / out-degrees / the seed flag persisted once,
+    reuse=True); the seed flag rides the persisted node frame, so
+    personalization adds ZERO exchanges. Floor-rounding and dangling mass
+    are dropped identically on both engines."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0 <= damp_pct <= 100:
+        raise ValueError(f"damp_pct must be in [0, 100], got {damp_pct}")
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .union(seeds.select(F.col("node")))
+        .distinct()
+        .join(
+            seeds.select(F.col("node"), F.lit(True).alias("is_seed")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if reuse:
+        nodes = nodes.persist()
+        deg = deg.persist()
+    n_seeds = seeds.agg(F.count("*").alias("n_seeds"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        F.when(F.col("is_seed"), F.expr(f"{scale} div n_seeds"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    base = F.when(
+        F.col("is_seed"),
+        F.expr(f"(({100 - damp_pct} * {scale}) div n_seeds) div {100}"),
+    ).otherwise(F.lit(0))
+
+    for _ in range(iterations):
+        incoming = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({damp_pct} * coalesce(inc, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))

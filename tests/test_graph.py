@@ -116,3 +116,46 @@ def test_triangle_free_graph_empty(spark):
 
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     assert triangle_counts(path).count() == 0
+
+
+# --- TrustRank ---------------------------------------------------------------
+
+def test_trustrank_spam_farm_starves(spark):
+    from layerg_crawler_v2_spark.operators.graph import trustrank
+
+    # trusted component: 0 -> 1 -> 2 -> 0; spam farm: 10 <-> 11 densely
+    # linked but unreachable from the seeds
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["rank"] for r in trustrank(edges, seeds, iterations=3).collect()}
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    # the farm's rank decays geometrically from ZERO teleport: after k=3
+    # integer iterations it is exactly 0 (0.85^3 of an initial 0)
+    assert got[10] == 0 and got[11] == 0
+
+
+def test_trustrank_seed_without_edges_keeps_teleport(spark):
+    from layerg_crawler_v2_spark.operators.graph import trustrank, PAGERANK_SCALE
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")  # isolated seed
+    got = {r["node"]: r["rank"] for r in trustrank(edges, seeds, iterations=1).collect()}
+    # the isolated seed holds the full base mass; non-seeds get only
+    # link-propagated mass (node 2 inherits 85% of node 1's initial 0)
+    assert got[99] == (15 * PAGERANK_SCALE // 1) // 100
+    assert got[1] == 0 and got[2] == 0
+
+
+def test_trustrank_uniform_seed_set_equals_pagerank(spark):
+    from layerg_crawler_v2_spark.operators.graph import pagerank, trustrank
+
+    # when EVERY node is a seed, the recurrence is exactly PageRank
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    tr = {r["node"]: r["rank"] for r in trustrank(edges, nodes, iterations=3).collect()}
+    assert pr == tr
