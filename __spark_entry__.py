@@ -2438,6 +2438,51 @@ def recrawl_q(spark, sf):
 
 
 @_q(
+    "recrawl_change_rate",
+    """WITH l AS (
+      SELECT user_id, floor(epoch(ts)) AS epoch_s,
+        CASE WHEN lag(event_type) OVER w IS NOT NULL
+              AND lag(event_type) OVER w IS DISTINCT FROM event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    a AS (
+      SELECT user_id, count(*) - 1 AS n_intervals, sum(chg) AS n_changes,
+             max(epoch_s) - min(epoch_s) AS span_s
+      FROM l GROUP BY user_id)
+    SELECT user_id AS key,
+           n_intervals::BIGINT AS n_intervals,
+           n_changes::BIGINT AS n_changes,
+           round(span_s / n_intervals, 6) AS mean_interval_s,
+           CASE WHEN span_s > 0 THEN
+             round(-ln((n_intervals - n_changes + 0.5)
+                       / (n_intervals + 0.5))
+                   / (span_s / n_intervals) * 86400.0, 6)
+           END AS lambda_per_day
+    FROM a WHERE n_intervals >= 1""",
+)
+def recrawl_rate_q(spark, sf):
+    """Poisson change-rate estimation (operators/recrawl.py change_rate;
+    Cho & Garcia-Molina TOIT'03 improved estimator
+    -ln((n-X+0.5)/(n+0.5))/mean_interval — finite at X == n where the
+    naive X/n-derived rate explodes, bias-corrected where it
+    underestimates). The measurement half feeding budget allocation and
+    staleness SLAs; recrawl_schedule_adaptive is the per-key reaction
+    half. Same fetch-history reading of events (user_id = page key,
+    event_type = content fingerprint); one exchange on the key."""
+    from layerg_crawler_v2_spark.operators.recrawl import change_rate
+
+    e = _t(spark, sf, "events")
+    return change_rate(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        content_col="event_type",
+        tiebreak_col="event_id",
+    ).withColumnRenamed("user_id", "key")
+
+
+@_q(
     "boilerplate_chunk_removal",
     """WITH inj AS (
       SELECT doc_id, 'h' || (doc_id % 13)::VARCHAR AS host,

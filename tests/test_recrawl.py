@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+from pyspark.sql import functions as F
+
 from layerg_crawler_v2_spark.operators.recrawl import recrawl_schedule
 
 
@@ -59,3 +61,54 @@ def test_single_observation_uses_base(spark):
     out = _sched(spark, [("u", 1000.0, "x")])["u"]
     assert (out["n_obs"], out["n_changes"]) == (1, 1)
     assert out["next_interval_s"] == 3600
+
+
+# --- Cho & Garcia-Molina change-rate estimator -------------------------------
+
+def test_change_rate_estimator_values(spark):
+    import math
+
+    from layerg_crawler_v2_spark.operators.recrawl import change_rate
+
+    # key 1: 5 obs hourly, 2 changed transitions (a,a,b,b,c)
+    # key 2: 2 obs, no change; key 3: single obs (dropped)
+    rows = []
+    for i, c in enumerate("aabbc"):
+        rows.append((1, 3600 * i, c))
+    rows += [(2, 0, "x"), (2, 7200, "x"), (3, 0, "y")]
+    df = spark.createDataFrame(rows, "url long, t long, content_hash string")
+    df = df.select("url", F.expr("timestamp_seconds(t)").alias("fetch_ts"), "content_hash")
+    got = {r["url"]: r for r in change_rate(df, key_col="url").collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1["n_intervals"] == 4 and r1["n_changes"] == 2
+    assert r1["mean_interval_s"] == 3600.0
+    lam = -math.log((4 - 2 + 0.5) / (4 + 0.5)) / 3600.0 * 86400.0
+    assert abs(r1["lambda_per_day"] - round(lam, 6)) < 1e-9
+    # no observed change: (n-0+0.5)/(n+0.5) == 1, so the estimate is
+    # exactly zero — never-changed pages report rate 0, not a small prior
+    r2 = got[2]
+    assert r2["n_changes"] == 0 and r2["lambda_per_day"] == 0.0
+
+
+def test_change_rate_finite_when_every_fetch_changed(spark):
+    import math
+
+    from layerg_crawler_v2_spark.operators.recrawl import change_rate
+
+    rows = [(1, 3600 * i, str(i)) for i in range(4)]  # X == n == 3
+    df = spark.createDataFrame(rows, "url long, t long, content_hash string")
+    df = df.select("url", F.expr("timestamp_seconds(t)").alias("fetch_ts"), "content_hash")
+    r = change_rate(df, key_col="url").collect()[0]
+    lam = -math.log(0.5 / 3.5) / 3600.0 * 86400.0
+    assert abs(r["lambda_per_day"] - round(lam, 6)) < 1e-9
+
+
+def test_change_rate_zero_span_is_null(spark):
+    from layerg_crawler_v2_spark.operators.recrawl import change_rate
+
+    rows = [(1, 0, "a"), (1, 0, "b")]
+    df = spark.createDataFrame(rows, "url long, t long, content_hash string")
+    df = df.select("url", F.expr("timestamp_seconds(t)").alias("fetch_ts"), "content_hash")
+    r = change_rate(df, key_col="url").collect()[0]
+    assert r["lambda_per_day"] is None
