@@ -915,6 +915,7 @@ def mirror_host_pairs(
     text_col: str = "text",
     max_hosts_per_fp: int | None = 64,
     min_containment: float = 0.0,
+    reuse: bool = True,
 ) -> DataFrame:
     """Mirror-host detection (Bharat & Broder WWW'99, "A technique for
     measuring the relative size and overlap of public Web search
@@ -956,6 +957,11 @@ def mirror_host_pairs(
             .select("fp")
         )
         prof = prof.join(keep, "fp")
+    if reuse:
+        # prof feeds BOTH join sides and the size dim: without persist the
+        # winnow pass (and its corpus scan) re-executes three times — the
+        # graph.pagerank reuse discipline applied here
+        prof = prof.persist()
     sizes = prof.groupBy(host_col).agg(F.count("*").alias("n"))
     a, b = prof.alias("a"), prof.alias("b")
     pairs = (

@@ -182,6 +182,29 @@ AUDITS = [
         "shuffle.",
     ),
     (
+        "link_graph_trustrank",
+        "TrustRank: identical per-iteration physics to pagerank (one "
+        "edges-to-ranks shuffle + map-side-combined groupBy(dst)); the "
+        "seed flag rides the persisted node frame, so personalization "
+        "adds ZERO exchanges over uniform PageRank. As in the pagerank "
+        "audit, the raw Exchange count includes the printed-but-cached "
+        "lineage each InMemoryRelation node reprints — the "
+        "InMemoryTableScan count is the evidence those subtrees execute "
+        "once.",
+    ),
+    (
+        "dedup_mirror_hosts",
+        "Mirror detection: the winnow fingerprint pass is shuffle-free; "
+        "profiles exchange as fixed-width (host, fp) rows; the stop-filter "
+        "(fps on > H hosts dropped) runs BEFORE the fp-keyed pair join, "
+        "bounding per-bucket cost at |hosts(fp)|^2 <= H^2; host-pair "
+        "aggregation and the two size joins move pair keys only. The "
+        "filtered profile frame feeds both join sides and the size dim, "
+        "so it is persisted (reuse=True) — one winnow pass, "
+        "InMemoryTableScans after (lineage reprints inflate the raw "
+        "Exchange/Generate counts, as in the pagerank audit).",
+    ),
+    (
         "crawl_snapshot_diff",
         "CDC diff: md5 fingerprints are computed BELOW each side's "
         "exchange, so the full-outer sort-merge join (Spark has no "
