@@ -2438,6 +2438,46 @@ def recrawl_q(spark, sf):
 
 
 @_q(
+    "scheduler_budget_allocate",
+    """WITH w AS (SELECT 'h' || (doc_id % 13)::VARCHAR AS host,
+                  count(*)::BIGINT AS weight
+           FROM documents GROUP BY 1),
+    t AS (SELECT sum(weight) AS w_total FROM w),
+    j AS (SELECT host, weight,
+            (997 * weight) // w_total AS qf,
+            (997 * weight) % w_total AS rem
+          FROM w, t),
+    f AS (SELECT sum(qf) AS floor_sum FROM j),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+          FROM j)
+    SELECT host, weight,
+      (qf + CASE WHEN rem > 0
+                  AND rk <= 997 - (SELECT floor_sum FROM f)
+                 THEN 1 ELSE 0 END)::BIGINT AS quota
+    FROM r""",
+)
+def budget_allocate_q(spark, sf):
+    """Integer crawl-budget apportionment (operators/scheduler.py
+    allocate_budget; Hamilton largest-remainder): per-host fetch quotas
+    that sum to EXACTLY the round budget (997 here — prime, so remainders
+    actually exercise) with each quota within 1 of its exact proportional
+    share. All arithmetic BIGINT (num div W / num mod W), so the oracle
+    matches bit-for-bit. Weights = per-host doc counts over the same
+    doc_id % 13 host space as host_quality_rollup; in production the
+    weight is quality x change-rate x politeness headroom (compose
+    host_quality_rollup + recrawl_change_rate)."""
+    from layerg_crawler_v2_spark.operators.scheduler import allocate_budget
+
+    d = _t(spark, sf, "documents")
+    w = d.groupBy(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(13)).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count("*").cast("bigint").alias("weight"))
+    return allocate_budget(w, total_budget=997)
+
+
+@_q(
     "recrawl_change_rate",
     """WITH l AS (
       SELECT user_id, floor(epoch(ts)) AS epoch_s,

@@ -108,3 +108,80 @@ def politeness_violations(fetch_log: DataFrame, hosts: DataFrame | None, default
         F.col("fetch_ts").cast("double") - F.col("prev_ts").cast("double")
     ) * 1000.0
     return lagged.filter(F.col("prev_ts").isNotNull() & (gap_ms < F.col("delay_ms")))
+
+
+def allocate_budget(
+    weights: DataFrame,
+    total_budget: int,
+    key_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer crawl-budget apportionment by Hamilton's largest-remainder
+    method: each key gets floor(total * w / W) fetches, and the leftover
+    (total - sum of floors, always < #keys) goes one-each to the keys with
+    the largest fractional remainders (ties to the smaller key — fully
+    deterministic). Quotas sum to EXACTLY total_budget, the property a
+    per-round fetch scheduler needs (proportional rounding drifts, and a
+    drifted sum either idles fetch slots or violates the global cap).
+    (Degenerate case: if every weight is <= 0 there is no eligible key and
+    all quotas are 0. Inputs are assumed to keep total * w inside BIGINT —
+    true for any real budget x count weights.)
+
+    This is the budget step of Cho & Garcia-Molina's refresh optimization
+    reduced to its scheduler contract: upstream supplies the weights
+    (host quality x change rate x politeness headroom — e.g.
+    host_quality_rollup keep_rates joined with recrawl change_rate);
+    this operator turns them into integers that sum. All arithmetic is
+    BIGINT (num = total * w; quota = num div W; remainder = num % W), so
+    the oracle matches bit-for-bit — no float apportionment anywhere.
+
+    Keys with weight <= 0 or NULL get quota 0 and never receive leftover.
+    Scale shape: one map-side-combined global sum (broadcast back as a
+    1-row dim), one projection, one window over the remainder order —
+    rank only the remainders, never the corpus. At 10^7 hosts the window
+    is a single ~10^7-row partition: acceptable for a per-round planning
+    step (rows are 3 columns), and replaceable by the two-pass
+    range-partitioned rank of operators/sequence.py if hosts outgrow one
+    partition."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    w = weights.select(
+        F.col(key_col),
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("w"),
+    ).withColumn("w", F.when(F.col("w") > 0, F.col("w")).otherwise(F.lit(0)))
+    tot = w.agg(F.sum("w").alias("w_total"))
+    j = w.crossJoin(F.broadcast(tot))
+    j = j.select(
+        key_col,
+        "w",
+        F.when(
+            F.col("w_total") > 0, F.expr(f"({total_budget} * w) div w_total")
+        )
+        .otherwise(F.lit(0))
+        .alias("quota_floor"),
+        F.when(F.col("w_total") > 0, F.expr(f"({total_budget} * w) % w_total"))
+        .otherwise(F.lit(0))
+        .alias("rem"),
+        F.col("w_total"),
+    )
+    floors = j.agg(F.sum("quota_floor").alias("floor_sum"))
+    rank = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(
+            F.col("rem").desc(), F.col(key_col).asc()
+        )
+    )
+    leftover = F.lit(total_budget) - F.col("floor_sum")
+    out = j.crossJoin(F.broadcast(floors)).select(
+        key_col,
+        F.col("w").alias(weight_col),
+        (
+            F.col("quota_floor")
+            + F.when(
+                (F.col("w_total") > 0) & (F.col("rem") > 0) & (rank <= leftover),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    return out
