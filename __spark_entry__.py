@@ -4310,6 +4310,81 @@ def rel_canonical_q(spark, sf):
     )
 
 
+_HREFLANG_SYNTH = (
+    "CASE WHEN doc_id % 2 = 0 THEN"
+    " '<html><head>"
+    '<link rel="alternate" hreflang="en" href="/g\' || CAST(doc_id % 25 AS STRING) || \'/en">'
+    '<link rel="alternate" hreflang="de" href="/g\' || CAST(doc_id % 25 AS STRING) || \'/de">'
+    "</head><body>x</body></html>'"
+    " ELSE '<html><head></head><body>x</body></html>' END"
+)
+
+
+@_q(
+    "extract_hreflang_links",
+    "WITH h AS (SELECT doc_id, " + _HREFLANG_SYNTH + " AS html\n"
+    "           FROM documents),\n"
+    "l AS (SELECT doc_id,\n"
+    "        regexp_extract_all(html, 'hreflang=\"([a-z]+)\"', 1) AS langs,\n"
+    "        regexp_extract_all(html,\n"
+    "          'hreflang=\"[a-z]+\" href=\"([^\"]+)\"', 1) AS hrefs\n"
+    "      FROM h)\n"
+    "SELECT doc_id, unnest(langs) AS hreflang, unnest(hrefs) AS href FROM l",
+)
+def hreflang_links_q(spark, sf):
+    """hreflang alternate extraction (functions/extract.py
+    extract_hreflang): each page's declared language variants as
+    (hreflang, href) pairs — the i18n edge list a crawler clusters so it
+    fetches one representative per language instead of N aliases per
+    variant. Tree-parsed with the canonical/outlink DOM discipline
+    (token-based rel matching, comments/CDATA invisible); the oracle
+    regex-parses the same well-formed synth (the sitemap-entry
+    discipline), tree robustness pytest-goldened. One Arrow pass + one
+    in-row explode, zero shuffle."""
+    from layerg_crawler_v2_spark.functions.extract import extract_hreflang_udf
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.expr(_HREFLANG_SYNTH), "utf-8").alias("html")
+    )
+    return d.select(
+        "doc_id", F.explode(extract_hreflang_udf("html")).alias("s")
+    ).select("doc_id", F.col("s.hreflang").alias("hreflang"), F.col("s.href").alias("href"))
+
+
+@_q(
+    "i18n_alternate_clusters",
+    """WITH m AS (SELECT doc_id % 25 AS g, 'u' || CAST(doc_id AS STRING) AS node
+           FROM documents WHERE doc_id % 2 = 0),
+    t AS (SELECT DISTINCT g, '/g' || g::VARCHAR || '/en' AS node FROM m
+          UNION ALL
+          SELECT DISTINCT g, '/g' || g::VARCHAR || '/de' AS node FROM m),
+    nodes AS (SELECT g, node FROM m UNION ALL SELECT g, node FROM t),
+    c AS (SELECT g, min(node) AS component FROM nodes GROUP BY g)
+    SELECT n.node, c.component FROM nodes n JOIN c ON c.g = n.g""",
+)
+def i18n_clusters_q(spark, sf):
+    """i18n alternate clusters: the hreflang edge list (each page -> its
+    declared variants) closed transitively with
+    dedup.connected_components (large-star/small-star) — pages sharing a
+    variant set land in ONE cluster keyed by its minimum node id, the
+    fetch-one-representative-per-language unit. The oracle resolves the
+    same star-shaped synth graph relationally (per-group min over the
+    node set) — an independent formulation certifying the iterative
+    closure, like the CC recursive-CTE twin. Composes two in-repo
+    operators end-to-end: extractor edges in, cluster assignment out."""
+    from layerg_crawler_v2_spark.functions.extract import extract_hreflang_udf
+    from layerg_crawler_v2_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.expr(_HREFLANG_SYNTH), "utf-8").alias("html")
+    )
+    edges = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("id_a"),
+        F.explode(extract_hreflang_udf("html")).alias("s"),
+    ).select("id_a", F.col("s.href").alias("id_b"))
+    return connected_components(edges)
+
+
 @_q(
     "dedup_mirror_hosts",
     "WITH docs AS (SELECT doc_id, text FROM documents),\n"

@@ -263,6 +263,49 @@ class _CanonicalExtractor(HTMLParser):
             self.canonical = d["href"]
 
 
+class _HreflangExtractor(HTMLParser):
+    """All `<link rel=alternate hreflang=... href=...>` pairs in document
+    order — the i18n alternate graph (Google's hreflang annotation): each
+    page lists its language/region variants, and a crawler that clusters
+    them fetches one representative per language instead of N aliases per
+    variant. Same DOM/token discipline as _CanonicalExtractor."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.alternates: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "link":
+            return
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v
+        rel = d.get("rel") or ""
+        if (
+            "alternate" in rel.lower().split()
+            and d.get("hreflang")
+            and d.get("href")
+        ):
+            self.alternates.append((d["hreflang"], d["href"]))
+
+
+def extract_hreflang(html: bytes | None) -> list[tuple[str, str]]:
+    """(hreflang, href) pairs of the page's declared language alternates."""
+    if html is None:
+        return []
+    low = bytes(html).lower()
+    # both rejects EXACT: tag and attribute NAMES can't be entity-encoded
+    # (the extract_outlinks b"href" precedent), so a page without the
+    # literal tokens has no hreflang link element
+    if b"<link" not in low or b"hreflang" not in low:
+        return []
+    p = _HreflangExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.alternates
+
+
 def extract_canonical(html: bytes | None) -> str | None:
     """The page's declared canonical URL, or None — the crawl-dedup signal
     that collapses tracking-parameter/session aliases at the SOURCE's own
@@ -380,3 +423,11 @@ def extract_anchors_udf(htmls: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def extract_canonical_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_canonical, na_action="ignore")
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("hreflang", StringType()),
+    StructField("href", StringType()),
+])))
+def extract_hreflang_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_hreflang, na_action="ignore")

@@ -439,3 +439,31 @@ def test_canonical_entity_encoded_rel_survives_cheap_reject():
     )
     # and a page with no <link> tag at all rejects exactly
     assert extract_canonical(b'<a href="/x">canonical &amp; more</a>') is None
+
+
+# --- hreflang alternates -----------------------------------------------------
+
+def test_hreflang_pairs_in_order():
+    from layerg_crawler_v2_spark.functions.extract import extract_hreflang
+
+    html = (
+        b'<head><link rel="alternate" hreflang="en" href="/en">'
+        b'<link rel="alternate" hreflang="de-AT" href="/de?x=1"/>'
+        b'<link rel="canonical" href="/c">'  # no hreflang: not an alternate
+        b'<link rel="stylesheet" hreflang="fr" href="/css"></head>'
+    )
+    assert extract_hreflang(html) == [("en", "/en"), ("de-AT", "/de?x=1")]
+
+
+def test_hreflang_rejects_and_non_dom():
+    from layerg_crawler_v2_spark.functions.extract import extract_hreflang
+
+    assert extract_hreflang(None) == []
+    assert extract_hreflang(b"<p>hreflang text but no link tag</p>") == []
+    assert (
+        extract_hreflang(
+            b'<!-- <link rel="alternate" hreflang="en" href="/ghost"> -->'
+            b'<link rel="ALTERNATE stylesheet" hreflang="en" href="/ok">'
+        )
+        == [("en", "/ok")]
+    )
