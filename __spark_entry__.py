@@ -2626,6 +2626,36 @@ def warc_roundtrip_q(spark, sf):
     )
 
 
+@_q("warc_cdx_index", None)  # offsets/filenames are write-run artifacts
+# (uuid segment names), so rows-only by nature; the ranged-read contract —
+# seek offset, read length, gunzip the standalone member, get exactly that
+# url's payload, sha1-verified, offsets tiling each file exactly — is
+# pinned by tests/test_warc.py::test_cdx_index_ranged_read_roundtrip
+def warc_cdx_q(spark, sf):
+    """CDX-style archive index (sources/warc.py write_warc_indexed): the
+    lookup half of the WARC story — (surt, ts, url, file, offset, length,
+    sha1) per archived record, computed DURING the segment write (no
+    second parse pass), so a reader serves any single page with one
+    ranged read. At deployment scale the index lands bucketed+sorted by
+    surt (the Common Crawl cdx sort key) next to the segments."""
+    import tempfile
+
+    from layerg_crawler_v2_spark.datagen import build_pages
+    from layerg_crawler_v2_spark.sources.warc import write_warc_indexed
+
+    pages = build_pages(spark, sf).repartition(4)
+    out_dir = tempfile.mkdtemp(prefix="warc_cdx_")
+    return write_warc_indexed(pages, out_dir, gzip_records=True).select(
+        "surt",
+        "url",
+        F.col("warc_ts").cast("string").alias("warc_ts_s"),
+        "file",
+        "offset",
+        "length",
+        "sha1",
+    )
+
+
 @_q("robots_parse_compile", None)
 def robots_parse_q(spark, sf):
     """robots.txt pipeline end-to-end: deterministic robots.txt body per

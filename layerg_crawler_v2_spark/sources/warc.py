@@ -255,3 +255,77 @@ def write_warc(pages: DataFrame, out_dir: str, gzip_records: bool = True) -> Non
     pages.select("url", "warc_ts", "html").mapInPandas(
         per_partition, schema="records long"
     ).count()  # force execution; counts land in the Spark UI, not the driver
+
+
+def write_warc_indexed(
+    pages: DataFrame, out_dir: str, gzip_records: bool = True
+) -> DataFrame:
+    """write_warc plus the lookup half of the archive story: returns the
+    CDX-style index (the Common Crawl cdx-*.gz contract) — one row per
+    archived record with (surt, warc_ts, url, file, offset, length,
+    sha1) — so a reader can serve any single page with one ranged read
+    of `length` bytes at `offset` (each record is its own gzip member,
+    the CC segment layout, so a member decompresses standalone).
+
+    The index is computed DURING the write (buf.tell() before/after each
+    record) — no second parse pass over the segments. Executor-side only;
+    the returned DataFrame IS the execution (write happens when the index
+    materializes — same discipline as write_warc's forced count, but the
+    side output is now the operator's value). At deployment scale the
+    index lands bucketed+sorted by surt (the CDX sort key) next to the
+    segments; offsets are file-local so segment relocation only rewrites
+    the `file` column."""
+    import hashlib
+
+    schema = (
+        "surt string, warc_ts timestamp, url string, file string, "
+        "offset long, length long, sha1 string"
+    )
+
+    def per_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import uuid
+
+        from layerg_crawler_v2_spark.functions.canon import surt as surt_fn
+
+        buf = io.BytesIO()
+        rows: list[tuple] = []
+        suffix = "warc.gz" if gzip_records else "warc"
+        fname = f"seg-{uuid.uuid4().hex}.{suffix}"
+        for pdf in it:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                payload = bytes(html) if html is not None else b""
+                rec = encode_warc_record(
+                    "response",
+                    f"<urn:uuid:{uuid.uuid4()}>",
+                    url,
+                    ts.to_pydatetime() if ts is not None and ts == ts else None,
+                    payload,
+                    http_status=200,
+                    content_type="text/html",
+                )
+                off = buf.tell()
+                buf.write(gzip_member(rec) if gzip_records else rec)
+                rows.append(
+                    (
+                        surt_fn(url),
+                        ts,
+                        url,
+                        fname,
+                        off,
+                        buf.tell() - off,
+                        hashlib.sha1(payload).hexdigest(),
+                    )
+                )
+        if rows:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame(
+            rows,
+            columns=["surt", "warc_ts", "url", "file", "offset", "length", "sha1"],
+        )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        per_partition, schema=schema
+    )

@@ -105,3 +105,51 @@ def test_spark_write_read_pages_roundtrip(spark, tmp_path):
     # record rows carry provenance: every row names its segment file
     assert recs.where("warc_file IS NULL OR warc_file = ''").count() == 0
     pages.unpersist()
+
+
+def test_cdx_index_ranged_read_roundtrip(spark, tmp_path):
+    """Every index row must serve its page with ONE ranged read: open
+    file, seek offset, read length bytes, gunzip the standalone member,
+    parse, and get back exactly that url's payload (sha1 double-checks).
+    This is the Common Crawl cdx contract the index exists for."""
+    import gzip
+    import hashlib
+    import os
+
+    from layerg_crawler_v2_spark.datagen import build_pages_synthetic
+    from layerg_crawler_v2_spark.functions.canon import surt as surt_fn
+    from layerg_crawler_v2_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc_indexed,
+    )
+
+    pages = build_pages_synthetic(spark, 30, partitions=3).cache()
+    out = str(tmp_path / "segments")
+    idx = write_warc_indexed(pages, out, gzip_records=True).collect()
+    orig = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+    }
+    assert len(idx) == len(orig)
+    for row in idx:
+        with open(os.path.join(out, row["file"]), "rb") as f:
+            f.seek(row["offset"])
+            member = f.read(row["length"])
+        rec = next(parse_warc_bytes(row["file"], gzip.decompress(member)))
+        assert rec["target_uri"] == row["url"]
+        payload = bytes(rec["payload"])
+        assert payload == orig[row["url"]]
+        assert hashlib.sha1(payload).hexdigest() == row["sha1"]
+        assert row["surt"] == surt_fn(row["url"])
+    # offsets tile each file exactly: sorted offsets + lengths are contiguous
+    by_file: dict[str, list] = {}
+    for row in idx:
+        by_file.setdefault(row["file"], []).append((row["offset"], row["length"]))
+    for fname, spans in by_file.items():
+        spans.sort()
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == os.path.getsize(os.path.join(out, fname))
+    pages.unpersist()
