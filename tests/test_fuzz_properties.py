@@ -96,3 +96,76 @@ def test_pagerank_recurrence_mass_bounded(edges, iters):
     total = sum(rank.values())
     assert 0 < total <= 1_000_000_000_000
     assert all(r > 0 for r in rank.values())
+
+
+# --- r4s9 additions: canonical/hreflang extractors, winnow, apportionment ---
+
+@given(_MARKUP)
+@settings(max_examples=300, deadline=None)
+def test_canonical_and_hreflang_total_on_soup(s):
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_canonical,
+        extract_hreflang,
+    )
+
+    b = s.encode("utf-8", errors="replace")
+    c = extract_canonical(b)
+    assert c is None or isinstance(c, str)
+    for lang, href in extract_hreflang(b):
+        assert isinstance(lang, str) and isinstance(href, str)
+
+
+@given(st.text(alphabet="abc ", max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_winnow_reference_properties(t):
+    """The sequential winnow reference (mirrored by the Spark fold in
+    tests/test_winnow.py) is total, selects >= 1 fingerprint whenever a
+    k-gram exists, never selects more than one per window start, and every
+    selected position is a valid gram start."""
+    from tests.test_winnow import _ref_winnow, K, W
+
+    sel = _ref_winnow(t)
+    n_g = max(len(t) - K + 1, 0)
+    if n_g == 0:
+        assert sel == set()
+        return
+    n_win = max(n_g - W + 1, 1)
+    assert 1 <= len(sel) <= n_win
+    for pos, _ in sel:
+        assert 1 <= pos <= n_g
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.integers(0, 5_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_apportionment_invariants_pure(weights, total):
+    """Pure replica of allocate_budget's integer recurrence (same BIGINT
+    div/mod; the Spark twin is pinned by tests/test_budget.py): quotas sum
+    EXACTLY to the budget when any weight is positive, each quota is within
+    1 of its exact proportional share, and zero-weight keys get zero."""
+    W = sum(w for _, w in weights if w > 0)
+    qf = {k: (total * w) // W if W and w > 0 else 0 for k, w in weights}
+    rem = {k: (total * w) % W if W and w > 0 else 0 for k, w in weights}
+    leftover = total - sum(qf.values()) if W else 0
+    order = sorted(weights, key=lambda kv: (-rem[kv[0]], kv[0]))
+    quota = dict(qf)
+    for k, _ in order[:leftover]:
+        if rem[k] > 0:
+            quota[k] += 1
+    if W:
+        assert sum(quota.values()) == total
+        for k, w in weights:
+            if w > 0:
+                exact = total * w / W
+                assert exact - 1 < quota[k] < exact + 1
+            else:
+                assert quota[k] == 0
+    else:
+        assert all(v == 0 for v in quota.values())
