@@ -4556,7 +4556,14 @@ _PRIORITY = [
     # is the f3 single-expression codegen family; text_quality_score
     # demoted r4s5: its stopword-density higher-order physics IS the core
     # signal of the in-window ccnet_quality_buckets oracle)
-    "sitemap_parse_seeds", "text_lang_id",
+    # (text_lang_id demoted r4s9: the toy marker model is a single in-row
+    # CASE-scoring projection — physics the in-window c4_quality_filter and
+    # ccnet_quality_buckets drive; the REAL language-ID capability is the
+    # rows-only text_lang_id_profile by nature. Its slot goes to
+    # stats_robust_outliers, the only entry driving Spark's exact
+    # percentile aggregate — a TypedImperativeAggregate, a physical
+    # operator class no other in-window entry exercises.)
+    "sitemap_parse_seeds", "stats_robust_outliers",
     # r4 session-5 flagships: C4 page cleaning (line rules + page gates,
     # Raffel et al. 2020) and eTLD+1 registrable domains under full
     # public-suffix semantics (constant-map fold — physics no other window
@@ -4619,7 +4626,7 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs", "text_fingerprint",
     "text_repetition_stats", "dedup_ngram_coverage",
     # r4 session-9 demotions (rationales at their old window positions)
-    "f10_json_extract", "dedup_winnow_pairs",
+    "f10_json_extract", "dedup_winnow_pairs", "text_lang_id",
     # r4 session-3 demotions (rationales at their old window positions)
     "o1_order_passthrough", "set_union_seeds", "f2_hex_encode",
     "f9_rfc3339_format", "a2_unique_set_first", "f13_array_explode",

@@ -88,6 +88,10 @@ def test_demotions_have_in_window_twins():
         "set_union_seeds": "dedup_pipeline_keep_best",
         "f2_hex_encode": "f3_lower_normalize",
         "f9_rfc3339_format": "a3_min_fold",
+        # r4 session-9 demotions
+        "f10_json_extract": "f3_lower_normalize",
+        "dedup_winnow_pairs": "dedup_ngram_jaccard",
+        "text_lang_id": "c4_quality_filter",
         "a2_unique_set_first": "w2_topk_per_key",
         "f13_array_explode": "dedup_ngram_jaccard",
         # r4 session-4 demotions
