@@ -2438,6 +2438,47 @@ def recrawl_q(spark, sf):
 
 
 @_q(
+    "corpus_host_disjoint_split",
+    """WITH h AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 37 AS STRING) AS host
+      FROM documents),
+    b AS (
+      SELECT doc_id, host,
+        ((strpos('0123456789abcdef',
+                 substr(md5('split-v1' || host), 1, 1)) - 1) * 256
+         + (strpos('0123456789abcdef',
+                   substr(md5('split-v1' || host), 2, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5('split-v1' || host), 3, 1)) - 1)) % 100
+          AS bucket
+      FROM h)
+    SELECT doc_id, host,
+      CASE WHEN bucket < 10 THEN 'val'
+           WHEN bucket < 20 THEN 'test'
+           ELSE 'train' END AS split
+    FROM b""",
+)
+def host_split_q(spark, sf):
+    """Leakage-aware train/val/test split (operators/sampling.py
+    host_disjoint_split): the split key is the HOST, not the document —
+    near-duplicates concentrate within a host (templates, mirrors, URL
+    aliases of one page), so doc-level random splits leak train content
+    into eval; host-disjoint assignment is the group-k-fold guard. Pure
+    zero-shuffle projection on the portable md5-nibble hash (the
+    hash_keep/stratified_sample family), salt-re-rollable without
+    touching data. Hosts synthesized as doc_id % 37."""
+    from layerg_crawler_v2_spark.operators.sampling import host_disjoint_split
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias(
+            "host"
+        ),
+    )
+    return host_disjoint_split(d, val_pct=10, test_pct=10)
+
+
+@_q(
     "scheduler_budget_allocate",
     """WITH w AS (SELECT 'h' || (doc_id % 13)::VARCHAR AS host,
                   count(*)::BIGINT AS weight

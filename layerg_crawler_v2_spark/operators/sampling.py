@@ -133,3 +133,48 @@ def weighted_sample_topk(
         .limit(k)
         .select(id_col, F.col("__w").alias("weight"), "priority")
     )
+
+
+def host_disjoint_split(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-aware train/val/test assignment: the split key is the HOST,
+    not the document. Near-duplicates concentrate within a host (templates,
+    mirrors, alternate URLs of one page), so a doc-level random split
+    leaks train content into eval; host-disjoint splitting is the standard
+    guard (and the same idea behind group-k-fold). Deterministic: bucket =
+    crc32(salt || host) % 100, val = first val_pct buckets, test = next
+    test_pct, train = the rest — same assignment on any engine, any
+    partitioning, any run; changing `salt` re-rolls the assignment without
+    touching data.
+
+    Emits one row per input row: (id, host, split). Pure projection —
+    zero shuffle, zero UDF; the split column is what a writer partitions
+    by. The hash is the repo's portable md5-nibble trick (hash_keep /
+    stratified_sample): bucket = the first three hex nibbles of
+    md5(salt || host) as an integer (0..4095) mod 100 — identical on any
+    engine. 4096 buckets mod 100 is off-uniform by <= 1/4096 per bucket
+    (documented, deterministic)."""
+    if not (0 <= val_pct and 0 <= test_pct and val_pct + test_pct <= 100):
+        raise ValueError(f"bad split percentages: {val_pct}/{test_pct}")
+    if "'" in salt:
+        raise ValueError("salt must not contain single quotes")
+    h = f"md5(concat('{salt}', {host_col}))"
+
+    def _nib(i: int):
+        # F.locate requires a literal needle, so the nibble lookup is an
+        # expr; both engines share locate/strpos semantics (1-based, 0 miss)
+        return F.expr(f"locate(substring({h}, {i}, 1), '0123456789abcdef') - 1")
+
+    bucket = (_nib(1) * 256 + _nib(2) * 16 + _nib(3)) % 100
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.select(F.col(id_col), F.col(host_col), split.alias("split"))

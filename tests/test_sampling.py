@@ -108,3 +108,32 @@ def test_weighted_sample_zero_weight_never_wins(spark):
     )
     got = [r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()]
     assert sorted(got) == [2, 4]
+
+
+def test_host_disjoint_split(spark):
+    from layerg_crawler_v2_spark.operators.sampling import host_disjoint_split
+
+    rows = [(i, f"h{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = host_disjoint_split(df, val_pct=10, test_pct=10).collect()
+    assert len(got) == 500
+    # the split is a HOST property: every doc of a host lands in ONE split
+    by_host: dict[str, set] = {}
+    for r in got:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
+    # deterministic across invocations
+    again = {r["doc_id"]: r["split"] for r in
+             host_disjoint_split(df, val_pct=10, test_pct=10).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in got)
+    # a different salt re-rolls at least one host (37 hosts: overwhelming)
+    rerolled = {
+        r["host"]: r["split"]
+        for r in host_disjoint_split(df, salt="split-v2").collect()
+    }
+    base = {r["host"]: r["split"] for r in got}
+    assert any(rerolled[h] != base[h] for h in base)
+    # all three splits present and train dominates
+    from collections import Counter
+    c = Counter(base.values())
+    assert set(c) <= {"train", "val", "test"} and c["train"] > c["val"]
