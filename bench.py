@@ -647,7 +647,7 @@ def _headlines_table() -> str:
         "Persistent log (BENCH/headlines.jsonl); full per-query JSONs in",
         "`BENCH/headline_*.json`. Same-build crawl times track the io probe",
         "(shared-disk writeback is this host's dominant noise — CPU probes",
-        "stay quiet); the engine's io-quiet band is ~27-31 s.",
+        "stay quiet); the engine's quiet-host record is 22.9 s (3,317 urls/s).",
         "",
         "| run | suite (s) | crawl (s) | urls/s | cpu worst | io worst | contended |",
         "|---|---|---|---|---|---|---|",
