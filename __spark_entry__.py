@@ -4526,6 +4526,101 @@ def robust_outliers_q(spark, sf):
     )
 
 
+# DSIR (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram importance
+# weights + Gumbel-top-k resampling — the standard recipe for steering a
+# raw crawl toward a curated target mixture. Shared CTE prefix: the md5
+# bucket family is the module-wide cross-engine determinism discipline
+# (operators/dsir.py), integer micro-nat scores so every cross-engine sum
+# is exact.
+_DSIR_W_DUCK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(toks || list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM toks
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bkt
+  FROM grams
+),
+cnt AS (
+  SELECT bkt,
+         sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM b GROUP BY bkt
+),
+tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM cnt),
+lr AS (
+  SELECT bkt,
+         CAST(round((ln((ct + 1.0) / (t + 4096.0))
+                   - ln((cr + 1.0) / (r + 4096.0))) * 1000000) AS BIGINT) AS lrm
+  FROM cnt, tot
+),
+sc AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(lr.lrm) AS logw_micro
+  FROM b JOIN lr USING (bkt) GROUP BY b.doc_id
+),
+w AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(sc.logw_micro, 0) AS BIGINT) AS logw_micro
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+"""
+
+
+def _dsir_weights(spark, sf):
+    from layerg_crawler_v2_spark.operators.dsir import (
+        fit_logratio_micro,
+        importance_weights,
+    )
+
+    docs = _t(spark, sf, "documents")
+    model = fit_logratio_micro(docs, (F.col("doc_id") % 7 == 0))
+    return importance_weights(docs, model)
+
+
+@_q("dsir_importance_weights", _DSIR_W_DUCK
+    + "SELECT doc_id, n_grams, logw_micro FROM w")
+def dsir_weights_q(spark, sf):
+    """DSIR importance weights (operators/dsir.py): per-doc integer
+    micro-nat log-ratio of a hashed-bigram target model (deterministic
+    curated subset doc_id % 7 = 0) vs the raw-corpus model. Fit is ONE
+    ≤4096-row map-side-combined agg collected to the driver (the model,
+    O(B) never O(data)); scoring re-enters the plan as one literal
+    array<long> probed by an F.aggregate fold — zero shuffle, zero join,
+    pure codegen (plan: Scan → Project, audited in BENCH/PLANS_r04.md).
+    The oracle replays fit + score as CTEs on the identical md5 bucket
+    family; integer micro-nats make the comparison exact."""
+    return _dsir_weights(spark, sf)
+
+
+@_q("dsir_resample_topk", _DSIR_W_DUCK + """
+SELECT doc_id, logw_micro,
+       logw_micro + CAST(round(-ln(-ln(
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0
+       )) * 1000000) AS BIGINT) AS key_micro
+FROM w ORDER BY key_micro DESC, doc_id LIMIT 64""")
+def dsir_resample_q(spark, sf):
+    """DSIR resampling: top-64 of logw + Gumbel noise — the Gumbel-top-k
+    theorem gives sampling WITHOUT replacement proportional to the
+    importance weight, and md5-derived noise makes the SAME documents win
+    on any engine / partitioning / run (the sampling.py determinism
+    discipline, extended from keep-decisions to weighted competition).
+    Global top-k is TakeOrderedAndProject — no full sort."""
+    from layerg_crawler_v2_spark.operators.dsir import dsir_resample_topk
+
+    return dsir_resample_topk(_dsir_weights(spark, sf), 64)
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -4685,6 +4780,11 @@ _PRIORITY = [
     # siblings: pq_encode_codes shares the trained codebooks with the ADC
     # search below)
     "pq_ann_adc_topk",
+    # r4 session-10 oracled 51+ entries: DSIR importance resampling —
+    # fit/score physics (literal-array model probe) is windowed by
+    # quality_classifier_train + dedup_winnow_fingerprints' HOF folds;
+    # both are exact-integer oracled in pytest
+    "dsir_importance_weights", "dsir_resample_topk",
 ]
 
 _REGISTRY = {

@@ -214,6 +214,16 @@ AUDITS = [
         "bucket(N, url)-partitioned Iceberg pages table both exchanges "
         "vanish (storage-partitioned join).",
     ),
+    (
+        "dsir_resample_topk",
+        "DSIR score + resample: the fitted model is ONE literal "
+        "array<long> (fit's own ≤4096-row agg ran before this plan and "
+        "is the only collect), so per-doc scoring is a pure-codegen "
+        "fold with ZERO exchanges, zero joins, zero Python — and the "
+        "resample is a single TakeOrderedAndProject, not a full sort. "
+        "At 10^10 docs the only cluster-wide operation is the top-k "
+        "merge.",
+    ),
 ]
 
 OPS = [
