@@ -4526,6 +4526,122 @@ def robust_outliers_q(spark, sf):
     )
 
 
+_FEEDS_DUCK = """
+WITH rss AS (
+  SELECT 'feed' || (o_custkey % 20) || '.example.org' AS host,
+         'rss' AS kind,
+         'https://feed' || (o_custkey % 20) || '.example.org/post/'
+           || o_orderkey || '?src=rss&utm=1' AS link,
+         'guid-' || o_orderkey AS entry_id,
+         CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) + 43200
+           AS published_epoch,
+         'Order & co ' || o_orderkey AS title
+  FROM orders WHERE o_orderkey <= 1500
+),
+atom AS (
+  SELECT 'planet.example.org' AS host, 'atom' AS kind,
+         'https://' || h || '/atom-latest' AS link,
+         'tag:' || h AS entry_id,
+         CAST(epoch(TIMESTAMP '2024-01-15 06:30:00') AS BIGINT)
+           AS published_epoch,
+         h AS title
+  FROM (SELECT DISTINCT host AS h FROM rss)
+)
+SELECT host, kind, link, entry_id, published_epoch, title FROM rss
+UNION ALL
+SELECT host, kind, link, entry_id, published_epoch, title FROM atom
+"""
+
+
+@_q("feed_parse_seeds", _FEEDS_DUCK)
+def feed_parse_q(spark, sf):
+    """RSS/Atom round trip (operators/feeds.py): build per-host RSS 2.0
+    bodies (RFC 822 pubDates WITH weekday prefix, XML-escaped links/titles
+    carrying a raw '&', isPermaLink-attributed guids) + one Atom body
+    (href-ATTRIBUTE links, RFC 3339 updated) from the orders table, parse
+    them back, emit the recovered entries with epoch-integer publish
+    times. The oracle computes the same rows relationally — a defect in
+    the block regexes, the attribute-vs-text link split, the weekday
+    strip, the zone parse, or the entity round-trip mismatches."""
+    from layerg_crawler_v2_spark.operators.feeds import parse_feeds
+    from layerg_crawler_v2_spark.operators.sitemaps import xml_escape
+
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select(
+            F.concat(
+                F.lit("feed"),
+                (F.col("o_custkey") % 20).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("d"),
+        )
+        .withColumn(
+            "link",
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/post/"),
+                F.col("k").cast("string"), F.lit("?src=rss&utm=1"),
+            ),
+        )
+        .withColumn(
+            "pubdate",
+            F.concat(
+                F.date_format("d", "EEE"), F.lit(", "),
+                F.date_format("d", "dd MMM yyyy"),
+                F.lit(" 12:00:00 +0000"),
+            ),
+        )
+        .withColumn(
+            "title",
+            F.concat(F.lit("Order & co "), F.col("k").cast("string")),
+        )
+    )
+    rss_bodies = o.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'),
+            F.array_join(
+                F.collect_list(
+                    F.concat(
+                        F.lit("<item><title>"), xml_escape(F.col("title")),
+                        F.lit("</title><link>"), xml_escape(F.col("link")),
+                        F.lit('</link><guid isPermaLink="true">guid-'),
+                        F.col("k").cast("string"),
+                        F.lit("</guid><pubDate>"), F.col("pubdate"),
+                        F.lit("</pubDate></item>"),
+                    )
+                ),
+                "",
+            ),
+            F.lit("</channel></rss>"),
+        ).alias("body")
+    )
+    atom_body = o.select("host").distinct().agg(
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+            F.array_join(
+                F.collect_list(
+                    F.concat(
+                        F.lit("<entry><title>"), F.col("host"),
+                        F.lit('</title><link rel="alternate" href="https://'),
+                        F.col("host"),
+                        F.lit('/atom-latest"/><id>tag:'), F.col("host"),
+                        F.lit("</id><updated>2024-01-15T06:30:00Z"
+                              "</updated></entry>"),
+                    )
+                ),
+                "",
+            ),
+            F.lit("</feed>"),
+        ).alias("body")
+    ).select(F.lit("planet.example.org").alias("host"), "body")
+    parsed = parse_feeds(rss_bodies.unionByName(atom_body))
+    return parsed.select(
+        "host", "kind", "link", "entry_id", "published_epoch", "title"
+    )
+
+
 # DSIR (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram importance
 # weights + Gumbel-top-k resampling — the standard recipe for steering a
 # raw crawl toward a curated target mixture. Shared CTE prefix: the md5
@@ -4785,6 +4901,10 @@ _PRIORITY = [
     # quality_classifier_train + dedup_winnow_fingerprints' HOF folds;
     # both are exact-integer oracled in pytest
     "dsir_importance_weights", "dsir_resample_topk",
+    # r4 session-10: RSS/Atom feed ingestion (discovery-freshness seed
+    # source next to sitemaps; relational round-trip oracle — the XML
+    # parse physics is windowed by sitemap_parse_seeds)
+    "feed_parse_seeds",
 ]
 
 _REGISTRY = {
