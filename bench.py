@@ -295,6 +295,19 @@ def run_crawl_bench(spark, n_docs: int, rounds: int, pages_path: str | None = No
     }
 
 
+def crawl_leg_quiet(c: dict) -> bool:
+    """True when a crawl-bench leg saw an UNcontended host at least once
+    (min over its before/after probes — a spike on one side of the window
+    doesn't condemn a leg whose other side was quiet). Gates the headline
+    mode's third-attempt retry."""
+    return (
+        min(c["probe_before_s"], c["probe_after_s"])
+        <= PROBE_NOMINAL_S * PROBE_CONTENDED_RATIO
+        and min(c["io_probe_before_s"], c["io_probe_after_s"])
+        <= IO_PROBE_NOMINAL_S * IO_PROBE_CONTENDED_RATIO
+    )
+
+
 def run_headline(
     spark,
     sf_dir: str,
@@ -398,18 +411,35 @@ def main() -> None:
         probes: list[float] = []
         io_probes: list[float] = []
         queries = run_headline(spark, sf_dir, probes=probes, io_probes=io_probes)
-        # best-of-2 for the crawl too (same noisy-host rationale as above)
+        # best-of-2 for the crawl too (same noisy-host rationale as above),
+        # plus ONE extra attempt when every leg so far ran on a contended
+        # host (both probes hot): a best-of-2 that is 2.8x off its
+        # predecessor is how the r3 74.7s record happened — the retry gives
+        # the official record one more chance to land in a quiet moment,
+        # and the probe fields still disclose whatever it saw.
         crawl = None
-        for _ in range(2):
+        crawl_legs = 0
+        while crawl_legs < 3:
             c = run_crawl_bench(
                 spark,
                 int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")),
                 args.rounds,
             )
+            crawl_legs += 1
             probes += [c["probe_before_s"], c["probe_after_s"]]
             io_probes += [c["io_probe_before_s"], c["io_probe_after_s"]]
             if crawl is None or c["urls_per_sec"] > crawl["urls_per_sec"]:
                 crawl = c
+            if crawl_legs >= 2:
+                if crawl_leg_quiet(c):
+                    break
+                print(
+                    f"bench: crawl leg {crawl_legs} contended "
+                    f"(cpu probe {min(c['probe_before_s'], c['probe_after_s'])}s, "
+                    f"io probe {min(c['io_probe_before_s'], c['io_probe_after_s'])}s)"
+                    + ("; retrying once" if crawl_legs < 3 else "; publishing as-is"),
+                    file=sys.stderr,
+                )
         queries["frontier_crawl"] = crawl["wall_s"]
         # value = sum of best-of-2 per-query times: the comparable suite
         # cost (the raw harness wall below includes BOTH repeats of every

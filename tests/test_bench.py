@@ -102,3 +102,28 @@ def test_ab_mode_head_vs_head(tmp_path):
         ["git", "-C", REPO, "worktree", "list"], capture_output=True, text=True
     )
     assert "bench_ab_" not in wt.stdout
+
+
+def test_crawl_leg_quiet_gate():
+    """Headline mode retries the crawl leg a third time only when BOTH
+    best-of-2 legs were probe-contended; a quiet probe on either side of a
+    leg's timed window marks the leg quiet."""
+    import bench
+
+    cpu_q = bench.PROBE_NOMINAL_S * 0.9
+    cpu_hot = bench.PROBE_NOMINAL_S * bench.PROBE_CONTENDED_RATIO * 1.2
+    io_q = bench.IO_PROBE_NOMINAL_S * 0.9
+    io_hot = bench.IO_PROBE_NOMINAL_S * bench.IO_PROBE_CONTENDED_RATIO * 1.2
+
+    def leg(b, a, iob, ioa):
+        return {
+            "probe_before_s": b, "probe_after_s": a,
+            "io_probe_before_s": iob, "io_probe_after_s": ioa,
+        }
+
+    assert bench.crawl_leg_quiet(leg(cpu_q, cpu_q, io_q, io_q))
+    # one quiet side is enough (spike after the window doesn't condemn it)
+    assert bench.crawl_leg_quiet(leg(cpu_q, cpu_hot, io_q, io_hot))
+    # sustained CPU or IO pressure across the whole window marks it hot
+    assert not bench.crawl_leg_quiet(leg(cpu_hot, cpu_hot, io_q, io_q))
+    assert not bench.crawl_leg_quiet(leg(cpu_q, cpu_q, io_hot, io_hot))
