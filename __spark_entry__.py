@@ -4526,6 +4526,77 @@ def robust_outliers_q(spark, sf):
     )
 
 
+_SOFT404_DUCK = """
+WITH p AS (
+  SELECT 'h' || (doc_id % 13) || '.example.org' AS host,
+         'https://h' || (doc_id % 13) || '.example.org/p/' || doc_id AS url,
+         CASE WHEN doc_id % 11 = 0
+              THEN '<h1>404 Error - Page Not Found</h1> host ' || (doc_id % 13)
+              WHEN doc_id % 17 = 0
+              THEN 'Please accept cookies to continue host ' || (doc_id % 13)
+              ELSE text END AS body
+  FROM documents
+),
+k AS (
+  SELECT host, url, md5(trim(body)) AS fp,
+         regexp_matches(body,
+           '(?i)(page |file )?not found\\b|does not exist'
+           || '|no longer (available|exists)|404 error|error 404'
+           || '|page unavailable|been removed') AS has_marker
+  FROM p
+),
+t AS (
+  SELECT host, fp, count(DISTINCT url) AS template_urls
+  FROM k GROUP BY host, fp
+)
+SELECT k.host, k.url, t.template_urls, k.has_marker,
+       (k.has_marker AND t.template_urls >= 3) AS is_soft404
+FROM k JOIN t ON k.host = t.host AND k.fp = t.fp
+"""
+
+
+@_q("frontier_soft404_detect", _SOFT404_DUCK)
+def soft404_q(spark, sf):
+    """Soft-404 detection (operators/soft404.py, Bar-Yossef et al. WWW'04
+    in batch form): flag HTTP-200 pages whose body is a host ERROR
+    TEMPLATE — the same fingerprint served for >= 3 distinct urls AND
+    carrying error phrasing. Pages synthesized from documents: every
+    11th doc serves its host's 404 template, every 17th a repeated
+    consent wall (repeats WITHOUT the marker — stays unflagged, the
+    two-bit separation the operator promises), the rest real text.
+    One groupBy on (host, md5(body)) carrying keys+counts only, one join
+    against the template-sized dim; the marker is a single JVM rlike."""
+    from layerg_crawler_v2_spark.operators.soft404 import soft404_flags
+
+    p = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit("<h1>404 Error - Page Not Found</h1> host "),
+                (F.col("doc_id") % 13).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit("Please accept cookies to continue host "),
+                (F.col("doc_id") % 13).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    return soft404_flags(p, body_col="body", min_template_urls=3)
+
+
 _FEEDS_DUCK = """
 WITH rss AS (
   SELECT 'feed' || (o_custkey % 20) || '.example.org' AS host,
@@ -4905,6 +4976,9 @@ _PRIORITY = [
     # source next to sitemaps; relational round-trip oracle — the XML
     # parse physics is windowed by sitemap_parse_seeds)
     "feed_parse_seeds",
+    # r4 session-10: soft-404 detection (host error-template fingerprint
+    # × marker phrase; groupBy+join physics windowed by dedup_exact_groups)
+    "frontier_soft404_detect",
 ]
 
 _REGISTRY = {
