@@ -119,3 +119,37 @@ def test_gumbel_topk_is_sampling_not_truncation(spark):
     ids = sorted(r["doc_id"] for r in dsir_resample_topk(w, 20).collect())
     assert ids != list(range(20))
     assert len(ids) == 20
+
+
+def test_gram_buckets_matches_python_reference_on_fuzz_corpus(spark):
+    """Batch fuzz: one Spark job over a seeded random corpus, every row's
+    bucket array compared against an independent pure-Python rendering of
+    the contract (tokenize on [^a-z]+ of the lowercased text, unigrams +
+    space-joined bigrams, first-8-hex-md5 mod B) — pins the tokenizer,
+    bigram construction, and hash family on inputs nobody hand-seeds.
+    Alphabet avoids locale-sensitive case edges (dotted I etc.) where JVM
+    and Python lowercasing legitimately diverge."""
+    import random
+    import re
+
+    rng = random.Random(404)
+    alphabet = "abz AB?.,-09\n\t'&<>é漢😀"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", gram_buckets("text").alias("b")
+        ).collect()
+    }
+    for i, text in rows:
+        toks = [t for t in re.split("[^a-z]+", text.lower()) if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % N_BUCKETS
+            for g in grams
+        ]
+        assert got[i] == want, (i, text)

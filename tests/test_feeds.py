@@ -92,3 +92,32 @@ def test_published_epoch_offsets(spark):
     )
     got = [r[0] for r in df.select(published_epoch(F.col("s"))).collect()]
     assert got == [699577200, 699577200]  # both are the same instant
+
+
+def test_parser_total_on_fuzz_soup(spark):
+    """Batch fuzz: one Spark job over seeded random feed-ish soup —
+    the parser must be total (zero rows or valid rows, never an error),
+    every emitted link non-null with kind in {rss, atom}, and
+    published_epoch either NULL or a plausible epoch integer."""
+    import random
+
+    rng = random.Random(822)
+    frags = [
+        "<item>", "</item>", "<entry>", "</entry>", "<link>", "</link>",
+        '<link href="', '"/>', "<guid>", "</guid>", "<pubDate>", "</pubDate>",
+        "<updated>", "</updated>", "https://h.example.org/", "x", "&amp;",
+        "&lt;", "<![CDATA[", "]]>", "02 Mar 1992 11:00:00 GMT", "bogus",
+        "1992-03-02T10:30:00Z", "\n", "<", ">", '"', "Mon, ",
+    ]
+    rows = [
+        (f"h{i}", "".join(rng.choice(frags) for _ in range(rng.randrange(0, 40))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    out = parse_feeds(df).collect()  # totality: never raises
+    for r in out:
+        assert r["link"] is not None
+        assert r["kind"] in ("rss", "atom")
+        assert r["entry_id"] is not None  # guid/id falls back to link
+        if r["published_epoch"] is not None:
+            assert -5_000_000_000 < r["published_epoch"] < 10_000_000_000
