@@ -215,6 +215,15 @@ AUDITS = [
         "vanish (storage-partitioned join).",
     ),
     (
+        "frontier_soft404_detect",
+        "Soft-404: the template dim (count_distinct per (host, md5(body)) "
+        "— its exchanges carry keys+counts, never bodies) comes back as a "
+        "BroadcastHashJoin, so the page side is probed with ZERO exchange; "
+        "the marker test is a single codegen rlike. At web scale the dim "
+        "is urls-per-template sized; if it outgrows broadcast the join "
+        "key (host, fp) is already the agg's partitioning.",
+    ),
+    (
         "dsir_resample_topk",
         "DSIR score + resample: the fitted model is ONE literal "
         "array<long> (fit's own ≤4096-row agg ran before this plan and "
