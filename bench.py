@@ -653,6 +653,8 @@ def _log_headline(report: dict, note: str = "") -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     row = {
         "note": note or "",
+        "sf": report.get("sf"),
+        "cpus": report.get("cpus"),
         "suite_s": report["value"],
         "crawl_s": report["queries"].get("frontier_crawl"),
         "urls_per_sec": report.get("crawl_urls_per_sec"),
@@ -678,6 +680,13 @@ def _headlines_table() -> str:
         "`BENCH/headline_*.json`. Same-build crawl times track the io probe",
         "(shared-disk writeback is this host's dominant noise — CPU probes",
         "stay quiet); the engine's quiet-host record is 22.9 s (3,317 urls/s).",
+        "The crawl leg is best-of-2, plus one automatic third attempt when",
+        "both legs' probe brackets read contended (`bench.crawl_leg_quiet`) —",
+        "the r3 failure mode (a 2.8x-off best-of-2 published as the official",
+        "record) now gets one more chance at a quiet moment, and the probe",
+        "fields in the JSON disclose whatever the published leg saw.",
+        "Off-profile rows (smoke runs at other sf/cpu levels) say so in",
+        "their note.",
         "",
         "| run | suite (s) | crawl (s) | urls/s | cpu worst | io worst | contended |",
         "|---|---|---|---|---|---|---|",
