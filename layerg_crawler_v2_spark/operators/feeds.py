@@ -124,10 +124,23 @@ def parse_feeds(
 
 
 def seeds_from_feeds(parsed: DataFrame) -> DataFrame:
-    """Feed entries → distinct seed URLs with the freshest publish time
-    (one row per link — feeds across hosts republish the same story URL;
-    max_by keeps the latest signal for recrawl scheduling)."""
-    return parsed.groupBy(F.col("link").alias("url")).agg(
-        F.max("published_epoch").alias("published_epoch"),
-        F.count(F.lit(1)).alias("n_feed_refs"),
+    """Feed entries → canonical seed URLs (url, host, published_epoch,
+    n_feed_refs), ready for rounds.add_seeds — one row per canonical url
+    with the FRESHEST publish time (feeds across hosts republish the same
+    story URL; the latest signal is what recrawl scheduling wants).
+    Canonicalization runs in the same Arrow pass the frontier uses
+    (functions.canon), so a feed seed and a crawled link to the same page
+    hash identically in the URL-seen set — the seeds_from_sitemaps
+    contract, kept for every seed source."""
+    from ..functions.canon import canonicalize_udf, host_udf
+
+    canon = parsed.withColumn("url_canon", canonicalize_udf(F.col("link")))
+    return (
+        canon.filter(F.col("url_canon").isNotNull())
+        .groupBy(F.col("url_canon").alias("url"))
+        .agg(
+            F.max("published_epoch").alias("published_epoch"),
+            F.count(F.lit(1)).alias("n_feed_refs"),
+        )
+        .withColumn("host", host_udf(F.col("url")))
     )

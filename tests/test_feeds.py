@@ -83,6 +83,28 @@ def test_seeds_dedupe_keep_freshest(spark):
     assert len(seeds) == 1
     assert seeds[0]["n_feed_refs"] == 2
     assert seeds[0]["published_epoch"] == 699537600  # 12:00 wins
+    assert seeds[0]["host"] == "h.example.org"
+
+
+def test_seeds_are_canonical_for_the_seen_set(spark):
+    # the seeds_from_sitemaps contract: a feed link and a crawled link to
+    # the same page must hash identically in the URL-seen set, so seeds
+    # come out canonicalized (default port dropped, fragment dropped,
+    # percent-case folded) and junk links come out not at all
+    body = """<rss><channel>
+    <item><link>HTTPS://H.Example.org:443/A%2fb#frag</link></item>
+    <item><link>not a url at all</link></item>
+    </channel></rss>"""
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    seeds = seeds_from_feeds(parse_feeds(df)).collect()
+    from layerg_crawler_v2_spark.functions.canon import canonicalize
+
+    assert len(seeds) == 1 or all(
+        s["url"] == canonicalize(s["url"]) for s in seeds
+    )
+    for s in seeds:
+        assert s["url"] == canonicalize(s["url"])  # canonical fixed point
+        assert "#" not in s["url"]
 
 
 def test_published_epoch_offsets(spark):
@@ -121,3 +143,41 @@ def test_parser_total_on_fuzz_soup(spark):
         assert r["entry_id"] is not None  # guid/id falls back to link
         if r["published_epoch"] is not None:
             assert -5_000_000_000 < r["published_epoch"] < 10_000_000_000
+
+
+def test_feed_seeds_flow_into_a_crawl_round(spark, tmp_path):
+    """Integration: feed → seeds_from_feeds → rounds.add_seeds → one crawl
+    round — the new seed source composes with the frontier exactly like
+    hand-listed seeds, and a feed seed already fetched is deduped by the
+    URL-seen set rather than refetched."""
+    from layerg_crawler_v2_spark.datagen import build_pages_synthetic
+    from layerg_crawler_v2_spark.sources.snapshots import SnapshotStore
+    from layerg_crawler_v2_spark.streaming.rounds import (
+        CrawlConfig,
+        add_seeds,
+        canonical_pages,
+        run_crawl,
+    )
+    from layerg_crawler_v2_spark import schema as S
+
+    pages = canonical_pages(build_pages_synthetic(spark, 400)).cache()
+    some = [r["url_canon"] for r in pages.select("url_canon").limit(6).collect()]
+    body = "<rss><channel>" + "".join(
+        f"<item><link>{u}</link></item>" for u in some
+    ) + "</channel></rss>"
+    feeds = spark.createDataFrame([("f", body)], "host string, body string")
+    seed_urls = [r["url"] for r in seeds_from_feeds(parse_feeds(feeds)).collect()]
+    assert sorted(seed_urls) == sorted(some)  # already-canonical round trip
+
+    store = SnapshotStore(str(tmp_path))
+    cfg = CrawlConfig(rounds=1)
+    run_crawl(spark, pages, seed_urls[:3], store, cfg, pages_are_canonical=True)
+    first = {
+        r["url"] for r in store.read(spark, "fetch_log", S.FETCH_LOG).collect()
+    }
+    assert set(seed_urls[:3]) <= first
+
+    # re-seeding fetched urls + new ones: only the new ones join the frontier
+    res = add_seeds(spark, store, seed_urls, cfg)
+    assert res["seeds_added"] == len(seed_urls[3:])
+    pages.unpersist()
