@@ -598,6 +598,14 @@ def run_scaling(args) -> None:
     and interleaving stops a load spike from biasing one level only."""
     repeats = getattr(args, "repeats", 2)
     lo, hi = (int(x) for x in args.levels.split(","))
+    if args.docs < 1_000_000:
+        print(
+            f"bench: --scaling at {args.docs:,} docs is dominated by "
+            "per-round fixed costs (job scheduling, snapshot commits), not "
+            "by the work that scales with cores — the published gate pairs "
+            "use 8,000,000 docs; pass --docs 8000000 for a comparable row",
+            file=sys.stderr,
+        )
     pages_path = _ensure_pages(args.docs, args.pages_path)
     results: dict[int, dict] = {}
     for r in range(repeats):
