@@ -687,7 +687,7 @@ def _headlines_table() -> str:
         "Persistent log (BENCH/headlines.jsonl); full per-query JSONs in",
         "`BENCH/headline_*.json`. Same-build crawl times track the io probe",
         "(shared-disk writeback is this host's dominant noise — CPU probes",
-        "stay quiet); the engine's quiet-host record is 22.9 s (3,317 urls/s).",
+        "stay quiet); the engine's quiet-host record is 18.3 s (4,133 urls/s).",
         "The crawl leg is best-of-2, plus one automatic third attempt when",
         "both legs' probe brackets read contended (`bench.crawl_leg_quiet`) —",
         "the r3 failure mode (a 2.8x-off best-of-2 published as the official",
