@@ -4456,6 +4456,72 @@ def i18n_clusters_q(spark, sf):
     return connected_components(edges)
 
 
+# well-formed HTML (quoted attrs, no entities) so the regex oracle is exact;
+# tree robustness — entities in the title, nested tags, unclosed <title>,
+# titles in comments, case-variant meta names — is pinned by
+# tests/test_extract.py (the rel-canonical discipline)
+_TITLEMETA_SYNTH = (
+    "CASE WHEN doc_id % 4 = 0 THEN"
+    " '<html><head><title>Doc ' || CAST(doc_id AS STRING) ||"
+    " '</title><meta name=\"description\" content=\"d'"
+    " || CAST(doc_id % 50 AS STRING) ||"
+    " '\"><meta property=\"og:title\" content=\"og'"
+    " || CAST(doc_id % 50 AS STRING) ||"
+    " '\"></head><body>x</body></html>'"
+    " WHEN doc_id % 4 = 1 THEN"
+    " '<html><head><title>first ' || CAST(doc_id AS STRING) ||"
+    " '</title><title>second</title></head><body>x</body></html>'"
+    " WHEN doc_id % 4 = 2 THEN"
+    " '<html><head><meta name=\"Description\" content=\"only d'"
+    " || CAST(doc_id AS STRING) ||"
+    " '\"></head><body>x</body></html>'"
+    " ELSE '<html><head></head><body>x</body></html>' END"
+)
+
+
+@_q(
+    "extract_title_meta",
+    "WITH h AS (SELECT doc_id, " + _TITLEMETA_SYNTH + " AS html\n"
+    "           FROM documents)\n"
+    "SELECT doc_id,\n"
+    "  NULLIF(regexp_extract(html, '<title>([^<]*)</title>', 1), '')\n"
+    "    AS title,\n"
+    "  NULLIF(regexp_extract(html,\n"
+    "    'name=\"[Dd]escription\" content=\"([^\"]*)\"', 1), '')\n"
+    "    AS description,\n"
+    "  NULLIF(regexp_extract(html,\n"
+    "    'property=\"og:title\" content=\"([^\"]*)\"', 1), '')\n"
+    "    AS og_title\n"
+    "FROM h",
+)
+def title_meta_q(spark, sf):
+    """Page-metadata triple (functions/extract.py extract_title_meta):
+    first <title> text + first meta description + first og:title per page
+    — the snippet/index fields a search or training-data pipeline keeps
+    per URL (the reference's typed per-record field extraction,
+    generated/eventhandlers/event_handlers.go:48-245's decoded-column
+    pattern). First-declaration-wins like rel=canonical; meta name
+    matching is case-insensitive on the VALUE; non-DOM contexts never
+    yield fields. The oracle regex-parses the same well-formed synth
+    (first regexp match == first declaration); tree robustness is
+    pytest-goldened. One Arrow pass, zero shuffle."""
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_title_meta_udf,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.expr(_TITLEMETA_SYNTH), "utf-8").alias("html")
+    )
+    return d.select(
+        "doc_id", extract_title_meta_udf("html").alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.title").alias("title"),
+        F.col("m.description").alias("description"),
+        F.col("m.og_title").alias("og_title"),
+    )
+
+
 @_q(
     "dedup_mirror_hosts",
     "WITH docs AS (SELECT doc_id, text FROM documents),\n"

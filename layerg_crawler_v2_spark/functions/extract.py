@@ -330,6 +330,89 @@ def extract_canonical(html: bytes | None) -> str | None:
     return p.canonical
 
 
+class _TitleMetaExtractor(HTMLParser):
+    """First `<title>` text content + first `<meta name=description>` +
+    first `<meta property=og:title>` — the page-metadata triple a search
+    index / snippet pipeline wants per URL (the reference's handler layer
+    extracts typed fields per record the same way, `event_handlers.go`'s
+    decoded-column pattern). Rules, all first-declaration-wins like
+    _CanonicalExtractor:
+
+      * title is the concatenated DATA inside the first <title>..</title>
+        element, charrefs decoded (`A &amp; B` -> `A & B`). html.parser is
+        THE tree here (the module-wide discipline): a nested tag inside
+        <title> emits a starttag event, so its markup is not part of the
+        text — the deviation from WHATWG's RCDATA rule is deliberate and
+        shared with every other extractor in this module. An unclosed
+        <title> swallows the remaining document text (the WHATWG
+        tokenizer does the same: everything to EOF is RCDATA).
+      * titles inside <!-- comments --> or script/style CDATA produce no
+        starttag events and are never seen (tree discipline, free).
+      * meta name/property matching is case-insensitive on the VALUE
+        (`name="Description"` counts); attribute and tag names arrive
+        lowercased from the parser already.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: str | None = None
+        self.description: str | None = None
+        self.og_title: str | None = None
+        self._in_title = False
+        self._title_parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title":
+            if self.title is None and not self._in_title:
+                self._in_title = True
+            return
+        if tag != "meta":
+            return
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:  # duplicate attributes: first wins (browser rule)
+                d[k] = v
+        content = d.get("content")
+        if content is None:
+            return
+        if self.description is None and (d.get("name") or "").lower() == "description":
+            self.description = content
+        if self.og_title is None and (d.get("property") or "").lower() == "og:title":
+            self.og_title = content
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self.title = "".join(self._title_parts)
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_parts.append(data)
+
+    def close(self) -> None:
+        super().close()
+        if self._in_title:  # unclosed <title>: RCDATA to EOF (WHATWG)
+            self._in_title = False
+            self.title = "".join(self._title_parts)
+
+
+def extract_title_meta(html: bytes | None) -> tuple[str | None, str | None, str | None]:
+    """(title, meta-description, og:title) for the page, each None when the
+    document doesn't declare it. Total on arbitrary bytes."""
+    if html is None:
+        return (None, None, None)
+    low = bytes(html).lower()
+    # Exact cheap reject (tag NAMES can't be entity-encoded — the
+    # extract_outlinks b"href" precedent): no literal '<title'/'<meta'
+    # token means no such element on the parser path either.
+    if b"<title" not in low and b"<meta" not in low:
+        return (None, None, None)
+    p = _TitleMetaExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return (p.title, p.description, p.og_title)
+
+
 # --- charset sniffing (WHATWG encoding-sniffing subset) ---------------------
 #
 # The pinned extraction invariant stays UTF-8 (input_hint: byte-identical
@@ -431,3 +514,16 @@ def extract_canonical_udf(htmls: pd.Series) -> pd.Series:
 ])))
 def extract_hreflang_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_hreflang, na_action="ignore")
+
+
+@pandas_udf(StructType([
+    StructField("title", StringType()),
+    StructField("description", StringType()),
+    StructField("og_title", StringType()),
+]))
+def extract_title_meta_udf(htmls: pd.Series) -> pd.DataFrame:
+    rows = [
+        (None, None, None) if h is None else extract_title_meta(h)
+        for h in htmls
+    ]
+    return pd.DataFrame(rows, columns=["title", "description", "og_title"])

@@ -467,3 +467,92 @@ def test_hreflang_rejects_and_non_dom():
         )
         == [("en", "/ok")]
     )
+
+
+# --- title / meta description / og:title -------------------------------------
+
+def test_title_meta_basic_triple():
+    from layerg_crawler_v2_spark.functions.extract import extract_title_meta
+
+    html = (
+        b"<html><head><title>Doc 7</title>"
+        b'<meta name="description" content="a page">'
+        b'<meta property="og:title" content="Doc 7 og">'
+        b"</head><body>x</body></html>"
+    )
+    assert extract_title_meta(html) == ("Doc 7", "a page", "Doc 7 og")
+
+
+def test_title_meta_first_wins_and_case_insensitive_values():
+    from layerg_crawler_v2_spark.functions.extract import extract_title_meta
+
+    html = (
+        b"<title>first</title><title>second</title>"
+        b'<meta name="Description" content="d1">'
+        b'<meta name="DESCRIPTION" content="d2">'
+        b'<meta property="OG:Title" content="o1">'
+        b'<meta property="og:title" content="o2">'
+    )
+    assert extract_title_meta(html) == ("first", "d1", "o1")
+
+
+def test_title_entities_nested_tags_and_unclosed():
+    from layerg_crawler_v2_spark.functions.extract import extract_title_meta
+
+    # charrefs decode once; a nested tag inside <title> emits a starttag
+    # event so its markup is not part of the text (module tree discipline)
+    assert extract_title_meta(b"<title>A &amp; B</title>") == (
+        "A & B", None, None,
+    )
+    assert extract_title_meta(b"<title>A <b>bold</b> B</title>") == (
+        "A bold B", None, None,
+    )
+    # unclosed <title>: RCDATA to EOF (WHATWG tokenizer rule)
+    assert extract_title_meta(b"<head><title>to the end") == (
+        "to the end", None, None,
+    )
+
+
+def test_title_meta_non_dom_and_rejects():
+    from layerg_crawler_v2_spark.functions.extract import extract_title_meta
+
+    assert extract_title_meta(None) == (None, None, None)
+    # cheap reject path: no literal '<title'/'<meta' token
+    assert extract_title_meta(b"<p>title meta words only</p>") == (
+        None, None, None,
+    )
+    # comments and script CDATA produce no starttag/data events
+    html = (
+        b"<!-- <title>ghost</title> -->"
+        b'<script>document.title = "<title>js</title>"</script>'
+        b"<title>real</title>"
+        b'<meta name="description">'  # no content attr: ignored
+    )
+    assert extract_title_meta(html) == ("real", None, None)
+
+
+def test_title_meta_udf_batch(spark):
+    import pyspark.sql.functions as F
+
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_title_meta, extract_title_meta_udf,
+    )
+
+    rows = [
+        b"<title>t1</title>",
+        None,
+        b'<meta property="og:title" content="o3">',
+        b"<body>none</body>",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "html binary")
+    got = [
+        (r.m.title, r.m.description, r.m.og_title)
+        for r in df.select(
+            extract_title_meta_udf("html").alias("m")
+        ).collect()
+    ]
+    want = [
+        (None, None, None) if r is None else extract_title_meta(r)
+        for r in rows
+    ]
+    assert got == want
