@@ -3099,6 +3099,67 @@ def trustrank_q(spark, sf):
     )
 
 
+_HITS_DUCK = """
+WITH edges AS (
+  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+  FROM events WHERE user_id % 40 <> event_id % 40
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS x FROM nodes),
+ar1 AS (SELECT e.dst AS node, sum(h.x) AS raw
+        FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+a1 AS (SELECT n.node, coalesce(r.raw, 0) * 1000000000
+         // greatest((SELECT sum(raw) FROM ar1), 1) AS x
+       FROM nodes n LEFT JOIN ar1 r ON r.node = n.node),
+hr1 AS (SELECT e.src AS node, sum(a.x) AS raw
+        FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+h1 AS (SELECT n.node, coalesce(r.raw, 0) * 1000000000
+         // greatest((SELECT sum(raw) FROM hr1), 1) AS x
+       FROM nodes n LEFT JOIN hr1 r ON r.node = n.node),
+ar2 AS (SELECT e.dst AS node, sum(h.x) AS raw
+        FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+a2 AS (SELECT n.node, coalesce(r.raw, 0) * 1000000000
+         // greatest((SELECT sum(raw) FROM ar2), 1) AS x
+       FROM nodes n LEFT JOIN ar2 r ON r.node = n.node),
+hr2 AS (SELECT e.src AS node, sum(a.x) AS raw
+        FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+h2 AS (SELECT n.node, coalesce(r.raw, 0) * 1000000000
+         // greatest((SELECT sum(raw) FROM hr2), 1) AS x
+       FROM nodes n LEFT JOIN hr2 r ON r.node = n.node)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(h2.x AS BIGINT) AS hub,
+       CAST(a2.x AS BIGINT) AS authority
+FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+"""
+
+
+@_q("link_graph_hits", _HITS_DUCK)
+def hits_q(spark, sf):
+    """HITS hubs & authorities (operators/graph.py hits; Kleinberg JACM
+    1999) over the same events-derived link graph pagerank/trustrank use:
+    authority(v) = sum of inlink hub mass, hub(u) = sum of outlink
+    authority mass, each half-step L1-renormalized back to the integer
+    scale — the discovery-side signal the OPIC/PageRank family can't
+    give (a high-hub listing page is worth RE-crawling because its
+    outlinks reach the good content, even when nothing links to it).
+    Integer-cash arithmetic so the DuckDB oracle (the identical 2
+    unrolled iterations as chained CTEs) matches bit-for-bit; two rank
+    shuffles per iteration, normalization sums as broadcast scalars."""
+    from layerg_crawler_v2_spark.operators.graph import hits
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.select(
+            F.expr("CAST(user_id % 40 AS BIGINT)").alias("src"),
+            F.expr("CAST(event_id % 40 AS BIGINT)").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return hits(edges, iterations=2)
+
+
 _BM25_DUCK = """
 WITH toks AS (
   SELECT doc_id, tok FROM (

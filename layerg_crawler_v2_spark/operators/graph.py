@@ -48,6 +48,13 @@ from pyspark.sql import functions as F
 PAGERANK_SCALE = 1_000_000_000_000
 DAMP_PCT = 85  # 0.85 damping, in hundredths so the update stays integer
 
+# HITS uses a smaller mass than PageRank because its normalization step
+# multiplies a raw score (<= scale after the previous normalize) by scale
+# before the integer divide: 1e9 * 1e9 = 1e18 < 2^63-1 ~ 9.2e18, with
+# headroom for the raw sums (sum_v a_raw <= scale * max_outdeg stays exact
+# in int64 for max_outdeg <= ~9e9 — any real host graph).
+HITS_SCALE = 1_000_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -247,3 +254,98 @@ def trustrank(
             )
         )
     return ranks.select("node", F.col("rank").cast("bigint").alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = HITS_SCALE,
+    reuse: bool = True,
+) -> DataFrame:
+    """k rounds of integer-exact HITS (Kleinberg, JACM 1999: "Authoritative
+    sources in a hyperlinked environment") over distinct (src, dst) edges.
+
+    The mutual-reinforcement pair PageRank collapses into one score:
+
+        authority(v) = sum of hub(u) over edges u -> v
+        hub(u)       = sum of authority(v) over edges u -> v
+
+    each half-step followed by L1 renormalization back to `scale` — the
+    crawl reading: authorities are the pages worth fetching, hubs are the
+    index/listing pages worth re-crawling for link DISCOVERY (a high-hub
+    page's outlinks reach the good content), a signal OPIC/PageRank can't
+    give because they only reward being linked TO.
+
+    Cross-engine exactness (the pagerank/trustrank integer-cash
+    discipline): classic HITS L2-normalizes in floats, which is
+    order-dependent and would hash-mismatch a DuckDB oracle; here the
+    normalize is integer L1 —
+
+        x'(v) = (x_raw(v) * scale) div max(sum_raw, 1)
+
+    — exact on any engine at any partitioning (BIGINT sums are associative;
+    the divide floors identically). Floor mass is dropped identically on
+    both engines; nodes with no inlinks hold authority 0, no outlinks hub 0.
+
+    Scale shape: per iteration exactly TWO rank shuffles (edges join h on
+    src + map-side-combined groupBy(dst); then edges join a on dst +
+    groupBy(src)) — the minimum HITS admits, mirroring pagerank's
+    one-per-iteration. Each normalization sum is a 1-row aggregate that
+    reaches the plan as a broadcast scalar (crossJoin(broadcast(...)), the
+    pagerank n_nodes pattern), never a driver round-trip. The node set is
+    persisted once (reuse=True, same trade as pagerank's).
+
+    Returns (node, hub BIGINT, authority BIGINT), every graph node present.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if reuse:
+        nodes = nodes.persist()
+    total = nodes.agg(F.count("*").alias("n_nodes"))
+
+    hub = nodes.crossJoin(F.broadcast(total)).select(
+        "node", F.expr(f"{scale} div n_nodes").alias("x")
+    )
+
+    def _half(x: DataFrame, key: str, out: str) -> DataFrame:
+        # x is keyed by `key`'s JOIN side: authority step folds hub over
+        # src and groups by dst; hub step folds authority over dst and
+        # groups by src
+        other = "dst" if key == "src" else "src"
+        raw = (
+            edges.join(x.withColumnRenamed("node", key), key)
+            .groupBy(F.col(other).alias("node"))
+            .agg(F.sum("x").alias("raw"))
+        )
+        s = raw.agg(F.sum("raw").alias("s_raw"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(s))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(raw, CAST(0 AS BIGINT)) * {scale})"
+                    " div greatest(s_raw, CAST(1 AS BIGINT))"
+                ).alias("x"),
+            )
+        )
+
+    auth = hub
+    for _ in range(iterations):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    return (
+        nodes.join(hub.withColumnRenamed("x", "hub"), "node")
+        .join(auth.withColumnRenamed("x", "authority"), "node")
+        .select(
+            "node",
+            F.col("hub").cast("bigint").alias("hub"),
+            F.col("authority").cast("bigint").alias("authority"),
+        )
+    )

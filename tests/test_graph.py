@@ -159,3 +159,83 @@ def test_trustrank_uniform_seed_set_equals_pagerank(spark):
     pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
     tr = {r["node"]: r["rank"] for r in trustrank(edges, nodes, iterations=3).collect()}
     assert pr == tr
+
+
+# --- HITS hubs & authorities --------------------------------------------------
+
+def py_hits(edges, iterations=2, scale=None):
+    from layerg_crawler_v2_spark.operators.graph import HITS_SCALE
+
+    scale = scale or HITS_SCALE
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: scale // len(nodes) for v in nodes}
+    a = dict(h)
+    for _ in range(iterations):
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[d] += h[s]
+        sa = max(sum(raw.values()), 1)
+        a = {v: raw[v] * scale // sa for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[s] += a[d]
+        sh = max(sum(raw.values()), 1)
+        h = {v: raw[v] * scale // sh for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def _spark_hits(spark, edges, **kw):
+    from layerg_crawler_v2_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["hub"], r["authority"]) for r in hits(df, **kw).collect()
+    }
+
+
+def test_hits_matches_python_recurrence(spark):
+    assert _spark_hits(spark, EDGES, iterations=2) == py_hits(EDGES, 2)
+    assert _spark_hits(spark, EDGES, iterations=1) == py_hits(EDGES, 1)
+
+
+def test_hits_star_hub_vs_authority(spark):
+    # star: 0..8 all link to 9 -> 9 is THE authority with zero hub score;
+    # the spokes are equal hubs with zero authority
+    star = [(i, 9) for i in range(9)]
+    got = _spark_hits(spark, star, iterations=2)
+    hubs = {v: h for v, (h, _) in got.items()}
+    auths = {v: a for v, (_, a) in got.items()}
+    assert auths[9] > 0 and hubs[9] == 0
+    assert len({hubs[i] for i in range(9)}) == 1 and hubs[0] > 0
+    assert all(auths[i] == 0 for i in range(9))
+
+
+def test_hits_mass_bounded(spark):
+    from layerg_crawler_v2_spark.operators.graph import HITS_SCALE
+
+    got = _spark_hits(spark, EDGES, iterations=3)
+    assert 0 < sum(h for h, _ in got.values()) <= HITS_SCALE
+    assert 0 < sum(a for _, a in got.values()) <= HITS_SCALE
+
+
+def test_hits_partitioning_invariant(spark):
+    from layerg_crawler_v2_spark.operators.graph import hits
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    one = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df.repartition(1), iterations=2).collect()
+    }
+    many = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df.repartition(7, "dst"), iterations=2).collect()
+    }
+    assert one == many
+
+
+def test_hits_rejects_bad_params(spark):
+    from layerg_crawler_v2_spark.operators.graph import hits
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, iterations=0)
