@@ -3160,6 +3160,69 @@ def hits_q(spark, sf):
     return hits(edges, iterations=2)
 
 
+_DELAY_DUCK = """
+WITH f AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                  event_id AS ts,
+                  50 + event_id % 900 AS latency_ms,
+                  (event_id % 7) <> 0 AS ok
+           FROM events),
+rb AS (SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+              ((user_id % 20) % 5) * 1000 AS crawl_delay_ms FROM events),
+lo AS (SELECT host, max(ts) FILTER (ok) AS last_ok_ts FROM f GROUP BY host),
+agg AS (SELECT f.host,
+               count(*) AS n_fetches,
+               sum(latency_ms) // count(*) AS avg_latency_ms,
+               least(6, count(*) FILTER (lo.last_ok_ts IS NULL
+                                         OR f.ts > lo.last_ok_ts))
+                 AS consec_fail_tail
+        FROM f JOIN lo ON lo.host = f.host GROUP BY f.host)
+SELECT a.host AS host,
+       CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(avg_latency_ms AS BIGINT) AS avg_latency_ms,
+       CAST(consec_fail_tail AS BIGINT) AS consec_fail_tail,
+       CAST(least(60000,
+         greatest(coalesce(r.crawl_delay_ms, 500),
+                  (1000 * avg_latency_ms) // 100)
+         * (1 << consec_fail_tail)) AS BIGINT) AS delay_ms
+FROM agg a LEFT JOIN rb r ON r.host = a.host
+"""
+
+
+@_q("scheduler_adaptive_delay", _DELAY_DUCK)
+def adaptive_delay_q(spark, sf):
+    """Adaptive per-host crawl delay (operators/scheduler.py
+    adaptive_crawl_delay): Mercator's latency-proportional pacing (10x
+    mean observed download time, Heydon & Najork 1999) floored by the
+    host's declared robots crawl-delay, doubled per TRAILING failure
+    (every fetch after the last success — AIMD multiplicative increase,
+    the adaptive form of the reference's fixed per-chain block_time,
+    cmd/onchain.go:16-25), capped at 6 doublings / 60 s. Integer-exact
+    end to end (avg = integer div, backoff = bit shift) so the oracle
+    replays it bit-for-bit. Fetch history synthesized from events (20
+    hosts, deterministic latency/outcome); plan: two host-keyed
+    groupBys + one host join (one logical shuffle, AQE-reused) + a
+    broadcast robots dim."""
+    from layerg_crawler_v2_spark.operators.scheduler import (
+        adaptive_crawl_delay,
+    )
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+    fetch = ev.select(
+        host.alias("host"),
+        F.col("event_id").cast("long").alias("ts"),
+        (F.lit(50) + F.col("event_id") % 900).cast("long").alias("latency_ms"),
+        (F.col("event_id") % 7 != 0).alias("ok"),
+    )
+    robots = ev.select(
+        host.alias("host"),
+        (((F.col("user_id") % 20) % 5) * 1000)
+        .cast("long")
+        .alias("crawl_delay_ms"),
+    ).distinct()
+    return adaptive_crawl_delay(fetch, robots)
+
+
 _BM25_DUCK = """
 WITH toks AS (
   SELECT doc_id, tok FROM (

@@ -185,3 +185,93 @@ def allocate_budget(
         .alias("quota"),
     )
     return out
+
+
+def adaptive_crawl_delay(
+    fetch_history: DataFrame,
+    robots: DataFrame | None = None,
+    default_delay_ms: int = 500,
+    mult_pct: int = 1000,
+    backoff_cap: int = 6,
+    max_delay_ms: int = 60_000,
+) -> DataFrame:
+    """Per-host adaptive politeness delay from observed fetch history —
+    the feedback loop the static `hosts` dim (select_for_fetch) can't give.
+    Three classic signals, composed:
+
+      * latency-proportional pacing (Heydon & Najork, "Mercator" 1999:
+        wait k x last download time, k=10): `mult_pct` percent of the
+        host's mean observed latency (1000 = the Mercator 10x);
+      * the host's declared robots crawl-delay as a floor (RFC 9309
+        extension field; `robots` is a small (host, crawl_delay_ms) dim,
+        broadcast like select_for_fetch's hosts);
+      * exponential error backoff: the count of TRAILING failures (every
+        fetch after the host's last success; all of them when it never
+        succeeded) doubles the delay per failure, capped at `backoff_cap`
+        doublings — AIMD's multiplicative-increase half, the reference's
+        per-chain retry pacing analog (cmd/onchain.go's fixed block_time
+        made adaptive).
+
+    delay_ms = least(max_delay_ms,
+                     greatest(robots_ms, mult_pct * avg_latency div 100)
+                     << consec_fail_tail)
+
+    Integer-exact end to end (the graph.py cash discipline): avg latency
+    is an integer div, the backoff a bit shift — a DuckDB oracle replays
+    it bit-for-bit; no float ever.
+
+    Input: (host, ts, latency_ms, ok) — ts any totally-ordered type.
+    Returns (host, n_fetches, avg_latency_ms, consec_fail_tail, delay_ms).
+
+    Scale shape: two groupBys and one join, ALL keyed on host — one
+    logical shuffle; AQE reuses the partitioning for the join and second
+    aggregate, and map-side partial aggregation shrinks both exchanges to
+    one row per host per partition. No window over the raw log (the
+    trailing-failure count needs only last_ok_ts, not per-row ranks).
+    """
+    last_ok = fetch_history.groupBy("host").agg(
+        F.max(F.when(F.col("ok"), F.col("ts"))).alias("last_ok_ts")
+    )
+    agg = (
+        fetch_history.join(last_ok, "host")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.expr("sum(latency_ms) div count(*)").alias("avg_latency_ms"),
+            F.least(
+                F.lit(backoff_cap).cast("bigint"),
+                F.count(
+                    F.when(
+                        F.col("last_ok_ts").isNull()
+                        | (F.col("ts") > F.col("last_ok_ts")),
+                        True,
+                    )
+                ),
+            ).alias("consec_fail_tail"),
+        )
+    )
+    if robots is not None:
+        agg = agg.join(F.broadcast(robots), "host", "left")
+        robots_ms = F.coalesce("crawl_delay_ms", F.lit(default_delay_ms))
+    else:
+        robots_ms = F.lit(default_delay_ms)
+    base = F.greatest(
+        robots_ms.cast("bigint"),
+        F.expr(f"({mult_pct} * avg_latency_ms) div 100"),
+    )
+    return agg.select(
+        "host",
+        F.col("n_fetches").cast("bigint").alias("n_fetches"),
+        F.col("avg_latency_ms").cast("bigint").alias("avg_latency_ms"),
+        F.col("consec_fail_tail").cast("bigint").alias("consec_fail_tail"),
+        F.least(
+            F.lit(max_delay_ms).cast("bigint"),
+            (
+                base
+                * F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(consec_fail_tail AS INT))"
+                )
+            ).cast("bigint"),
+        ).alias("delay_ms"),
+    )
