@@ -3223,6 +3223,80 @@ def adaptive_delay_q(spark, sf):
     return adaptive_crawl_delay(fetch, robots)
 
 
+_POOL_DUCK = """
+WITH q AS (SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+                  'https://h' || CAST(user_id % 40 AS VARCHAR)
+                    || '.example/p' || CAST(event_id AS VARCHAR) AS url,
+                  event_id % 1000 AS priority
+           FROM events),
+dns AS (SELECT DISTINCT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+               CASE WHEN user_id % 40 < 30
+                    THEN 'ip' || CAST((user_id % 40) % 12 AS VARCHAR)
+                    END AS ip
+        FROM events),
+hd AS (SELECT DISTINCT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+              ((user_id % 40) % 5) * 1000 + 500 AS delay_ms FROM events),
+j AS (SELECT q.url, q.host, q.priority,
+             coalesce(dns.ip, q.host) AS pool,
+             coalesce(hd.delay_ms, 500) AS dms
+      FROM q LEFT JOIN dns ON dns.host = q.host
+             LEFT JOIN hd ON hd.host = q.host),
+pd AS (SELECT pool, max(dms) AS pool_delay_ms FROM j GROUP BY pool),
+r AS (SELECT j.url, j.host, j.pool,
+             row_number() OVER (PARTITION BY j.pool
+                                ORDER BY j.priority DESC, j.url ASC) AS slot,
+             pd.pool_delay_ms
+      FROM j JOIN pd ON pd.pool = j.pool)
+SELECT url, host, pool, CAST(slot AS BIGINT) AS slot,
+       CAST((slot - 1) * pool_delay_ms AS BIGINT) AS fetch_offset_ms
+FROM r WHERE slot <= 8
+"""
+
+
+@_q("scheduler_ip_pool_politeness", _POOL_DUCK)
+def ip_pool_q(spark, sf):
+    """IP-pool politeness (operators/scheduler.py
+    pool_politeness_schedule): the vhost-collapse rule (IRLbot WWW'08;
+    Mercator's per-SERVER queues) — hosts resolving to one IP share ONE
+    fetch budget keyed on pool = coalesce(ip, host), paced at the most
+    conservative member's delay, so a thousand vanity names behind one
+    box can't multiply its load. Synth: 40 hosts, 30 resolved onto 12
+    shared IPs + 10 unresolved pacing alone, per-host delays from the
+    same dim family adaptive_crawl_delay emits. Integer slot offsets so
+    the oracle (one window + one groupBy, identical keys) matches
+    bit-for-bit; both dims broadcast, rank + pool-delay share one
+    pool-keyed exchange."""
+    from layerg_crawler_v2_spark.operators.scheduler import (
+        pool_politeness_schedule,
+    )
+
+    ev = _t(spark, sf, "events")
+    hostnum = F.col("user_id") % 40
+    host = F.concat(F.lit("h"), hostnum.cast("string"))
+    queued = ev.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            hostnum.cast("string"),
+            F.lit(".example/p"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        (F.col("event_id") % 1000).cast("long").alias("priority"),
+    )
+    dns = ev.select(
+        host.alias("host"),
+        F.when(
+            hostnum < 30,
+            F.concat(F.lit("ip"), (hostnum % 12).cast("string")),
+        ).alias("ip"),
+    ).distinct()
+    delays = ev.select(
+        host.alias("host"),
+        ((hostnum % 5) * 1000 + 500).cast("long").alias("delay_ms"),
+    ).distinct()
+    return pool_politeness_schedule(queued, dns, delays, max_parallel=8)
+
+
 _BM25_DUCK = """
 WITH toks AS (
   SELECT doc_id, tok FROM (

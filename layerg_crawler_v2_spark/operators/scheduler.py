@@ -275,3 +275,66 @@ def adaptive_crawl_delay(
             ).cast("bigint"),
         ).alias("delay_ms"),
     )
+
+
+def pool_politeness_schedule(
+    queued: DataFrame,
+    dns: DataFrame | None = None,
+    host_delays: DataFrame | None = None,
+    default_delay_ms: int = 500,
+    max_parallel: int = 8,
+) -> DataFrame:
+    """Politeness grouped by IP POOL instead of hostname — the
+    vhost-collapse rule (IRLbot, WWW'08 §politeness; Mercator's per-server
+    queues key on server, not name): thousands of vanity hostnames behind
+    one shared IP must share ONE fetch budget, or per-host pacing DDoSes
+    the box behind them. select_for_fetch's per-host discipline, re-keyed:
+
+      pool = coalesce(dns.ip, host)        -- unresolved hosts pace alone
+      pool_delay_ms = max(member host delay)  -- most conservative member
+      top `max_parallel` per pool by (priority DESC, url ASC), slots
+      spaced pool_delay_ms apart as integer offsets.
+
+    `dns` is a small (host, ip) dim and `host_delays` a (host, delay_ms)
+    dim — e.g. adaptive_crawl_delay's output — both broadcast like
+    select_for_fetch's hosts. Returns (url, host, pool, slot,
+    fetch_offset_ms); offsets are integers (caller anchors them on the
+    round clock) so the whole schedule is integer-exact and
+    oracle-matchable.
+
+    Scale shape: both dims broadcast; the ranking window and the
+    pool-delay groupBy shuffle on the SAME pool key (one logical
+    exchange, AQE reuses it); the per-pool output is capped at
+    max_parallel rows so a mega-pool (CDN IP) never sorts more than its
+    queue in one task — the select_for_fetch salt-shard trick applies
+    unchanged if a pool's QUEUE itself is skewed."""
+    if dns is not None:
+        q = queued.join(F.broadcast(dns), "host", "left")
+    else:
+        q = queued.withColumn("ip", F.lit(None).cast("string"))
+    q = q.withColumn("pool", F.coalesce("ip", "host")).drop("ip")
+    if host_delays is not None:
+        q = q.join(F.broadcast(host_delays), "host", "left")
+        q = q.withColumn(
+            "delay_ms", F.coalesce("delay_ms", F.lit(default_delay_ms))
+        )
+    else:
+        q = q.withColumn("delay_ms", F.lit(default_delay_ms))
+    pool_delay = q.groupBy("pool").agg(
+        F.max("delay_ms").alias("pool_delay_ms")
+    )
+    w = Window.partitionBy("pool").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        q.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= F.lit(max_parallel))
+        .join(pool_delay, "pool")
+        .select(
+            "url",
+            "host",
+            "pool",
+            F.col("slot").cast("bigint").alias("slot"),
+            ((F.col("slot") - 1) * F.col("pool_delay_ms"))
+            .cast("bigint")
+            .alias("fetch_offset_ms"),
+        )
+    )
