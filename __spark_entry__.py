@@ -5072,6 +5072,95 @@ def dsir_resample_q(spark, sf):
     return dsir_resample_topk(_dsir_weights(spark, sf), 64)
 
 
+_JSONLD_DUCK = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+         coalesce(lang, 'und') AS lang_c
+  FROM documents
+)
+SELECT doc_id, 0 AS block_idx, 'Article' AS ld_type,
+       'doc ' || doc_id AS ld_name, lang_c AS ld_lang,
+       n_chars AS ld_chars, CAST(NULL AS BIGINT) AS ld_items
+FROM base
+UNION ALL
+SELECT doc_id, 1 AS block_idx, 'BreadcrumbList' AS ld_type,
+       CAST(NULL AS VARCHAR) AS ld_name, CAST(NULL AS VARCHAR) AS ld_lang,
+       CAST(NULL AS BIGINT) AS ld_chars, doc_id % 5 AS ld_items
+FROM base WHERE doc_id % 2 = 0
+"""
+
+
+@_q("extract_jsonld_struct", _JSONLD_DUCK)
+def extract_jsonld_q(spark, sf):
+    """JSON-LD structured-data round trip: build per-doc HTML (JVM concat)
+    embedding one schema.org Article block per page plus a BreadcrumbList
+    block on even doc_ids — behind comment-ghost and untyped-script noise
+    and a ';charset' type parameter — then recover the blocks with the
+    html.parser CDATA extractor (functions/extract.py:_JsonLdExtractor,
+    Arrow-batched) and parse typed fields back out with from_json. The
+    oracle computes the same rows relationally, so a defect anywhere in the
+    chain (HTML build, CDATA tokenization, MIME-essence match, noise
+    leakage, JSON field typing) mismatches. Reference analog: the typed
+    decoders over raw log payloads (generated/eventhandlers/
+    event_handlers.go:48-104) — bytes in, typed struct out."""
+    from layerg_crawler_v2_spark.functions.extract import extract_jsonld_udf
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("lang", F.lit("und")).alias("lang_c"),
+    )
+    block0 = F.concat(
+        F.lit('{"@type":"Article","name":"doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('","inLanguage":"'),
+        F.col("lang_c"),
+        F.lit('","nChars":'),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    block1 = F.concat(
+        F.lit('{"@type":"BreadcrumbList","numberOfItems":'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("}"),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><!-- <script type="application/ld+json">'
+            '{"ghost":1}</script> -->'
+            '<script>var t="application/ld+json";</script>'
+            '<script type="application/ld+json">'
+        ),
+        block0,
+        F.lit("</script>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json; charset=utf-8">'),
+                block1,
+                F.lit("</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    ld_schema = "`@type` STRING, name STRING, inLanguage STRING, nChars BIGINT, numberOfItems BIGINT"
+    return (
+        d.select("doc_id", extract_jsonld_udf(F.encode(html, "UTF-8")).alias("blocks"))
+        .select("doc_id", F.posexplode("blocks").alias("block_idx", "block"))
+        .select("doc_id", "block_idx", F.from_json("block", ld_schema).alias("j"))
+        .select(
+            "doc_id",
+            "block_idx",
+            F.col("j").getField("@type").alias("ld_type"),
+            F.col("j").getField("name").alias("ld_name"),
+            F.col("j").getField("inLanguage").alias("ld_lang"),
+            F.col("j").getField("nChars").alias("ld_chars"),
+            F.col("j").getField("numberOfItems").alias("ld_items"),
+        )
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -5159,7 +5248,17 @@ _PRIORITY = [
     # dedup (connected_components' oracle embeds the identical lsh_pairs
     # CTE, so the demoted pairs entry is transitively driver-covered)
     "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
-    "dedup_editdist_pairs",
+    # r4 session-11 flagship: JSON-LD structured-data extraction — new
+    # in-window physics: the html.parser CDATA extractor driven through an
+    # Arrow UDF with a construction-inversion oracle (pages built JVM-side,
+    # blocks recovered by the tree parser, fields re-typed via from_json).
+    # No other in-window entry runs an extractor UDF or from_json.
+    # (dedup_editdist_pairs demoted r4s11: its blocked self-join candidate
+    # physics is in-window as dedup_ngram_jaccard, and the banded
+    # levenshtein(l,r,k) expression is a single JVM codegen function — the
+    # f2/f4/f8 single-expression family; its exact-distance parity stays
+    # pytest-oracled.)
+    "extract_jsonld_struct",
     # r4 session-9: winnowing (MOSS) — new in-window physics: the in-row
     # sliding window-min fold with positional output; no other in-window
     # entry drives a per-row O(grams*w) codegen fold or a position-keyed
@@ -5227,6 +5326,8 @@ _PRIORITY = [
     "f5_bigint_string_arith", "j3_point_lookup_limit1",
     # r4 session-8 demotions (rationales at their old window positions)
     "p1_projection_pruning",
+    # r4 session-11 demotions (rationales at their old window positions)
+    "dedup_editdist_pairs",
     # r4 session-7 oracled 51+ entries (window-covered by their in-window
     # siblings: pq_encode_codes shares the trained codebooks with the ADC
     # search below)

@@ -527,3 +527,87 @@ def extract_title_meta_udf(htmls: pd.Series) -> pd.DataFrame:
         for h in htmls
     ]
     return pd.DataFrame(rows, columns=["title", "description", "og_title"])
+
+
+class _JsonLdExtractor(HTMLParser):
+    """All `<script type="application/ld+json">` block texts in document
+    order — the schema.org structured-data channel (Google's rich-results
+    ingestion path; a training-data pipeline mines it for entity-grounded
+    supervision). Rules:
+      * the type attribute matches the JSON-LD MIME essence
+        case-insensitively, with optional ';parameters' (the HTML spec's
+        'type metadata' comparison strips parameters before matching);
+      * script is a CDATA element: html.parser delivers the raw payload
+        through handle_data without entity decoding (charrefs inside JSON
+        stay literal, exactly as browsers treat script text);
+      * an unclosed matching script runs to EOF (the CDATA-to-EOF rule the
+        title extractor documents for RCDATA);
+      * blocks inside comments produce no starttag events and are never
+        seen. Payloads are returned verbatim minus outer whitespace; JSON
+        validity is the CALLER's concern (parse_jsonld below), matching
+        the browser split between extraction and json.parse."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._in_ld = False
+        self._buf: list[str] = []
+
+    @staticmethod
+    def _is_ld_type(attrs) -> bool:
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:  # duplicate attributes: first wins (browser rule)
+                d[k] = v
+        t = (d.get("type") or "").split(";", 1)[0].strip().lower()
+        return t == "application/ld+json"
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script" and self._is_ld_type(attrs):
+            self._in_ld = True
+            self._buf = []
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.blocks.append("".join(self._buf).strip())
+
+    def handle_data(self, data):
+        if self._in_ld:
+            self._buf.append(data)
+
+    def close(self):
+        # script is CDATA: html.parser BREAKS at EOF without emitting the
+        # unconsumed tail as data (goahead's cdata_elem early-exit), so the
+        # to-EOF payload of an unclosed block survives only in rawdata —
+        # grab it before close() and splice it into the buffer.
+        tail = self.rawdata if self._in_ld else ""
+        super().close()
+        if self._in_ld:  # CDATA-to-EOF: unclosed block still yields
+            self._in_ld = False
+            self.blocks.append(("".join(self._buf) + tail).strip())
+
+
+def extract_jsonld(html: bytes | None) -> list[str]:
+    """Raw JSON-LD payload strings declared by the page, document order."""
+    if html is None:
+        return []
+    low = bytes(html).lower()
+    # EXACT cheap reject: tag and attribute NAMES can't be entity-encoded
+    # (the extract_outlinks b"href" precedent), and the MIME essence match
+    # requires the literal token 'ld+json' inside the type VALUE — but a
+    # value CAN hide behind charrefs, so the token reject is only safe
+    # when no '&' could be hiding one (the extract_canonical rule).
+    if b"<script" not in low:
+        return []
+    if b"ld+json" not in low and b"&" not in low:
+        return []
+    p = _JsonLdExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.blocks
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_jsonld_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_jsonld, na_action="ignore")

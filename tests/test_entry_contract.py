@@ -68,6 +68,8 @@ def test_flagship_new_components_have_driver_rows():
         "crawl_snapshot_diff",
         # r4 session-9 flagship
         "dedup_winnow_fingerprints",
+        # r4 session-11 flagship
+        "extract_jsonld_struct",
     ):
         assert name in window, name
 
@@ -108,6 +110,8 @@ def test_demotions_have_in_window_twins():
         "j3_point_lookup_limit1": "qb_resolve_single",
         # r4 session-8 demotions
         "p1_projection_pruning": "p5_bool_connectives",
+        # r4 session-11 demotions
+        "dedup_editdist_pairs": "dedup_ngram_jaccard",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted

@@ -556,3 +556,73 @@ def test_title_meta_udf_batch(spark):
         for r in rows
     ]
     assert got == want
+
+
+def test_jsonld_basic_and_order():
+    from layerg_crawler_v2_spark.functions.extract import extract_jsonld
+
+    html = (
+        b'<html><head>'
+        b'<script type="application/ld+json">{"@type":"Article","name":"a"}</script>'
+        b'<script type="text/javascript">var x = 1;</script>'
+        b'<script type="APPLICATION/LD+JSON; charset=utf-8"> {"@type":"Person"} </script>'
+        b'</head><body></body></html>'
+    )
+    assert extract_jsonld(html) == [
+        '{"@type":"Article","name":"a"}',
+        '{"@type":"Person"}',
+    ]
+
+
+def test_jsonld_non_dom_unclosed_and_rejects():
+    from layerg_crawler_v2_spark.functions.extract import extract_jsonld
+
+    assert extract_jsonld(None) == []
+    # cheap reject: no literal '<script'
+    assert extract_jsonld(b"<p>application/ld+json words</p>") == []
+    # comment-wrapped block produces no starttag events
+    assert extract_jsonld(
+        b'<!-- <script type="application/ld+json">{"ghost":1}</script> -->'
+    ) == []
+    # plain script payload MENTIONING ld+json is not a block
+    assert extract_jsonld(
+        b'<script>fetch("x", {type: "application/ld+json"})</script>'
+    ) == []
+    # unclosed matching block runs to EOF (CDATA-to-EOF)
+    assert extract_jsonld(
+        b'<script type="application/ld+json">{"tail":true}'
+    ) == ['{"tail":true}']
+    # charrefs inside script CDATA stay LITERAL (no entity decode)
+    assert extract_jsonld(
+        b'<script type="application/ld+json">{"amp":"&amp;"}</script>'
+    ) == ['{"amp":"&amp;"}']
+
+
+def test_jsonld_entity_encoded_type_survives_cheap_reject():
+    from layerg_crawler_v2_spark.functions.extract import extract_jsonld
+
+    # 'ld+json' hidden behind a charref in the type VALUE: the '&' guard
+    # must keep this out of the cheap-reject path, and convert_charrefs
+    # decodes attribute values so the MIME match still fires
+    html = b'<script type="application/ld&plus;json">{"v":1}</script>'
+    assert extract_jsonld(html) == ['{"v":1}']
+
+
+def test_jsonld_udf_batch(spark):
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_jsonld, extract_jsonld_udf,
+    )
+
+    rows = [
+        b'<script type="application/ld+json">{"a":1}</script>',
+        None,
+        b"<body>none</body>",
+        b'<script type="application/ld+json">A</script>'
+        b'<script type="application/ld+json">B</script>',
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "html binary")
+    got = [r.b for r in df.select(extract_jsonld_udf("html").alias("b")).collect()]
+    # na_action='ignore' passes nulls through: NULL html -> NULL array
+    # (the extract_outlinks_udf convention), not an empty array
+    want = [None if r is None else extract_jsonld(r) for r in rows]
+    assert got == want
