@@ -5161,6 +5161,49 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_LANG_TEMP_DUCK = """
+WITH langs AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
+c AS (SELECT lang, count(*)::BIGINT AS lang_n FROM langs GROUP BY 1),
+w AS (SELECT lang, lang_n, CAST(floor(sqrt(lang_n)) AS BIGINT) AS w FROM c),
+t AS (SELECT sum(w) AS w_total FROM w),
+j AS (SELECT lang, lang_n, w,
+        (199 * w) // w_total AS qf, (199 * w) % w_total AS rem
+      FROM w, t),
+f AS (SELECT sum(qf) AS floor_sum FROM j),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk FROM j),
+q AS (SELECT lang, lang_n,
+        (qf + CASE WHEN rem > 0 AND rk <= 199 - (SELECT floor_sum FROM f)
+              THEN 1 ELSE 0 END)::BIGINT AS lang_quota
+      FROM r),
+sel AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)
+            AS rn
+        FROM langs)
+SELECT s.doc_id, s.lang, q.lang_n, q.lang_quota
+FROM sel s JOIN q USING (lang)
+WHERE s.rn <= q.lang_quota
+"""
+
+
+@_q("lang_temperature_resample", _LANG_TEMP_DUCK)
+def lang_temperature_q(spark, sf):
+    """Language-temperature corpus balancing (operators/sampling.py
+    temperature_resample): allocate a 199-document budget across languages
+    ∝ n_lang^(1/2) — the XLM/mBERT alpha<1 mixture rule that caps the en
+    head and upsamples the tail — with Hamilton largest-remainder integer
+    quotas (sum EXACTLY 199) and per-language hash-order selection (same
+    documents on any engine/partitioning/run). alpha is pinned to 1/2
+    because IEEE sqrt is correctly rounded, keeping the whole chain exact
+    for the oracle; the oracle replays counts → floor(sqrt) weights →
+    apportionment → md5-rank selection relationally."""
+    from layerg_crawler_v2_spark.operators.sampling import temperature_resample
+
+    return temperature_resample(
+        _t(spark, sf, "documents").select("doc_id", "lang"), total_budget=199
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -5344,6 +5387,11 @@ _PRIORITY = [
     # r4 session-10: soft-404 detection (host error-template fingerprint
     # × marker phrase; groupBy+join physics windowed by dedup_exact_groups)
     "frontier_soft404_detect",
+    # r4 session-11 oracled 51+ entries: language-temperature resampling —
+    # its Hamilton-apportionment + window-rank physics is windowed by
+    # w2_topk_per_key and the in-pytest scheduler_budget_allocate oracle;
+    # exact-integer end-to-end, selection by the module's md5 hash order
+    "lang_temperature_resample",
 ]
 
 _REGISTRY = {

@@ -17,7 +17,7 @@ the first hex nibble, so the hex-string comparison is exact, portable SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -178,3 +178,85 @@ def host_disjoint_split(
         .otherwise(F.lit("train"))
     )
     return df.select(F.col(id_col), F.col(host_col), split.alias("split"))
+
+
+def temperature_resample(
+    df: DataFrame,
+    total_budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-temperature corpus balancing: allocate a document budget
+    across languages proportionally to n_lang^alpha and select that many
+    documents per language deterministically.
+
+    The standard multilingual-pretraining mixture rule (XLM / mBERT /
+    XLM-R): raw web corpora are head-heavy (en dominates), so sampling
+    p_l ∝ n_l^alpha with alpha < 1 flattens the distribution — rare
+    languages are upsampled relative to their share, the head is capped.
+    alpha is FIXED at 1/2 here because n^(1/2) is IEEE-754 sqrt — correctly
+    rounded, hence bit-identical on every engine — which keeps the whole
+    operator integer/exact-float arithmetic and lets a SQL oracle match
+    bit-for-bit (floor(sqrt(n)) is exact for n < 2^52; a general-alpha
+    pow() differs in the last ulp across libm implementations and would
+    make the apportionment knife-edge). Production variant: swap the
+    weight expression for pow(n, alpha) and accept float tie risk.
+
+    Mechanics, all reused from this module's determinism discipline:
+      * per-language counts: one map-side-combined groupBy (#langs rows);
+      * integer budget: Hamilton largest-remainder apportionment over
+        weight = floor(sqrt(n)) (operators/scheduler.py:allocate_budget —
+        quotas sum to EXACTLY total_budget);
+      * selection: per-language hash-order top-quota — row_number over
+        (md5(id), id) within the language, the uniform-without-replacement
+        draw that picks the SAME documents on any engine / partitioning /
+        run. A quota larger than n_lang keeps all n_lang rows (sampling is
+        without replacement; the shortfall is documented, not silently
+        reassigned — pair with oversample() for epoch weighting).
+
+    Scale shape: groupBy(lang) exchanges #langs rows; the apportionment
+    windows over #langs rows; selection is one shuffle on lang with a
+    per-partition top-quota. Language cardinality is O(10^2-10^3) — every
+    driver-visible structure here is model-sized, never corpus-sized. The
+    selection rank is per-language and the head language is a skewed
+    partition (en = O(10^9) rows at web scale): swap the row_number for
+    operators/sequence.py's two-pass range-partitioned rank when one
+    language outgrows an executor partition; quota semantics are
+    unchanged.
+
+    Returns (id, lang, lang_n, lang_quota) for the selected documents.
+    """
+    from layerg_crawler_v2_spark.operators.scheduler import allocate_budget
+
+    langs = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("__lang"),
+    )
+    counts = langs.groupBy("__lang").agg(F.count("*").alias("lang_n"))
+    weights = counts.select(
+        "__lang",
+        "lang_n",
+        F.floor(F.sqrt(F.col("lang_n").cast("double"))).cast("bigint").alias("w"),
+    )
+    quotas = allocate_budget(
+        weights.select("__lang", "w"), total_budget, key_col="__lang", weight_col="w"
+    ).select("__lang", F.col("quota").alias("lang_quota"))
+    ranked = langs.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__lang").orderBy(
+                F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "__lang")
+        .join(F.broadcast(counts), "__lang")
+        .filter(F.col("__rn") <= F.col("lang_quota"))
+        .select(
+            F.col(id_col),
+            F.col("__lang").alias(lang_col),
+            F.col("lang_n").cast("bigint").alias("lang_n"),
+            F.col("lang_quota").cast("bigint").alias("lang_quota"),
+        )
+    )

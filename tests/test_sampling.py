@@ -137,3 +137,54 @@ def test_host_disjoint_split(spark):
     from collections import Counter
     c = Counter(base.values())
     assert set(c) <= {"train", "val", "test"} and c["train"] > c["val"]
+
+
+def test_temperature_resample_quotas_sum_and_flatten(spark):
+    import pyspark.sql.functions as F
+
+    from layerg_crawler_v2_spark.operators.sampling import temperature_resample
+
+    # head-heavy corpus: 160 en, 40 de, 10 fr
+    rows = (
+        [(i, "en") for i in range(160)]
+        + [(1000 + i, "de") for i in range(40)]
+        + [(2000 + i, "fr") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_resample(df, total_budget=60).toPandas()
+    # quotas sum exactly to the budget and selection honors them
+    assert len(out) == 60
+    by_lang = out.groupby("lang")["doc_id"].count().to_dict()
+    assert sum(by_lang.values()) == 60
+    quota = out.groupby("lang")["lang_quota"].first().to_dict()
+    assert by_lang == {k: int(v) for k, v in quota.items()}
+    # alpha=1/2 flattening: en's output share < its input share,
+    # fr's output share > its input share
+    assert by_lang["en"] / 60 < 160 / 210
+    assert by_lang["fr"] / 60 > 10 / 210
+    # weights floor(sqrt): 12/6/3 of budget 60 -> quotas ~ 34/17/9
+    assert quota["en"] == 34 and quota["de"] == 17 and quota["fr"] == 9
+
+
+def test_temperature_resample_partitioning_invariant(spark):
+    from layerg_crawler_v2_spark.operators.sampling import temperature_resample
+
+    rows = [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(120)]
+    df1 = spark.createDataFrame(rows, "doc_id bigint, lang string").repartition(1)
+    df2 = spark.createDataFrame(rows, "doc_id bigint, lang string").repartition(13)
+    a = sorted(map(tuple, temperature_resample(df1, 37).collect()))
+    b = sorted(map(tuple, temperature_resample(df2, 37).collect()))
+    assert a == b and len(a) == 37
+
+
+def test_temperature_resample_quota_exceeding_lang_keeps_all(spark):
+    from layerg_crawler_v2_spark.operators.sampling import temperature_resample
+
+    # 2-doc language with a budget of 10: sampling is without replacement,
+    # so at most n_lang rows come back per language (shortfall documented)
+    rows = [(1, "xx"), (2, "xx"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_resample(df, total_budget=10).toPandas()
+    by_lang = out.groupby("lang")["doc_id"].count().to_dict()
+    assert by_lang.get("xx", 0) <= 2
+    assert set(out["lang"]) <= {"xx", "und"}  # NULL lang folds to 'und'
