@@ -5161,6 +5161,73 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_TABLES_DUCK = """
+WITH base AS (
+  SELECT doc_id, coalesce(lang, 'und') AS lang_c FROM documents
+)
+SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS cell_idx, 'id' AS cell FROM base
+UNION ALL
+SELECT doc_id, 0, 0, 1, 'lang' FROM base
+UNION ALL
+SELECT doc_id, 0, 1, 0, doc_id::VARCHAR FROM base
+UNION ALL
+SELECT doc_id, 0, 1, 1, lang_c FROM base
+UNION ALL
+SELECT doc_id, 0, 1, 2, 'a & b' FROM base
+UNION ALL
+SELECT doc_id, 1, 0, 0, 'n' FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 1, 0, 1, (doc_id % 7)::VARCHAR FROM base WHERE doc_id % 2 = 0
+"""
+
+
+@_q("extract_html_tables", _TABLES_DUCK)
+def extract_tables_q(spark, sf):
+    """HTML table-grid extraction round trip (the WDC-WebTables mining
+    shape): build per-doc HTML (JVM concat) with a header+data table whose
+    first data cell hosts a NESTED table on even doc_ids — behind a
+    comment-ghost table and with an entity cell ('a &amp; b') and omitted
+    </td> end tags — then recover the grids with the html.parser table
+    extractor (functions/extract.py:_TableExtractor, Arrow-batched) and
+    flatten to (doc_id, table_idx, row_idx, cell_idx, cell). The oracle
+    computes the same rows relationally, so a defect in implied-end-tag
+    closing, nested-table routing, start-order indexing, entity decode, or
+    comment invisibility mismatches. Reference analog: the typed decoders
+    over raw payload bytes (generated/eventhandlers/event_handlers.go:
+    48-104)."""
+    from layerg_crawler_v2_spark.functions.extract import extract_tables_udf
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("und")).alias("lang_c")
+    )
+    nested = F.concat(
+        F.lit("<table><td>n<td>"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</table>"),
+    )
+    html = F.concat(
+        F.lit(
+            "<!-- <table><tr><td>ghost</td></tr></table> -->"
+            "<table><tr><th>id</th><th>lang</th></tr><tr><td>"
+        ),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, nested).otherwise(F.lit("")),
+        F.lit("<td>"),
+        F.col("lang_c"),
+        F.lit("<td>a &amp; b</tr></table>"),
+    )
+    return (
+        d.select("doc_id", extract_tables_udf(F.encode(html, "UTF-8")).alias("ts"))
+        .select("doc_id", F.explode("ts").alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.table_idx").alias("table_idx"),
+            F.col("t.row_idx").alias("row_idx"),
+            F.posexplode("t.cells").alias("cell_idx", "cell"),
+        )
+    )
+
+
 _LANG_TEMP_DUCK = """
 WITH langs AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
 c AS (SELECT lang, count(*)::BIGINT AS lang_n FROM langs GROUP BY 1),
@@ -5392,6 +5459,11 @@ _PRIORITY = [
     # w2_topk_per_key and the in-pytest scheduler_budget_allocate oracle;
     # exact-integer end-to-end, selection by the module's md5 hash order
     "lang_temperature_resample",
+    # r4 session-11 oracled 51+: HTML table-grid extraction — the same
+    # extractor-UDF + construction-inversion physics the in-window
+    # extract_jsonld_struct drives (tree parser through Arrow, JVM-built
+    # pages, relational oracle); grid-specific rules are pytest-goldened
+    "extract_html_tables",
 ]
 
 _REGISTRY = {

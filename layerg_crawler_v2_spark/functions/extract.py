@@ -24,7 +24,13 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # blocks dropped wholesale from TEXT (content-free for text extraction):
 # head, script, style, nav. Outlink extraction deliberately uses a SMALLER
@@ -611,3 +617,131 @@ def extract_jsonld(html: bytes | None) -> list[str]:
 @pandas_udf(ArrayType(StringType()))
 def extract_jsonld_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_jsonld, na_action="ignore")
+
+
+class _TableExtractor(HTMLParser):
+    """All `<table>` grids as rows of cell texts — the page-structured-data
+    channel next to JSON-LD (a training-data pipeline mines tables for
+    relational supervision; WDC WebTables is this operator at corpus
+    scale). Rules:
+      * rows are `<tr>`, cells `<td>`/`<th>`; end tags may be OMITTED per
+        the HTML spec — a new cell implicitly closes the open cell, a new
+        row closes the open row (the browser tokenizer's implied-end-tag
+        rule);
+      * a cell's text is the concatenated data inside it, charrefs decoded
+        once, script/style payloads dropped (same drop discipline as
+        _TextExtractor);
+      * NESTED tables collect independently: data inside an inner table's
+        cells belongs to the inner table only; table_idx is by `<table>`
+        START order (document order), not completion order;
+      * data between rows/cells (the foster-parenting case) is ignored —
+        this extractor models the grid, not the tree surgery;
+      * unclosed tables close at EOF (the CDATA-to-EOF discipline);
+      * tables inside comments produce no events and are never seen."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._done: list[tuple[int, list[list[str]]]] = []
+        self._stack: list[dict] = []
+        self._order = 0
+        self._drop = 0
+
+    @staticmethod
+    def _close_cell(t: dict) -> None:
+        if t["cell"] is not None:
+            t["row"].append("".join(t["cell"]))
+            t["cell"] = None
+
+    @staticmethod
+    def _close_row(t: dict) -> None:
+        if t["row"] is not None:
+            t["rows"].append(t["row"])
+            t["row"] = None
+
+    def _finish_top(self) -> None:
+        t = self._stack.pop()
+        self._close_cell(t)
+        self._close_row(t)
+        self._done.append((t["order"], t["rows"]))
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._drop += 1
+            return
+        if tag == "table":
+            self._stack.append(
+                {"order": self._order, "rows": [], "row": None, "cell": None}
+            )
+            self._order += 1
+            return
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag == "tr":
+            self._close_cell(t)
+            self._close_row(t)
+            t["row"] = []
+        elif tag in ("td", "th"):
+            if t["row"] is None:  # cell without a tr: imply the row
+                t["row"] = []
+            self._close_cell(t)
+            t["cell"] = []
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._drop = max(0, self._drop - 1)
+            return
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag in ("td", "th"):
+            self._close_cell(t)
+        elif tag == "tr":
+            self._close_cell(t)
+            self._close_row(t)
+        elif tag == "table":
+            self._finish_top()
+
+    def handle_data(self, data):
+        if self._drop:
+            return
+        if self._stack and self._stack[-1]["cell"] is not None:
+            self._stack[-1]["cell"].append(data)
+
+    def close(self):
+        super().close()
+        while self._stack:  # unclosed tables run to EOF
+            self._finish_top()
+
+    def grids(self) -> list[list[list[str]]]:
+        return [rows for _, rows in sorted(self._done, key=lambda p: p[0])]
+
+
+def extract_tables(html: bytes | None) -> list[list[list[str]]]:
+    """Tables → rows → cell texts, table order = `<table>` start order."""
+    if html is None:
+        return []
+    low = bytes(html).lower()
+    # EXACT cheap reject (tag names can't be entity-encoded)
+    if b"<table" not in low:
+        return []
+    p = _TableExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.grids()
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("table_idx", IntegerType()),
+    StructField("row_idx", IntegerType()),
+    StructField("cells", ArrayType(StringType())),
+])))
+def extract_tables_udf(htmls: pd.Series) -> pd.Series:
+    def flat(h):
+        return [
+            (ti, ri, cells)
+            for ti, rows in enumerate(extract_tables(h))
+            for ri, cells in enumerate(rows)
+        ]
+
+    return htmls.map(flat, na_action="ignore")

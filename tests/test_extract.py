@@ -626,3 +626,87 @@ def test_jsonld_udf_batch(spark):
     # (the extract_outlinks_udf convention), not an empty array
     want = [None if r is None else extract_jsonld(r) for r in rows]
     assert got == want
+
+
+def test_tables_basic_grid_and_entities():
+    from layerg_crawler_v2_spark.functions.extract import extract_tables
+
+    html = (
+        b"<table><tr><th>id</th><th>name</th></tr>"
+        b"<tr><td>1</td><td>a &amp; b</td></tr>"
+        b"<tr><td>2</td><td>c</td></tr></table>"
+    )
+    assert extract_tables(html) == [
+        [["id", "name"], ["1", "a & b"], ["2", "c"]],
+    ]
+
+
+def test_tables_omitted_end_tags():
+    from layerg_crawler_v2_spark.functions.extract import extract_tables
+
+    # spec-legal omitted </td>/</tr>: new cell closes the open cell, new
+    # row closes the open row, </table> closes both
+    html = b"<table><tr><td>a<td>b<tr><td>c</table>"
+    assert extract_tables(html) == [[["a", "b"], ["c"]]]
+    # cell without a tr implies the row
+    html2 = b"<table><td>x<td>y</table>"
+    assert extract_tables(html2) == [[["x", "y"]]]
+
+
+def test_tables_nested_and_document_order():
+    from layerg_crawler_v2_spark.functions.extract import extract_tables
+
+    html = (
+        b"<table><tr><td>outer"
+        b"<table><tr><td>inner</td></tr></table>"
+        b"</td><td>after</td></tr></table>"
+        b"<table><tr><td>second</td></tr></table>"
+    )
+    got = extract_tables(html)
+    # table_idx by START order: outer(0), inner(1), second(2)
+    assert got == [
+        [["outer", "after"]],
+        [["inner"]],
+        [["second"]],
+    ]
+
+
+def test_tables_non_dom_unclosed_and_drops():
+    from layerg_crawler_v2_spark.functions.extract import extract_tables
+
+    assert extract_tables(None) == []
+    assert extract_tables(b"<p>table words</p>") == []
+    # comment-wrapped table invisible
+    assert extract_tables(b"<!-- <table><tr><td>x</td></tr></table> -->") == []
+    # script payload inside a cell is dropped; unclosed table runs to EOF
+    html = b"<table><tr><td>keep<script>drop()</script>"
+    assert extract_tables(html) == [[["keep"]]]
+    # data between rows (foster-parenting case) is ignored
+    assert extract_tables(b"<table>stray<tr>more<td>x</td></tr></table>") == [
+        [["x"]],
+    ]
+
+
+def test_tables_udf_batch(spark):
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_tables, extract_tables_udf,
+    )
+
+    rows = [
+        b"<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+        None,
+        b"<body>none</body>",
+        b"<table><td>1</table><table><td>2</table>",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "html binary")
+    got = [r.t for r in df.select(extract_tables_udf("html").alias("t")).collect()]
+    for r, g in zip(rows, got):
+        if r is None:
+            assert g is None
+            continue
+        want = [
+            (ti, ri, cells)
+            for ti, rws in enumerate(extract_tables(r))
+            for ri, cells in enumerate(rws)
+        ]
+        assert [(x.table_idx, x.row_idx, list(x.cells)) for x in g] == want
