@@ -5161,6 +5161,73 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_REVAL_DUCK = """
+WITH f AS (
+  SELECT 'h' || (doc_id % 13) || '.example.org' AS host,
+         doc_id, r.r AS round,
+         md5(doc_id::VARCHAR || '#' ||
+             (CASE WHEN r.r >= doc_id % 3 THEN 1 ELSE 0 END)::VARCHAR) AS fp,
+         (100 + doc_id % 900)::BIGINT AS b
+  FROM documents, (SELECT unnest([0, 1, 2]) AS r) r
+),
+c AS (
+  SELECT host, b, fp,
+         lag(fp) OVER (PARTITION BY doc_id ORDER BY round) AS prev_fp
+  FROM f
+)
+SELECT host,
+       count(*)::BIGINT AS n_fetch,
+       sum(CASE WHEN prev_fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_refetch,
+       sum(CASE WHEN prev_fp = fp THEN 1 ELSE 0 END)::BIGINT AS n_304,
+       sum(CASE WHEN prev_fp IS NULL OR prev_fp <> fp THEN b ELSE 0 END)::BIGINT
+         AS bytes_transferred,
+       sum(CASE WHEN prev_fp = fp THEN b ELSE 0 END)::BIGINT AS bytes_saved
+FROM c GROUP BY host
+"""
+
+
+@_q("crawl_revalidation_savings", _REVAL_DUCK)
+def revalidation_q(spark, sf):
+    """Conditional-GET economy (operators/recrawl.py revalidation_savings):
+    a 3-round fetch history synthesized from documents — each page's
+    content flips once at round (doc_id % 3), fingerprint = md5 of the
+    version — classified into first-fetch / modified-200 / 304 via the
+    per-URL lag window, then rolled up per host as all-integer counts and
+    byte sums (RFC 9110 §13.1 revalidation: a refetch whose validator
+    matches transfers no body). Feeds the recrawl scheduler: high 304-rate
+    hosts are over-visited. The oracle replays the same lag classification
+    relationally."""
+    from layerg_crawler_v2_spark.operators.recrawl import revalidation_savings
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    f = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("round")
+    ).select(
+        F.concat(
+            F.lit("https://h"),
+            (did % 13).cast("string"),
+            F.lit(".example.org/d/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (did % 13).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        "round",
+        F.md5(
+            F.concat(
+                did.cast("string"),
+                F.lit("#"),
+                F.when(F.col("round") >= did % 3, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("string"),
+            )
+        ).alias("content_fp"),
+        (F.lit(100) + did % 900).cast("bigint").alias("bytes"),
+    )
+    return revalidation_savings(f)
+
+
 _TABLES_DUCK = """
 WITH base AS (
   SELECT doc_id, coalesce(lang, 'und') AS lang_c FROM documents
@@ -5464,6 +5531,10 @@ _PRIORITY = [
     # extract_jsonld_struct drives (tree parser through Arrow, JVM-built
     # pages, relational oracle); grid-specific rules are pytest-goldened
     "extract_html_tables",
+    # r4 session-11 oracled 51+: conditional-GET economy — lag-window
+    # classification + map-side-combined host rollup, physics windowed by
+    # w3_lag_pacing (lag) and a5_group_agg (grouped integer sums)
+    "crawl_revalidation_savings",
 ]
 
 _REGISTRY = {

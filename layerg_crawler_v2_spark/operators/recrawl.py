@@ -162,3 +162,63 @@ def change_rate(
         F.round(mean_i, 6).alias("mean_interval_s"),
         lam_day.alias("lambda_per_day"),
     )
+
+
+def revalidation_savings(
+    fetches: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    round_col: str = "round",
+    fp_col: str = "content_fp",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Conditional-GET economy per host: how much transfer a crawler saves
+    by sending If-None-Match/If-Modified-Since on refetches.
+
+    HTTP revalidation (RFC 9110 §13.1): a refetch whose validator (ETag ≈
+    content fingerprint) matches the server's current entity comes back
+    304 Not Modified with NO body — the crawler pays one round trip, not
+    the transfer. Given a fetch history (url, round, content_fp, bytes),
+    a refetch is a 304 exactly when its fingerprint equals the previous
+    fetch's fingerprint for the same URL; first fetches and changed pages
+    are full 200 transfers. This operator classifies every fetch and
+    rolls the economy up per host — the planning input for enabling
+    conditional requests per host and for the recrawl scheduler above
+    (hosts with high 304 rates are over-visited: stretch their intervals).
+
+    All-integer output (counts + byte sums), so the SQL oracle matches
+    bit-for-bit; rates are left to the consumer (n_304 / n_refetch).
+
+    Scale shape: one shuffle on url for the lag (per-url partitions are
+    history-length sized, never corpus-sized), then a map-side-combined
+    groupBy(host) whose exchange is #hosts rows. No driver state, no UDF.
+
+    Returns (host, n_fetch, n_refetch, n_304, bytes_transferred,
+    bytes_saved): bytes_saved = body bytes of 304 refetches (not
+    transferred); bytes_transferred = body bytes of 200 responses.
+    """
+    w = Window.partitionBy(url_col).orderBy(F.col(round_col).asc())
+    classified = fetches.select(
+        F.col(host_col),
+        F.col(bytes_col).cast("bigint").alias("__b"),
+        F.lag(F.col(fp_col)).over(w).alias("__prev_fp"),
+        F.col(fp_col).alias("__fp"),
+    ).select(
+        host_col,
+        "__b",
+        F.col("__prev_fp").isNotNull().alias("__is_refetch"),
+        (F.col("__prev_fp").isNotNull() & (F.col("__prev_fp") == F.col("__fp"))).alias(
+            "__is_304"
+        ),
+    )
+    return classified.groupBy(host_col).agg(
+        F.count("*").cast("bigint").alias("n_fetch"),
+        F.sum(F.col("__is_refetch").cast("bigint")).alias("n_refetch"),
+        F.sum(F.col("__is_304").cast("bigint")).alias("n_304"),
+        F.sum(F.when(~F.col("__is_304"), F.col("__b")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("bytes_transferred"),
+        F.sum(F.when(F.col("__is_304"), F.col("__b")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("bytes_saved"),
+    )

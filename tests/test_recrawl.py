@@ -112,3 +112,56 @@ def test_change_rate_zero_span_is_null(spark):
     df = df.select("url", F.expr("timestamp_seconds(t)").alias("fetch_ts"), "content_hash")
     r = change_rate(df, key_col="url").collect()[0]
     assert r["lambda_per_day"] is None
+
+
+def test_revalidation_savings_classification(spark):
+    from layerg_crawler_v2_spark.operators.recrawl import revalidation_savings
+
+    rows = [
+        # url A on host h1: fp unchanged across 3 fetches -> 2 refetches,
+        # both 304; only the first 100-byte body transfers
+        ("u/a", "h1", 0, "fpA", 100),
+        ("u/a", "h1", 1, "fpA", 100),
+        ("u/a", "h1", 2, "fpA", 100),
+        # url B on h1: changes at round 1 -> refetch 1 is a 200,
+        # refetch 2 is a 304
+        ("u/b", "h1", 0, "fpB0", 50),
+        ("u/b", "h1", 1, "fpB1", 50),
+        ("u/b", "h1", 2, "fpB1", 50),
+        # url C on h2: single fetch, no refetches
+        ("u/c", "h2", 0, "fpC", 7),
+    ]
+    f = spark.createDataFrame(
+        rows, "url string, host string, round int, content_fp string, bytes int"
+    )
+    out = {r.host: r for r in revalidation_savings(f).collect()}
+    h1 = out["h1"]
+    assert (h1.n_fetch, h1.n_refetch, h1.n_304) == (6, 4, 3)
+    # transferred: A round0 (100) + B rounds 0,1 (50+50); saved: A r1+r2
+    # (200) + B r2 (50)
+    assert (h1.bytes_transferred, h1.bytes_saved) == (200, 250)
+    h2 = out["h2"]
+    assert (h2.n_fetch, h2.n_refetch, h2.n_304) == (1, 0, 0)
+    assert (h2.bytes_transferred, h2.bytes_saved) == (7, 0)
+
+
+def test_revalidation_savings_partitioning_invariant(spark):
+    from layerg_crawler_v2_spark.operators.recrawl import revalidation_savings
+
+    rows = [
+        (f"u/{i}", f"h{i % 3}", r, f"fp{i}#{min(r, i % 2)}", 10 + i)
+        for i in range(40)
+        for r in range(3)
+    ]
+    schema = "url string, host string, round int, content_fp string, bytes int"
+    a = sorted(
+        map(tuple, revalidation_savings(
+            spark.createDataFrame(rows, schema).repartition(1)
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, revalidation_savings(
+            spark.createDataFrame(rows, schema).repartition(17)
+        ).collect())
+    )
+    assert a == b
