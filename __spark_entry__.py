@@ -5161,6 +5161,70 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_URLSPACE_DUCK = """
+WITH u AS (
+  SELECT doc_id,
+         'h' || (doc_id % 7) || '.example.org' AS host,
+         CASE doc_id % 3 WHEN 0 THEN 'news' WHEN 1 THEN 'blog'
+              ELSE 'shop' END AS sec,
+         's' || (doc_id % 5) AS sub,
+         doc_id % 4 = 0 AS leaf1
+  FROM documents
+),
+d1 AS (
+  SELECT host, 1 AS depth, '/' || sec AS prefix,
+         count(*)::BIGINT AS n_urls,
+         sum(CASE WHEN leaf1 THEN 1 ELSE 0 END)::BIGINT AS n_leaf,
+         count(DISTINCT CASE WHEN NOT leaf1 THEN sub END)::BIGINT AS n_children
+  FROM u GROUP BY host, sec
+),
+d2 AS (
+  SELECT host, 2 AS depth, '/' || sec || '/' || sub AS prefix,
+         count(*)::BIGINT AS n_urls,
+         0::BIGINT AS n_leaf,
+         count(DISTINCT 'p' || doc_id)::BIGINT AS n_children
+  FROM u WHERE NOT leaf1 GROUP BY host, sec, sub
+)
+SELECT * FROM d1 UNION ALL SELECT * FROM d2
+"""
+
+
+@_q("url_path_prefix_rollup", _URLSPACE_DUCK)
+def urlspace_q(spark, sf):
+    """URL-space path-trie rollup (operators/urlspace.py): URLs synthesized
+    from documents — depth-1 section pages on doc_id%4==0, three-segment
+    /sec/sub/p<id> pages otherwise — mapped to per-(host, depth<=2, prefix)
+    counts: n_urls, n_leaf (URLs ENDING at the prefix), n_children
+    (distinct next-segment fan-out, the trap signal). Spark parses the real
+    URL string (parse_url HOST/PATH, split, transform-over-sequence prefix
+    build, one bounded posexplode); the oracle computes the same rollup
+    from the construction columns relationally, so a defect in path
+    parsing, prefix joining, leaf detection, or the 0-based child index
+    mismatches."""
+    from layerg_crawler_v2_spark.operators.urlspace import url_path_prefix_rollup
+
+    did = F.col("doc_id")
+    sec = (
+        F.when(did % 3 == 0, "news").when(did % 3 == 1, "blog").otherwise("shop")
+    )
+    path = F.when(did % 4 == 0, F.concat(F.lit("/"), sec)).otherwise(
+        F.concat(
+            F.lit("/"),
+            sec,
+            F.lit("/s"),
+            (did % 5).cast("string"),
+            F.lit("/p"),
+            did.cast("string"),
+        )
+    )
+    urls = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://h"), (did % 7).cast("string"), F.lit(".example.org"), path
+        ).alias("url")
+    )
+    return url_path_prefix_rollup(urls, max_depth=2)
+
+
 _REVAL_DUCK = """
 WITH f AS (
   SELECT 'h' || (doc_id % 13) || '.example.org' AS host,
@@ -5535,6 +5599,10 @@ _PRIORITY = [
     # classification + map-side-combined host rollup, physics windowed by
     # w3_lag_pacing (lag) and a5_group_agg (grouped integer sums)
     "crawl_revalidation_savings",
+    # r4 session-11 oracled 51+: URL-space path-trie rollup — bounded
+    # posexplode + two-phase distinct agg, physics windowed by the
+    # shingling explodes (dedup_ngram_jaccard) and a5_group_agg
+    "url_path_prefix_rollup",
 ]
 
 _REGISTRY = {
