@@ -5161,6 +5161,44 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_RENDEZVOUS_DUCK = """
+WITH k AS (SELECT DISTINCT 'h' || (doc_id % 23) AS host FROM documents),
+s AS (SELECT unnest(['shard-a', 'shard-b', 'shard-c', 'shard-d', 'shard-e'])
+        AS shard),
+w AS (SELECT host, shard, md5(shard || '|' || host) AS weight FROM k, s),
+r AS (SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY weight DESC, shard DESC) AS rn
+      FROM w)
+SELECT host, shard, weight FROM r WHERE rn = 1
+"""
+
+
+@_q("frontier_rendezvous_shards", _RENDEZVOUS_DUCK)
+def rendezvous_q(spark, sf):
+    """Rendezvous/HRW shard assignment (operators/scheduler.py
+    rendezvous_assign): pin each host to the fetcher shard with the
+    maximal md5(shard || '|' || host) — the consistent-placement rule
+    whose add/remove disruption is provably minimal (only the winner's
+    keys move; tests pin the exact property). Spark evaluates the argmax
+    as a greatest() fold over K struct expressions inside whole-stage
+    codegen — no exchange, no dim table, no UDF; the oracle ranks the
+    unnested (host × shard) weights relationally."""
+    from layerg_crawler_v2_spark.operators.scheduler import rendezvous_assign
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+                "host"
+            )
+        )
+        .distinct()
+    )
+    return rendezvous_assign(
+        hosts, ["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"]
+    )
+
+
 _URLSPACE_DUCK = """
 WITH u AS (
   SELECT doc_id,
@@ -5603,6 +5641,10 @@ _PRIORITY = [
     # posexplode + two-phase distinct agg, physics windowed by the
     # shingling explodes (dedup_ngram_jaccard) and a5_group_agg
     "url_path_prefix_rollup",
+    # r4 session-11 oracled 51+: rendezvous/HRW shard assignment — a pure
+    # codegen greatest() fold (single-expression projection family, the
+    # f3 rationale); the HRW minimal-disruption property is pytest-pinned
+    "frontier_rendezvous_shards",
 ]
 
 _REGISTRY = {

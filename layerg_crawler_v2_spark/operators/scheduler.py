@@ -338,3 +338,50 @@ def pool_politeness_schedule(
             .alias("fetch_offset_ms"),
         )
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    key_col: str = "host",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to the shard with the maximal hash(key, shard) — Thaler & Ravishankar
+    1998, the consistent-placement rule a distributed frontier uses to pin
+    hosts to fetcher shards. The HRW property a plain `hash(key) % K`
+    lacks: when a shard is added or removed, ONLY the keys whose winning
+    shard changed move (expected 1/(K+1) of them) — every other
+    (host → fetcher) binding, with its politeness clock, connection pool,
+    and robots cache, stays put. Removal is even cleaner: only the dead
+    shard's keys move, exactly to their second choice.
+
+    Deterministic and engine-portable: weight = md5(shard || '|' || key)
+    compared AS A HEX STRING (uniform, total order, no integer parsing),
+    winner = max_by(shard, struct(weight, shard)) — ties (impossible under
+    md5 collision resistance, but the rule is total) break to the larger
+    shard name. One max_by groupBy... actually no shuffle at all: shard
+    count is small and CONSTANT, so the argmax is unrolled as a greatest()
+    fold over K column expressions inside whole-stage codegen — zero
+    exchange, zero UDF, the broadcast-dim discipline without even a dim
+    table.
+
+    Returns df + (shard STRING, weight STRING) — weight kept for audit.
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shards must be distinct")
+    key = F.col(key_col).cast("string")
+    pairs = [
+        F.struct(
+            F.md5(F.concat(F.lit(s), F.lit("|"), key)).alias("weight"),
+            F.lit(s).alias("shard"),
+        )
+        for s in shards
+    ]
+    win = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return df.withColumn("__win", win).select(
+        "*",
+        F.col("__win.shard").alias("shard"),
+        F.col("__win.weight").alias("weight"),
+    ).drop("__win")
