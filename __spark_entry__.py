@@ -5161,6 +5161,50 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+@_q("unigram_lm_vocab", None)
+def unigram_vocab_q(spark, sf):
+    """Unigram-LM tokenizer training (operators/unigram.py, Kudo 2018
+    hard-EM variant): seed-substring vocabulary → 2 EM rounds of
+    integer-exact Viterbi re-segmentation (big-int cross-multiplied
+    likelihoods, zero float ties) → top-K prune with single characters
+    never dropped. Rows-only by nature (iterative EM); bit-matched to the
+    sequential reference by tests/test_unigram.py, partitioning-invariant
+    by construction."""
+    from layerg_crawler_v2_spark.operators.bpe import word_freq_table
+    from layerg_crawler_v2_spark.operators.unigram import unigram_train
+
+    wf = word_freq_table(_t(spark, sf, "documents"), text_col="text")
+    return unigram_train(
+        wf, vocab_size=200, n_iters=2, max_piece_len=5, seed_size=500
+    )
+
+
+@_q("unigram_encode_tokens", None)
+def unigram_encode_q(spark, sf):
+    """Viterbi encoding under the trained unigram vocabulary: per-doc
+    (n_words, n_tokens) + the token sequence, one closure-broadcast Arrow
+    pass (the kmeans-centroid model-shipping pattern). Encoding is TOTAL
+    (single chars always segmentable) and reconstruction-exact
+    (concat(tokens) == words) — both pytest-pinned."""
+    from layerg_crawler_v2_spark.operators.bpe import word_freq_table
+    from layerg_crawler_v2_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf, "documents")
+    vocab = unigram_train(
+        word_freq_table(docs, text_col="text"),
+        vocab_size=200,
+        n_iters=2,
+        max_piece_len=5,
+        seed_size=500,
+    )
+    return unigram_encode(docs, vocab).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+
+
 _RENDEZVOUS_DUCK = """
 WITH k AS (SELECT DISTINCT 'h' || (doc_id % 23) AS host FROM documents),
 s AS (SELECT unnest(['shard-a', 'shard-b', 'shard-c', 'shard-d', 'shard-e'])
