@@ -3485,14 +3485,16 @@ def anchor_index_q(spark, sf):
     from layerg_crawler_v2_spark.operators.search import anchor_text_index
 
     pages = build_pages(spark, sf)
-    pairs = (
-        pages.select(F.explode(extract_anchors_udf(F.col("html"))).alias("a"))
-        .select(
-            canonicalize_udf(F.col("a.href")).alias("dst"),
-            F.col("a.anchor").alias("anchor"),
-        )
-        .filter(F.col("dst").isNotNull())
-    )
+    # lazy-checkpoint BETWEEN the UDF projection and the null filter: the
+    # pushed-down isnotnull otherwise re-extracts canonicalize_udf in its
+    # own ArrowEvalPython node (2x the Arrow cost per anchor)
+    projected = pages.select(
+        F.explode(extract_anchors_udf(F.col("html"))).alias("a")
+    ).select(
+        canonicalize_udf(F.col("a.href")).alias("dst"),
+        F.col("a.anchor").alias("anchor"),
+    ).localCheckpoint(eager=False)
+    pairs = projected.filter(F.col("dst").isNotNull())
     return anchor_text_index(pairs).orderBy(F.col("n_inlinks").desc(), "dst")
 
 
@@ -5145,9 +5147,15 @@ def extract_jsonld_q(spark, sf):
         F.lit("</head><body><p>x</p></body></html>"),
     )
     ld_schema = "`@type` STRING, name STRING, inLanguage STRING, nChars BIGINT, numberOfItems BIGINT"
+    # posexplode_OUTER + post-filter, not posexplode: the inner generate's
+    # implicit size>0 pre-filter gets pushed below the Generate and makes
+    # Catalyst evaluate the extractor UDF TWICE per page (once for the
+    # filter, once for the projection) — the outer form keeps ONE
+    # ArrowEvalPython in the plan (BENCH/PLANS_r04.md pins it)
     return (
         d.select("doc_id", extract_jsonld_udf(F.encode(html, "UTF-8")).alias("blocks"))
-        .select("doc_id", F.posexplode("blocks").alias("block_idx", "block"))
+        .select("doc_id", F.posexplode_outer("blocks").alias("block_idx", "block"))
+        .filter(F.col("block_idx").isNotNull())
         .select("doc_id", "block_idx", F.from_json("block", ld_schema).alias("j"))
         .select(
             "doc_id",
@@ -5429,15 +5437,20 @@ def extract_tables_q(spark, sf):
         F.col("lang_c"),
         F.lit("<td>a &amp; b</tr></table>"),
     )
+    # explode_OUTER + post-filters (the extract_jsonld_struct rationale):
+    # inner generates over UDF output duplicate the ArrowEvalPython via the
+    # pushed size>0 pre-filter; outer generates keep ONE extractor pass
     return (
         d.select("doc_id", extract_tables_udf(F.encode(html, "UTF-8")).alias("ts"))
-        .select("doc_id", F.explode("ts").alias("t"))
+        .select("doc_id", F.explode_outer("ts").alias("t"))
+        .filter(F.col("t").isNotNull())
         .select(
             "doc_id",
             F.col("t.table_idx").alias("table_idx"),
             F.col("t.row_idx").alias("row_idx"),
-            F.posexplode("t.cells").alias("cell_idx", "cell"),
+            F.posexplode_outer("t.cells").alias("cell_idx", "cell"),
         )
+        .filter(F.col("cell_idx").isNotNull())
     )
 
 

@@ -306,6 +306,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(u != v)
         .distinct()
+        # materialize ONCE (lazily): the first large-star consumes edges
+        # twice (e ∪ swap(e)) and the final node list twice more — without
+        # a barrier the whole upstream lineage (often an Arrow extractor
+        # pass, e.g. the hreflang edges) re-executes per consumption; the
+        # iteration loop already checkpoints every round, this extends the
+        # same discipline to round 0's input
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:

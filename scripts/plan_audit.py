@@ -233,6 +233,59 @@ AUDITS = [
         "At 10^10 docs the only cluster-wide operation is the top-k "
         "merge.",
     ),
+    (
+        "extract_jsonld_struct",
+        "JSON-LD mining: ONE Arrow pass (the tree extractor) over a "
+        "pure-codegen HTML build, then explode + from_json as in-row "
+        "projections — ZERO exchanges, zero joins; at 10^10 pages the "
+        "operator is embarrassingly parallel over the scan.",
+    ),
+    (
+        "extract_html_tables",
+        "Table-grid mining: same shape as the JSON-LD audit — one Arrow "
+        "extractor pass, two bounded Generates (tables, then cells), no "
+        "exchange anywhere; output size is grid-cells, input is pages.",
+    ),
+    (
+        "crawl_revalidation_savings",
+        "Conditional-GET economy: ONE exchange on url feeding the lag "
+        "window (per-url partitions are history-length sized), then a "
+        "map-side-combined groupBy(host) whose exchange carries #hosts "
+        "rows of integer counters — fingerprints never re-shuffle.",
+    ),
+    (
+        "url_path_prefix_rollup",
+        "Path-trie rollup: prefix build is transform-over-sequence inside "
+        "codegen; ONE bounded Generate (<= max_depth rows per URL); the "
+        "count-distinct fan-out makes the rollup a two-phase aggregate on "
+        "a single (host, depth, prefix) exchange — prefixes, never URLs, "
+        "are the exchanged keys.",
+    ),
+    (
+        "frontier_rendezvous_shards",
+        "HRW sharding: the per-key argmax over K shards is a greatest() "
+        "struct fold — a single-expression codegen projection with ZERO "
+        "exchanges beyond the input's own distinct; no dim table, no "
+        "join, no UDF. Rebalancing work at shard-count change is bounded "
+        "by the HRW property, not by a reshuffle of the keyspace.",
+    ),
+    (
+        "lang_temperature_resample",
+        "Temperature mixture: counts and apportionment exchange #langs "
+        "rows (the two 1-row/`#langs`-row WindowExec warnings are the "
+        "model-sized remainder rank, deliberate); quotas come back as "
+        "BroadcastHashJoins; the only corpus-sized exchange is the "
+        "per-language selection rank — swap in the two-pass "
+        "range-partitioned rank when one language outgrows a partition "
+        "(docstring note).",
+    ),
+    (
+        "unigram_encode_tokens",
+        "Unigram encode: the trained model rides the closure (kmeans "
+        "pattern) into ONE MapInPandas pass — zero exchanges, zero joins "
+        "in the encode plan; EM training before it touches the corpus "
+        "once and iterates on the vocab-sized word table.",
+    ),
 ]
 
 OPS = [
