@@ -5169,6 +5169,55 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_STALENESS_DUCK = """
+WITH f AS (
+  SELECT 'h' || (doc_id % 13) AS host,
+         1700000000 - (doc_id % 500000) * 100 AS last_fetch_epoch,
+         (doc_id * 37) % 2000 AS changes_per_kday
+  FROM documents
+),
+c AS (
+  SELECT host,
+         (1700000000 - last_fetch_epoch)::BIGINT AS age,
+         CASE WHEN changes_per_kday > 0
+              THEN 86400000 // changes_per_kday END AS target
+  FROM f
+)
+SELECT host,
+       count(*)::BIGINT AS n_urls,
+       sum(CASE WHEN target IS NOT NULL AND age > target
+                THEN 1 ELSE 0 END)::BIGINT AS n_stale,
+       max(age)::BIGINT AS max_age_s,
+       sum(age)::BIGINT AS sum_age_s,
+       max(CASE WHEN target IS NOT NULL AND age > target
+                THEN age - target ELSE 0 END)::BIGINT AS max_overdue_s
+FROM c GROUP BY host
+"""
+
+
+@_q("frontier_staleness_report", _STALENESS_DUCK)
+def staleness_q(spark, sf):
+    """Staleness SLA report (operators/recrawl.py staleness_report): ages
+    vs change-rate-derived revisit targets (Cho & Garcia-Molina freshness
+    contract), all-integer (rate as changes-per-1000-days, target =
+    86_400_000 div rate seconds), rolled up per host. Zero-rate pages are
+    never stale by this measure (documented). Synthesis: last-fetch and
+    rate derived from doc_id; the oracle replays the identical integer
+    arithmetic."""
+    from layerg_crawler_v2_spark.operators.recrawl import staleness_report
+
+    did = F.col("doc_id")
+    f = _t(spark, sf, "documents").select(
+        F.concat(F.lit("h"), (did % 13).cast("string")).alias("host"),
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        (F.lit(1700000000) - (did % 500000) * 100).cast("bigint").alias(
+            "last_fetch_epoch"
+        ),
+        ((did * 37) % 2000).cast("bigint").alias("changes_per_kday"),
+    )
+    return staleness_report(f, now_epoch=1700000000)
+
+
 @_q("unigram_lm_vocab", None)
 def unigram_vocab_q(spark, sf):
     """Unigram-LM tokenizer training (operators/unigram.py, Kudo 2018
@@ -5702,6 +5751,9 @@ _PRIORITY = [
     # codegen greatest() fold (single-expression projection family, the
     # f3 rationale); the HRW minimal-disruption property is pytest-pinned
     "frontier_rendezvous_shards",
+    # r4 session-11 oracled 51+: staleness SLA — integer projection +
+    # host rollup (physics windowed by a5_group_agg / p5's CASE logic)
+    "frontier_staleness_report",
 ]
 
 _REGISTRY = {

@@ -83,6 +83,13 @@ def pagerank(
     if not 0 <= damp_pct <= 100:
         raise ValueError(f"damp_pct must be in [0, 100], got {damp_pct}")
 
+    if reuse:
+        # edges are consumed k+3 times (node union x2, out-degrees, one
+        # join per iteration): persist them too, or an expensive upstream
+        # (e.g. the extracted+canonicalized link graph, two Arrow UDFs per
+        # page) re-executes per consumption — the r4s11 UDF-duplication
+        # sweep caught 22 extractor re-runs in frontier_pagerank_hosts
+        edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -202,6 +209,8 @@ def trustrank(
     if not 0 <= damp_pct <= 100:
         raise ValueError(f"damp_pct must be in [0, 100], got {damp_pct}")
 
+    if reuse:
+        edges = edges.persist()  # consumed k+3 times (pagerank rationale)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -300,6 +309,8 @@ def hits(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
 
+    if reuse:
+        edges = edges.persist()  # consumed 2k+2 times (pagerank rationale)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

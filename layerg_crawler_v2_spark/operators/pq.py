@@ -244,6 +244,11 @@ def ivfpq_build(df: DataFrame, n_clusters: int = 8, m: int = 4,
         F.element_at("cc", 1).alias("cluster"),
         *[F.element_at("cc", s + 2).alias(f"code{s}") for s in range(msub)],
     )
+    # the index IS a materialized artifact (built once, probed many times):
+    # the lazy barrier also stops a consumer's cluster-prune filter from
+    # being pushed below the projection, which would re-run the encode UDF
+    # in a second ArrowEvalPython (the r4s11 UDF-duplication sweep)
+    idx = idx.localCheckpoint(eager=False)
     return idx, coarse, books
 
 

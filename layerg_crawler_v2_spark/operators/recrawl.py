@@ -222,3 +222,57 @@ def revalidation_savings(
         .cast("bigint")
         .alias("bytes_saved"),
     )
+
+
+def staleness_report(
+    frontier: DataFrame,
+    now_epoch: int,
+    url_col: str = "url",
+    host_col: str = "host",
+    last_fetch_col: str = "last_fetch_epoch",
+    rate_col: str = "changes_per_kday",
+) -> DataFrame:
+    """Per-host staleness SLA: how much of the indexed frontier is older
+    than its change-rate-derived revisit target.
+
+    The freshness contract (Cho & Garcia-Molina TODS'03): a page changing
+    λ times/day should be revisited about every 1/λ days; a page whose age
+    exceeds that target is STALE — its indexed copy has likely diverged.
+    All arithmetic is INTEGER so the report is engine-exact: the change
+    rate arrives as changes-per-1000-days (the integer form change_rate's
+    consumers use), target_age_s = 86_400_000 div rate (seconds per
+    expected change), age_s = now - last_fetch, stale ⇔ age_s >
+    target_age_s. Rates <= 0 or NULL mean "never observed changing":
+    target = +inf, never stale (documented; pair with a hard max-age
+    policy upstream if unbounded staleness is unacceptable).
+
+    Scale shape: pure projection + one map-side-combined groupBy(host) —
+    the exchange carries #hosts integer rows. Compose: change_rate() →
+    this report → allocate_budget(weights = stale counts) closes the
+    measure→plan→fetch loop.
+
+    Returns (host, n_urls, n_stale, max_age_s, sum_age_s,
+    max_overdue_s): overdue = age - target, 0 floor, for SLA alerting.
+    """
+    age = (F.lit(now_epoch) - F.col(last_fetch_col).cast("bigint")).cast("bigint")
+    rate = F.col(rate_col).cast("bigint")
+    target = F.when(rate > 0, F.expr("86400000 div " + rate_col).cast("bigint"))
+    stale = F.when(target.isNotNull() & (age > target), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    overdue = F.when(
+        target.isNotNull() & (age > target), age - target
+    ).otherwise(F.lit(0))
+    rows = frontier.select(
+        F.col(host_col),
+        age.alias("__age"),
+        stale.cast("bigint").alias("__stale"),
+        overdue.cast("bigint").alias("__overdue"),
+    )
+    return rows.groupBy(host_col).agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum("__stale").cast("bigint").alias("n_stale"),
+        F.max("__age").cast("bigint").alias("max_age_s"),
+        F.sum("__age").cast("bigint").alias("sum_age_s"),
+        F.max("__overdue").cast("bigint").alias("max_overdue_s"),
+    )

@@ -165,3 +165,31 @@ def test_revalidation_savings_partitioning_invariant(spark):
         ).collect())
     )
     assert a == b
+
+
+def test_staleness_report_integer_semantics(spark):
+    from layerg_crawler_v2_spark.operators.recrawl import staleness_report
+
+    now = 1_000_000
+    rows = [
+        # changes 1000/kday = 1/day -> target 86400s; age 100000 > target
+        ("u1", "h1", now - 100_000, 1000),
+        # same rate, age 50000 < target -> fresh
+        ("u2", "h1", now - 50_000, 1000),
+        # zero rate: never stale regardless of age
+        ("u3", "h1", now - 10_000_000, 0),
+        # high rate 2000/kday -> target 43200; age 43201 -> stale by 1s
+        ("u4", "h2", now - 43_201, 2000),
+    ]
+    f = spark.createDataFrame(
+        rows,
+        "url string, host string, last_fetch_epoch bigint, changes_per_kday bigint",
+    )
+    out = {r.host: r for r in staleness_report(f, now_epoch=now).collect()}
+    h1 = out["h1"]
+    assert (h1.n_urls, h1.n_stale) == (3, 1)
+    assert h1.max_age_s == 10_000_000
+    assert h1.sum_age_s == 100_000 + 50_000 + 10_000_000
+    assert h1.max_overdue_s == 100_000 - 86_400
+    h2 = out["h2"]
+    assert (h2.n_urls, h2.n_stale, h2.max_overdue_s) == (1, 1, 1)
