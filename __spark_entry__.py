@@ -5169,6 +5169,38 @@ def extract_jsonld_q(spark, sf):
     )
 
 
+_PREFIX_JOIN_DUCK = f"""
+{_DUPES_SQL},
+sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS s FROM docs2),
+t AS (SELECT doc_id, list(s ORDER BY s) AS toks, count(*)::BIGINT AS sz
+      FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+       a.sz AS sz_a, b.sz AS sz_b
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 2
+      >= 1 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+"""
+
+
+@_q("dedup_jaccard_prefix_join", _PREFIX_JOIN_DUCK)
+def jaccard_prefix_q(spark, sf):
+    """EXACT Jaccard-threshold join with prefix filtering (operators/
+    dedup.py jaccard_prefix_join; Bayardo et al. AllPairs / SSJoin —
+    the PPJoin candidate core): candidates join only on each document's
+    rarest p = |d| − ceil(t·|d|) + 1 shingles under the global
+    (document-frequency, shingle) canonical order — guaranteed recall by
+    the prefix theorem, bucket fan-out bounded by RARE-shingle
+    frequencies instead of stopword frequencies (the scale upgrade over
+    dedup_ngram_jaccard's every-shingle self-join). Integer threshold
+    arithmetic end-to-end; the oracle is the INDEPENDENT brute-force
+    all-pairs formulation, so any prefix-filter recall loss mismatches
+    the row set, not just values."""
+    from layerg_crawler_v2_spark.operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(_docs2(spark, sf), t_num=1, t_den=2)
+
+
 _STALENESS_DUCK = """
 WITH f AS (
   SELECT 'h' || (doc_id % 13) AS host,
@@ -5754,6 +5786,11 @@ _PRIORITY = [
     # r4 session-11 oracled 51+: staleness SLA — integer projection +
     # host rollup (physics windowed by a5_group_agg / p5's CASE logic)
     "frontier_staleness_report",
+    # r4 session-11 oracled 51+: exact prefix-filtered Jaccard join — its
+    # candidate bucket-join physics is windowed by dedup_ngram_jaccard,
+    # its rank window by w2_topk_per_key; the prefix-filter exactness
+    # guarantee is pinned by an independent brute-force oracle + fuzz
+    "dedup_jaccard_prefix_join",
 ]
 
 _REGISTRY = {

@@ -285,3 +285,86 @@ def test_substring_spans_short_doc_and_unique_doc_empty(spark):
 
     rows = [(1, "only three words"), (2, " ".join(f"u{i}" for i in range(30)))]
     assert duplicated_substring_spans(_span_docs(spark, rows), k=8).count() == 0
+
+
+def _brute_jaccard_pairs(texts, n, t_num, t_den):
+    """Independent brute-force twin (normalize + shingle + all pairs)."""
+    import re as _re
+
+    def shingles(t):
+        w = _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(
+            w
+        ) >= n else set()
+
+    sets = {i: shingles(t) for i, t in texts.items()}
+    out = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * t_den >= t_num * (len(sets[a]) + len(sets[b]) - inter):
+                out.append((a, b, inter, len(sets[a]), len(sets[b])))
+    return sorted(out)
+
+
+def test_jaccard_prefix_join_exact_vs_brute_force(spark):
+    from layerg_crawler_v2_spark.operators.dedup import jaccard_prefix_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the quick brown fox jumps over the lazy dog today",
+        4: "completely different words appear in this one document here",
+        5: "completely different words appear in this one document here",
+        6: "short text",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = sorted(
+        map(tuple, jaccard_prefix_join(df, t_num=1, t_den=2).collect())
+    )
+    assert got == _brute_jaccard_pairs(texts, 3, 1, 2)
+    # identical docs must be found with inter == sz
+    assert any(a == 4 and b == 5 and i == sa == sb for a, b, i, sa, sb in got)
+
+
+def test_jaccard_prefix_join_fuzz_recall_is_exact(spark):
+    """Prefix filtering is EXACT (theorem, not probability): fuzz random
+    near-dup corpora and require set-equality with brute force."""
+    import random
+
+    from layerg_crawler_v2_spark.operators.dedup import jaccard_prefix_join
+
+    rng = random.Random(411)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    did = 0
+    for _ in range(12):
+        base = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        texts[did] = " ".join(base)
+        did += 1
+        if rng.random() < 0.7:  # mutated twin
+            mut = list(base)
+            for _ in range(rng.randint(0, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            texts[did] = " ".join(mut)
+            did += 1
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    for t_num, t_den in [(1, 2), (7, 10), (9, 10)]:
+        got = sorted(
+            map(tuple, jaccard_prefix_join(df, t_num=t_num, t_den=t_den).collect())
+        )
+        assert got == _brute_jaccard_pairs(texts, 3, t_num, t_den), (t_num, t_den)
+
+
+def test_jaccard_prefix_join_partitioning_invariant(spark):
+    from layerg_crawler_v2_spark.operators.dedup import jaccard_prefix_join
+
+    texts = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} w{i % 3} tail common")
+             for i in range(30)]
+    df1 = spark.createDataFrame(texts, "doc_id bigint, text string").repartition(1)
+    df2 = spark.createDataFrame(texts, "doc_id bigint, text string").repartition(11)
+    a = sorted(map(tuple, jaccard_prefix_join(df1).collect()))
+    b = sorted(map(tuple, jaccard_prefix_join(df2).collect()))
+    assert a == b and len(a) > 0
