@@ -3854,6 +3854,55 @@ def heavy_hitters_q(spark, sf):
     return heavy_hitters_topk(ev, "user_id", k=10)
 
 
+_HLL_DUCK = """
+WITH k AS (
+  SELECT 'https://h' || CAST(event_id % 700 AS VARCHAR) || '.test/p' AS url
+  FROM events
+),
+h AS (
+  SELECT CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS h FROM k
+),
+parts AS (
+  SELECT h // 1125899906842624 AS bucket,
+         h %  1125899906842624 AS suffix
+  FROM h
+)
+SELECT bucket,
+       CAST(max(CASE WHEN suffix = 0 THEN 51
+                     ELSE 51 - length(bin(suffix)) END) AS INTEGER)
+         AS register
+FROM parts GROUP BY bucket ORDER BY bucket
+"""
+
+
+@_q("sketch_hll_registers", _HLL_DUCK)
+def hll_registers_q(spark, sf):
+    """Distinct-URL cardinality as a MERGEABLE HyperLogLog register table
+    (operators/sketch.py: Flajolet et al. AofA'07): the crawl-dashboard
+    counter the exact seen-set cannot answer cheaply ("how many DISTINCT
+    urls so far, per segment / day / cluster") without a one-row-per-
+    distinct-key shuffle — 10^10 rows at frontier scale.  Registers are
+    2^b bounded integers; per-partition partial MAX makes every task's
+    exchange exactly sketch-sized, duplicate-insensitivity is free (MAX),
+    and two crawl segments' registers merge by the same MAX afterward —
+    the artifact Spark's own approx_count_distinct (HLL++) computes but
+    never exposes.  Portable 60-bit md5-prefix hash, bucket/rho split and
+    bin()-length leading-zero rank all whole-stage codegen; the DuckDB
+    oracle replays the identical integer pipeline bit-for-bit.  Merge /
+    dup-insensitivity / estimate-accuracy properties pinned in
+    tests/test_sketch.py."""
+    from layerg_crawler_v2_spark.operators.sketch import hll_registers
+
+    urls = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("event_id") % 700).cast("string"),
+            F.lit(".test/p"),
+        ).alias("url")
+    )
+    return hll_registers(urls, "url", b=10).orderBy("bucket")
+
+
 _PMI_DUCK = """
 WITH w AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -77,3 +77,85 @@ def test_topk_deterministic_across_partitionings(spark):
     a = [tuple(r) for r in heavy_hitters_topk(df.coalesce(2), "key", k=8).collect()]
     b = [tuple(r) for r in heavy_hitters_topk(df.repartition(16), "key", k=8).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+
+from layerg_crawler_v2_spark.operators.sketch import (
+    HLL_B,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _py_registers(keys, b=HLL_B):
+    """Sequential reference: same portable 60-bit md5-prefix hash."""
+    nbits = 60 - b
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket, suffix = h >> nbits, h & ((1 << nbits) - 1)
+        rho = nbits + 1 if suffix == 0 else nbits + 1 - suffix.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _keys_df(spark, n, parts=8, dup=1):
+    return spark.range(n * dup).select(
+        F.concat(F.lit("https://h"), (F.col("id") % n).cast("string"),
+                 F.lit(".test/p")).alias("url")
+    ).repartition(parts)
+
+
+def test_hll_registers_match_sequential_reference(spark):
+    n = 3_000
+    got = {
+        int(r["bucket"]): int(r["register"])
+        for r in hll_registers(_keys_df(spark, n), "url").collect()
+    }
+    want = _py_registers([f"https://h{i}.test/p" for i in range(n)])
+    assert got == want
+
+
+def test_hll_duplicate_insensitive_and_mergeable(spark):
+    a = _keys_df(spark, 1_000, dup=1)
+    a3 = _keys_df(spark, 1_000, dup=3)  # same key set, 3x multiplicity
+    ra = hll_registers(a, "url")
+    assert {tuple(r) for r in ra.collect()} == {
+        tuple(r) for r in hll_registers(a3, "url").collect()
+    }
+    # merge(registers(A), registers(B)) == registers(A union B)
+    b = spark.range(500, 1_700).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                 F.lit(".test/p")).alias("url")
+    )
+    merged = (
+        ra.unionByName(hll_registers(b, "url"))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    whole = hll_registers(
+        a.select("url").unionByName(b.select("url")), "url"
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 5_000
+    est = hll_estimate(hll_registers(_keys_df(spark, n, dup=2), "url"))
+    stderr = 1.04 / math.sqrt(1 << HLL_B)  # ~3.3% at b=10
+    assert abs(est - n) / n < 5 * stderr
+
+
+def test_hll_partitioning_invariance(spark):
+    n = 2_000
+    r1 = hll_registers(_keys_df(spark, n, parts=1), "url").collect()
+    r32 = hll_registers(_keys_df(spark, n, parts=32), "url").collect()
+    assert {tuple(r) for r in r1} == {tuple(r) for r in r32}
