@@ -3854,6 +3854,54 @@ def heavy_hitters_q(spark, sf):
     return heavy_hitters_topk(ev, "user_id", k=10)
 
 
+_MERKLE_DUCK = """
+WITH rh AS (
+  SELECT md5(concat_ws(chr(31),
+             coalesce(CAST(event_id AS VARCHAR), chr(0)),
+             coalesce(CAST(user_id AS VARCHAR), chr(0)),
+             coalesce(event_type, chr(0)))) AS rh
+  FROM events
+),
+leaves AS (
+  SELECT CAST(('0x' || substr(rh, 1, 15)) AS BIGINT) % 256 AS bucket, rh
+  FROM rh
+),
+nodes AS (
+  SELECT bucket, md5(string_agg(rh, '' ORDER BY rh)) AS node_hash,
+         COUNT(*) AS n_rows
+  FROM leaves GROUP BY bucket
+)
+SELECT CAST(1 AS INTEGER) AS level, bucket, node_hash,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM nodes
+UNION ALL
+SELECT CAST(0 AS INTEGER), CAST(-1 AS BIGINT),
+       md5(string_agg(node_hash, '' ORDER BY bucket)),
+       CAST(sum(n_rows) AS BIGINT)
+FROM nodes
+"""
+
+
+@_q("snapshot_merkle_tree", _MERKLE_DUCK)
+def merkle_tree_q(spark, sf):
+    """Merkle integrity tree over a table (operators/integrity.py): the
+    production-scale equality proof for crawl state.  The resume contract
+    ("identical URL-seen set after a kill", BASELINE.json north_star) is
+    tested at sf0.001 by collecting both tables — impossible at a 10^10-URL
+    frontier; the Merkle fold reduces it to ONE 32-char root comparison,
+    and merkle_diff localizes divergent buckets by exchanging O(n_buckets)
+    hashes, never rows (the rsync / Cassandra anti-entropy discipline;
+    tests/test_integrity.py runs exactly that kill/resume root check).
+    Rows are md5-hashed and bucketed by their own hash's top bits, so the
+    only exchange is a 256-row-bounded groupBy; order and partitioning
+    never matter (in-bucket sort before folding).  The DuckDB oracle
+    replays the identical two-level fold bit-for-bit."""
+    from layerg_crawler_v2_spark.operators.integrity import merkle_tree
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    return merkle_tree(ev, ["event_id", "user_id", "event_type"])
+
+
 _HLL_DUCK = """
 WITH k AS (
   SELECT 'https://h' || CAST(event_id % 700 AS VARCHAR) || '.test/p' AS url
@@ -5248,6 +5296,36 @@ def jaccard_prefix_q(spark, sf):
     from layerg_crawler_v2_spark.operators.dedup import jaccard_prefix_join
 
     return jaccard_prefix_join(_docs2(spark, sf), t_num=1, t_den=2)
+
+
+_CONTAINMENT_DUCK = f"""
+{_DUPES_SQL},
+sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS s FROM docs2),
+t AS (SELECT doc_id, list(s ORDER BY s) AS toks, count(*)::BIGINT AS sz
+      FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+       a.sz AS sz_a, b.sz AS sz_b
+FROM t a JOIN t b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 5 >= 4 * a.sz
+"""
+
+
+@_q("dedup_containment_join", _CONTAINMENT_DUCK)
+def containment_join_q(spark, sf):
+    """EXACT containment-threshold join (operators/dedup.py
+    containment_prefix_join; SSJoin overlap form, ICDE'06): directional
+    pairs where >= t of A's shingles appear in B — the asymmetric twin of
+    dedup_jaccard_prefix_join that catches a short document embedded
+    verbatim in a long wrapper page (syndicated snippets, quote inclusion,
+    boilerplate wrappers), which symmetric Jaccard is blind to when
+    |B| >> |A|. Guaranteed recall via the overlap prefix theorem
+    (A-prefix postings vs B's full list — no ordering condition on B);
+    integer threshold arithmetic; the oracle is the independent
+    brute-force directional formulation."""
+    from layerg_crawler_v2_spark.operators.dedup import containment_prefix_join
+
+    return containment_prefix_join(_docs2(spark, sf), t_num=4, t_den=5)
 
 
 _STALENESS_DUCK = """

@@ -1100,3 +1100,108 @@ def jaccard_prefix_join(
         F.col("sz_a").cast("bigint").alias("sz_a"),
         F.col("sz_b").cast("bigint").alias("sz_b"),
     )
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT containment-threshold join: directional pairs (id_a, id_b)
+    where |A∩B| / |A| >= t — "at least t of A's shingles appear in B".
+    The asymmetric twin of jaccard_prefix_join: Jaccard misses a short
+    document embedded verbatim in a long wrapper page (|A∩B|/|A∪B| is
+    tiny when |B| >> |A|), which is exactly the syndicated-snippet /
+    quote-inclusion / boilerplate-wrapper shape a webtext dedup pass must
+    catch (the reference's per-type decoders are total over their event
+    payloads, generated/eventhandlers/event_handlers.go:48-245; a
+    containment pass is the corpus-level analog of "this record is a
+    sub-record of that one").
+
+    Prefix theorem for OVERLAP (Chaudhuri et al. SSJoin, ICDE'06): if
+    |A∩B| >= ceil(t·|A|), then B must intersect A's first
+    p_a = |A| - ceil(t·|A|) + 1 shingles in the global canonical order
+    (else A and B share at most |A| - p_a = ceil(t·|A|) - 1 elements).
+    No ordering condition on B — so candidates join A-prefix postings
+    against B's FULL posting list, guaranteed recall. Fan-out per shingle
+    is prefix_df(s) x all_df(s): stopword shingles rank LAST in the
+    rarest-first canonical order and therefore almost never enter a
+    prefix, so prefix_df(stopword) ~ 0 bounds the product; residual skew
+    on a single hot shingle key is AQE skew-join territory, noted here
+    because the B side is unpruned by design.
+
+    Integer threshold arithmetic (t = t_num/t_den): required overlap
+    r_a = ceil(t·sz_a) = (t_num·sz_a + t_den − 1) div t_den; size filter
+    sz_b >= r_a (B can't contain more of A than B has); verification
+    inter·t_den >= t_num·sz_a. The SQL oracle is the independent
+    brute-force formulation — recall loss mismatches the row SET.
+
+    Returns (id_a, id_b, inter, sz_a, sz_b): id_a's shingles are
+    t-contained in id_b's, id_a != id_b, both directions possible.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("sz"))
+    freq = sh.groupBy("s").agg(F.count("*").alias("df_"))
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df_").asc(), F.col("s").asc()
+                )
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # p_a = sz - ceil(t*sz) + 1 ; prefix side A only
+    prefix_a = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}").cast("bigint")
+        + 1
+    ).select(F.col("id").alias("id_a"), "s", F.col("sz").alias("sz_a"))
+    all_b = sh.join(sizes, "id").select(
+        F.col("id").alias("id_b"), "s", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        prefix_a.join(all_b, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # B must hold at least ceil(t*sz_a) shingles to contain them
+        .filter(
+            F.col("sz_b")
+            >= F.expr(f"({t_num} * sz_a + {t_den} - 1) div {t_den}")
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    toks = sh.groupBy("id").agg(F.array_sort(F.collect_set("s")).alias("toks"))
+    verified = (
+        cand.join(
+            toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+        .filter(F.col("inter") * t_den >= t_num * F.col("sz_a"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+    )

@@ -368,3 +368,98 @@ def test_jaccard_prefix_join_partitioning_invariant(spark):
     a = sorted(map(tuple, jaccard_prefix_join(df1).collect()))
     b = sorted(map(tuple, jaccard_prefix_join(df2).collect()))
     assert a == b and len(a) > 0
+
+
+def _brute_containment_pairs(texts, n, t_num, t_den):
+    """Directional brute force: t of A's shingles inside B."""
+    import re as _re
+
+    def shingles(t):
+        w = _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(
+            w
+        ) >= n else set()
+
+    sets = {i: shingles(t) for i, t in texts.items()}
+    out = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a == b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * t_den >= t_num * len(sets[a]):
+                out.append((a, b, inter, len(sets[a]), len(sets[b])))
+    return sorted(out)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long wrapper: containment finds
+    the directional pair; Jaccard at the same threshold does not."""
+    from layerg_crawler_v2_spark.operators.dedup import (
+        containment_prefix_join,
+        jaccard_prefix_join,
+    )
+
+    snippet = "breaking news the quake struck the coastal town at dawn"
+    wrapper = (
+        "portal home nav sidebar promo "
+        + snippet
+        + " related stories footer links copyright terms privacy contact"
+        + " more filler words to stretch the wrapper page body even longer"
+    )
+    texts = {1: snippet, 2: wrapper}
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    cont = sorted(
+        map(tuple, containment_prefix_join(df, t_num=4, t_den=5).collect())
+    )
+    assert cont == _brute_containment_pairs(texts, 3, 4, 5)
+    assert any(a == 1 and b == 2 for a, b, *_ in cont)  # snippet -> wrapper
+    jac = jaccard_prefix_join(df, t_num=4, t_den=5).collect()
+    assert jac == []  # symmetric Jaccard blind to the asymmetric embed
+
+
+def test_containment_fuzz_recall_is_exact(spark):
+    """The overlap prefix theorem is exact: set-equality with brute force
+    across random corpora and thresholds."""
+    import random
+
+    from layerg_crawler_v2_spark.operators.dedup import containment_prefix_join
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    did = 0
+    for _ in range(10):
+        base = [rng.choice(vocab) for _ in range(rng.randint(5, 20))]
+        texts[did] = " ".join(base)
+        did += 1
+        if rng.random() < 0.6:  # wrapper-embeds of an earlier doc
+            pad = [rng.choice(vocab) for _ in range(rng.randint(3, 12))]
+            texts[did] = " ".join(pad + base + pad[::-1])
+            did += 1
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    for t_num, t_den in [(1, 2), (4, 5), (1, 1)]:
+        got = sorted(
+            map(
+                tuple,
+                containment_prefix_join(df, t_num=t_num, t_den=t_den).collect(),
+            )
+        )
+        assert got == _brute_containment_pairs(texts, 3, t_num, t_den), (
+            t_num,
+            t_den,
+        )
+
+
+def test_containment_partitioning_invariant(spark):
+    from layerg_crawler_v2_spark.operators.dedup import containment_prefix_join
+
+    texts = [
+        (i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} w{i % 3} tail common pad")
+        for i in range(24)
+    ]
+    df1 = spark.createDataFrame(texts, "doc_id bigint, text string").repartition(1)
+    df2 = spark.createDataFrame(texts, "doc_id bigint, text string").repartition(9)
+    a = sorted(map(tuple, containment_prefix_join(df1).collect()))
+    b = sorted(map(tuple, containment_prefix_join(df2).collect()))
+    assert a == b and len(a) > 0
