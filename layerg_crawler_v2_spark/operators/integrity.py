@@ -69,11 +69,20 @@ def merkle_tree(
         ).alias("bucket"),
         "rh",
     )
-    nodes = leaves.groupBy("bucket").agg(
-        F.md5(F.array_join(F.array_sort(F.collect_list("rh")), "")).alias(
-            "node_hash"
-        ),
-        F.count("*").alias("n_rows"),
+    nodes = (
+        leaves.groupBy("bucket")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list("rh")), "")).alias(
+                "node_hash"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        # materialize ONCE (lazily): both the level-1 branch and the root
+        # fold consume nodes — without a barrier the full-table hash scan
+        # re-executes for the root branch (two FileScans in the plan; at
+        # 100 TB that doubles the dominant cost for a <= n_buckets-row
+        # intermediate)
+        .localCheckpoint(eager=False)
     )
     root = nodes.groupBy().agg(
         F.md5(

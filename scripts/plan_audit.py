@@ -286,6 +286,35 @@ AUDITS = [
         "in the encode plan; EM training before it touches the corpus "
         "once and iterates on the vocab-sized word table.",
     ),
+    (
+        "sketch_hll_registers",
+        "HLL registers: hash/bucket/rho all inside one codegen "
+        "projection, then ONE exchange whose size is the register count "
+        "(partial MAX combines map-side to <= 2^b rows per task at any "
+        "input size); the second Exchange below is the registry entry's "
+        "presentation orderBy over <= 2^b rows, not the operator. No "
+        "UDF, no distinct() — duplicate-insensitivity comes from MAX "
+        "itself.",
+    ),
+    (
+        "snapshot_merkle_tree",
+        "Merkle fold: row hash + bucket in codegen; ONE n_buckets-bounded "
+        "exchange for the level-1 nodes, which are lazy-checkpointed so "
+        "the root branch folds the <= n_buckets materialized rows instead "
+        "of re-scanning the table (ONE FileScan in the plan). No row data "
+        "ever moves for a store-equality check — the diff exchanges node "
+        "hashes only.",
+    ),
+    (
+        "dedup_containment_join",
+        "Containment join: same exchanges as the Jaccard prefix join "
+        "(shingle explode -> df groupBy -> per-doc rank -> prefix-postings "
+        "join) with the B side unpruned BY THEOREM (overlap has no B-side "
+        "prefix bound); prefix_df(stopword) ~ 0 bounds the per-key "
+        "product, residual single-key skew is AQE skew-join territory, "
+        "and verification joins exchange doc-sized rows keyed by id, "
+        "never pair-sized texts.",
+    ),
 ]
 
 OPS = [
