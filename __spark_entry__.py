@@ -5298,6 +5298,154 @@ def jaccard_prefix_q(spark, sf):
     return jaccard_prefix_join(_docs2(spark, sf), t_num=1, t_den=2)
 
 
+_MICRODATA_DUCK = """
+WITH base AS (
+  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS item_idx,
+       'https://schema.org/Article' AS item_type, prop,
+       CASE prop WHEN 'url' THEN 'https://d.test/' || doc_id
+                 WHEN 'words' THEN CAST(n_chars AS VARCHAR)
+                 ELSE 'doc ' || doc_id END AS value
+FROM base, UNNEST(['name', 'headline', 'url', 'words']) t(prop)
+UNION ALL
+SELECT doc_id, CAST(0 AS INTEGER), 'https://schema.org/Article',
+       'author', '#item1'
+FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), 'https://schema.org/Person',
+       'name', 'au ' || (doc_id % 7)
+FROM base WHERE doc_id % 2 = 0
+"""
+
+
+@_q("extract_microdata_items", _MICRODATA_DUCK)
+def extract_microdata_q(spark, sf):
+    """schema.org microdata round trip (functions/extract.py
+    _MicrodataExtractor): build per-doc HTML (JVM concat) carrying one
+    itemscope Article — multi-token itemprop, a/meta value-attribute
+    rules — plus a NESTED Person author on even doc_ids, behind
+    comment-ghost, script-CDATA and orphan-itemprop noise; recover
+    (item_idx, item_type, prop, value) rows with the tree extractor
+    (one Arrow pass, posexplode_outer keeps a single ArrowEvalPython)
+    and match the relationally-recomputed expectation. The third
+    structured-data channel next to JSON-LD and tables — WDC's
+    extraction corpus is this operator at web scale; typed-decoder
+    analog generated/eventhandlers/event_handlers.go:48-245."""
+    from layerg_crawler_v2_spark.functions.extract import extract_microdata_udf
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+    )
+    html = F.concat(
+        F.lit(
+            "<html><body>"
+            '<!-- <div itemscope><span itemprop="ghost">g</span></div> -->'
+            "<script>var x = '<span itemprop=\"fake\">f</span>';</script>"
+            '<span itemprop="orphan">o</span>'
+            '<div itemscope itemtype="https://schema.org/Article">'
+            '<span itemprop="name headline">doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit('</span><a itemprop="url" href="https://d.test/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">go</a><meta itemprop="words" content="'),
+        F.col("n_chars").cast("string"),
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(
+                    '<div itemprop="author" itemscope '
+                    'itemtype="https://schema.org/Person">'
+                    '<span itemprop="name">au '
+                ),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</span></div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</div></body></html>"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            extract_microdata_udf(F.encode(html, "UTF-8")).alias("items"),
+        )
+        .select("doc_id", F.explode_outer("items").alias("it"))
+        .filter(F.col("it").isNotNull())
+        .select(
+            "doc_id",
+            F.col("it.item_idx").alias("item_idx"),
+            F.col("it.item_type").alias("item_type"),
+            F.col("it.prop").alias("prop"),
+            F.col("it.value").alias("value"),
+        )
+    )
+
+
+_META_ROBOTS_DUCK = """
+SELECT doc_id,
+       (doc_id % 4) IN (0, 1, 2) AS noindex,
+       (doc_id % 4) IN (0, 2) AS nofollow,
+       (doc_id % 4) = 1 AS noarchive
+FROM documents
+"""
+
+
+@_q("extract_meta_robots_flags", _META_ROBOTS_DUCK)
+def meta_robots_q(spark, sf):
+    """Page-level robots directives round trip (functions/extract.py
+    _MetaRobotsExtractor): the PER-PAGE half of the robots protocol —
+    operators/robots.py's host-level allow/deny governs FETCHING, meta
+    robots governs what a fetched page CONTRIBUTES (noindex: drop from
+    the output corpus; nofollow: drop its outlinks from the frontier;
+    noarchive: no cached/WARC copy). Spec rules exercised: comma-token
+    parsing with trim + case folding, `none` == noindex+nofollow,
+    MULTIPLE tags union (most restrictive wins — the spec's explicit
+    deviation from first-declaration-wins), bot-specific tags ignored,
+    comment/script noise invisible. HTML built by JVM concat per doc
+    (%4 residue picks the directive mix), flags recovered in one Arrow
+    pass, expectation recomputed relationally."""
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_meta_robots_udf,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<html><head><!-- <meta name="robots" content="noarchive"> -->'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit(
+                '<meta name="robots" content=" Noindex ">'
+                '<meta name="ROBOTS" content="NOARCHIVE">'
+                '<meta name="googlebot" content="nofollow">'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit('<meta name="robots" content="none">'),
+        )
+        .otherwise(
+            F.lit('<script>var m = \'<meta name="robots" content="noindex">\';</script>')
+        ),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return d.select(
+        "doc_id", extract_meta_robots_udf(F.encode(html, "UTF-8")).alias("f")
+    ).select(
+        "doc_id",
+        F.col("f.noindex").alias("noindex"),
+        F.col("f.nofollow").alias("nofollow"),
+        F.col("f.noarchive").alias("noarchive"),
+    )
+
+
 _CONTAINMENT_DUCK = f"""
 {_DUPES_SQL},
 sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS s FROM docs2),

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -745,3 +746,321 @@ def extract_tables_udf(htmls: pd.Series) -> pd.Series:
         ]
 
     return htmls.map(flat, na_action="ignore")
+
+
+_MD_VOID = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+})
+_MD_URL_ATTR = {
+    "a": "href", "area": "href", "link": "href",
+    "img": "src", "audio": "src", "video": "src",
+    "embed": "src", "iframe": "src", "source": "src", "track": "src",
+}
+
+
+class _MicrodataExtractor(HTMLParser):
+    """schema.org MICRODATA (WHATWG HTML §5: itemscope/itemtype/itemprop)
+    → flat rows (item_idx, item_type, prop, value) — the third
+    structured-data channel next to JSON-LD and tables (Common Crawl's
+    WDC extraction corpus is exactly this operator at web scale; the
+    typed-decoder analog is generated/eventhandlers/event_handlers.go's
+    per-record field extraction). Rules, sharing the module's tree
+    discipline:
+
+      * `itemscope` opens an item, indexed by START order (document
+        order); `itemtype`'s FIRST space-separated token is its type
+        ('' when absent). NESTED itemscope with `itemprop` becomes a
+        sub-item: the parent gets a pointer row (prop, '#item<k>') and
+        the child's own props row under its own index — the
+        nested-table routing precedent.
+      * `itemprop` value by element (the spec's value algorithm, the
+        subset without itemref):
+          meta → content | a/area/link → href | img/audio/video/embed/
+          iframe/source/track → src | data → value | time → datetime
+          when present else text | anything else → its text content,
+          charrefs decoded once, script/style payloads dropped.
+        Missing value attribute → '' (the spec's empty-string rule).
+      * multiple tokens in one itemprop ('name headline') emit one row
+        per token, same value (spec: the property NAMES all apply).
+      * an itemprop with NO enclosing open item is unassigned — dropped
+        (spec: properties belong to the nearest itemscope ancestor).
+      * itemref is NOT resolved (declared unsupported: <0.1% of WDC
+        pages; a resolver needs the id→element map, a second pass).
+      * unclosed elements: text captures run to EOF (the <title>
+        discipline); items close when their element closes or at EOF.
+      * markup inside comments produces no events (never seen); the
+        cheap reject below makes pages without 'itemscope' free.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[int, str, str, str]] = []
+        self._n_items = 0
+        # stack frames for non-void elements:
+        # {tag, item: int|None, type: str, capture: (item, type, props, parts)|None}
+        self._stack: list[dict] = []
+        self._cdata = 0  # script/style depth: payload drop
+
+    def _open_items(self) -> list[dict]:
+        return [f for f in self._stack if f["item"] is not None]
+
+    def _cur_item(self) -> dict | None:
+        opens = self._open_items()
+        return opens[-1] if opens else None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._cdata += 1
+            self._stack.append(
+                {"tag": tag, "item": None, "type": "", "capture": None}
+            )
+            return
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:  # duplicate attrs: first wins (browser rule)
+                d[k] = v
+        props = (d.get("itemprop") or "").split()
+        cur = self._cur_item()
+
+        if "itemscope" in d:
+            idx = self._n_items
+            self._n_items += 1
+            itype = (d.get("itemtype") or "").split()
+            itype_s = itype[0] if itype else ""
+            if props and cur is not None:  # pointer rows in the PARENT
+                for p in props:
+                    self.rows.append(
+                        (cur["item"], cur["type"], p, f"#item{idx}")
+                    )
+            frame = {"tag": tag, "item": idx, "type": itype_s, "capture": None}
+            if tag not in _MD_VOID:
+                self._stack.append(frame)
+            return
+
+        if not props or cur is None:
+            if tag not in _MD_VOID:
+                self._stack.append(
+                    {"tag": tag, "item": None, "type": "", "capture": None}
+                )
+            return
+
+        # itemprop on a plain element: immediate-value or text capture
+        value: str | None = None
+        if tag == "meta":
+            value = d.get("content") or ""
+        elif tag in _MD_URL_ATTR:
+            value = d.get(_MD_URL_ATTR[tag]) or ""
+        elif tag == "data":
+            value = d.get("value") or ""
+        elif tag == "time" and d.get("datetime") is not None:
+            value = d["datetime"]
+        if value is not None or tag in _MD_VOID:
+            for p in props:
+                self.rows.append((cur["item"], cur["type"], p, value or ""))
+            if tag not in _MD_VOID:
+                self._stack.append(
+                    {"tag": tag, "item": None, "type": "", "capture": None}
+                )
+            return
+        # text-content value: capture to matching endtag (or EOF)
+        self._stack.append({
+            "tag": tag, "item": None, "type": "",
+            "capture": (cur["item"], cur["type"], props, []),
+        })
+
+    def handle_data(self, data):
+        if self._cdata:
+            return  # script/style payload never becomes a prop value
+        for f in self._stack:
+            if f["capture"] is not None:
+                f["capture"][3].append(data)
+
+    def _emit_capture(self, f: dict) -> None:
+        if f["capture"] is None:
+            return
+        item, itype, props, parts = f["capture"]
+        text = "".join(parts)
+        for p in props:
+            self.rows.append((item, itype, p, text))
+        f["capture"] = None
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style") and self._cdata:
+            self._cdata -= 1
+        if not any(f["tag"] == tag for f in self._stack):
+            return  # stray endtag: no tree surgery
+        while self._stack:
+            f = self._stack.pop()
+            self._emit_capture(f)
+            if f["tag"] == tag:
+                break
+
+    def close(self) -> None:
+        super().close()
+        while self._stack:  # unclosed elements: captures run to EOF
+            self._emit_capture(self._stack.pop())
+
+
+def extract_microdata(html: bytes | None) -> list[tuple[int, str, str, str]]:
+    """(item_idx, item_type, prop, value) rows in emission order. Total on
+    arbitrary bytes; [] when the page declares no microdata."""
+    if html is None:
+        return []
+    low = bytes(html).lower()
+    # EXACT cheap reject: attribute NAMES can't be entity-encoded
+    if b"itemscope" not in low:
+        return []
+    p = _MicrodataExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.rows
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("item_idx", IntegerType()),
+    StructField("item_type", StringType()),
+    StructField("prop", StringType()),
+    StructField("value", StringType()),
+])))
+def extract_microdata_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_microdata, na_action="ignore")
+
+
+class _MetaRobotsExtractor(HTMLParser):
+    """Page-level robots directives (`<meta name="robots" content=...>`):
+    the PER-PAGE half of the robots protocol — robots.txt
+    (operators/robots.py) is host-level allow/deny for FETCHING; meta
+    robots governs what a fetched page contributes: `noindex` removes it
+    from the output corpus, `nofollow` removes its outlinks from the
+    frontier, `noarchive` forbids cached copies (the WARC-store signal).
+    Rules (Google/Bing REP meta spec):
+      * directives are comma-separated tokens, case-insensitive,
+        whitespace-trimmed; `none` == `noindex, nofollow`;
+      * MULTIPLE meta robots tags UNION their directives (the most
+        restrictive combination wins — unlike the module's
+        first-declaration-wins metas, the spec is explicit here);
+      * `name` value matching is case-insensitive ("ROBOTS" counts);
+        bot-specific tags (name="googlebot") are NOT generic and are
+        ignored — this extractor models the generic agent;
+      * tags inside comments/script produce no events (tree discipline).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.noindex = False
+        self.nofollow = False
+        self.noarchive = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "meta":
+            return
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v
+        if (d.get("name") or "").lower() != "robots":
+            return
+        toks = {
+            t.strip().lower() for t in (d.get("content") or "").split(",")
+        }
+        if "none" in toks:
+            self.noindex = self.nofollow = True
+        self.noindex = self.noindex or "noindex" in toks
+        self.nofollow = self.nofollow or "nofollow" in toks
+        self.noarchive = self.noarchive or "noarchive" in toks
+
+
+def extract_meta_robots(html: bytes | None) -> tuple[bool, bool, bool]:
+    """(noindex, nofollow, noarchive) for the page. Total on arbitrary
+    bytes; all-False when the page declares nothing."""
+    if html is None:
+        return (False, False, False)
+    low = bytes(html).lower()
+    # EXACT cheap reject: attribute VALUES can hide behind charrefs only
+    # when '&' is present (the extract_canonical rule); 'robots' must
+    # appear literally otherwise.
+    if b"robots" not in low and b"&" not in low:
+        return (False, False, False)
+    p = _MetaRobotsExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return (p.noindex, p.nofollow, p.noarchive)
+
+
+@pandas_udf(StructType([
+    StructField("noindex", BooleanType()),
+    StructField("nofollow", BooleanType()),
+    StructField("noarchive", BooleanType()),
+]))
+def extract_meta_robots_udf(htmls: pd.Series) -> pd.DataFrame:
+    vals = [
+        extract_meta_robots(h) if h is not None else (False, False, False)
+        for h in htmls
+    ]
+    return pd.DataFrame(vals, columns=["noindex", "nofollow", "noarchive"])
+
+
+class _RelNextPrevExtractor(HTMLParser):
+    """First `<link rel=next href=...>` and first `<link rel=prev
+    href=...>` (rel=previous accepted as the HTML4 alias) — the
+    pagination-series annotation: multi-page articles/listings declare
+    their sequence order, and a crawler that assembles the chain can
+    fetch a series as ONE logical document (ordering for seq-packing,
+    dedup at series granularity) instead of N disconnected pages. Same
+    token-based first-declaration-wins discipline as
+    _CanonicalExtractor; <a rel=next> counts too (the spec allows the
+    link type on both elements)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.next: str | None = None
+        self.prev: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in ("link", "a"):
+            return
+        if self.next is not None and self.prev is not None:
+            return
+        d: dict[str, str | None] = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v
+        rel = (d.get("rel") or "").lower().split()
+        href = d.get("href")
+        if not href:
+            return
+        if self.next is None and "next" in rel:
+            self.next = href
+        if self.prev is None and ("prev" in rel or "previous" in rel):
+            self.prev = href
+
+
+def extract_rel_next_prev(html: bytes | None) -> tuple[str | None, str | None]:
+    """(next_href, prev_href) of the page's declared pagination links."""
+    if html is None:
+        return (None, None)
+    low = bytes(html).lower()
+    # EXACT cheap reject: 'rel' is an attribute NAME (can't be
+    # entity-encoded); its VALUE can hide behind charrefs only when '&'
+    # is present (the extract_canonical rule).
+    if b"rel" not in low:
+        return (None, None)
+    if b"next" not in low and b"prev" not in low and b"&" not in low:
+        return (None, None)
+    p = _RelNextPrevExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return (p.next, p.prev)
+
+
+@pandas_udf(StructType([
+    StructField("next_url", StringType()),
+    StructField("prev_url", StringType()),
+]))
+def extract_rel_next_prev_udf(htmls: pd.Series) -> pd.DataFrame:
+    vals = [
+        extract_rel_next_prev(h) if h is not None else (None, None)
+        for h in htmls
+    ]
+    return pd.DataFrame(vals, columns=["next_url", "prev_url"])

@@ -94,3 +94,57 @@ def resolve_redirects(edges: DataFrame, rounds: int = 6) -> DataFrame:
             F.col("open").isNull().alias("resolved"),
         )
     )
+
+
+def pagination_series(next_edges: DataFrame) -> DataFrame:
+    """Assemble rel=next pagination chains into ordered series — the
+    consumer of functions/extract.py's _RelNextPrevExtractor: multi-page
+    articles/listings become ONE logical document (series-granularity
+    dedup, in-order seq-packing) instead of N disconnected pages.
+
+    `next_edges` is (url, next_url): each page's declared successor
+    (first-declaration-wins upstream, so one outgoing edge per url;
+    conflicting *incoming* edges — two pages declaring the same next —
+    are resolved deterministically to the lexicographically-least
+    predecessor, and the orphaned predecessor starts its own series).
+
+    Reuses resolve_redirects' pointer doubling on the REVERSED edges:
+    following predecessor pointers from any page reaches the series HEAD
+    in O(log H) self-join rounds, and the accumulated hop count IS the
+    page's position. Heads (never anyone's next) anchor position 0.
+
+    Returns (url, series_head, position BIGINT, resolved BOOLEAN) — one
+    row per URL in the next-graph; cycles (malformed pagination loops)
+    and chains past 2^rounds come back (url, NULL, NULL, false), same
+    verdict as the redirect resolver.
+    """
+    edges = next_edges.select(
+        F.col("url").cast("string").alias("u"),
+        F.col("next_url").cast("string").alias("n"),
+    ).filter(F.col("n").isNotNull() & (F.col("u") != F.col("n")))
+    # reversed (successor -> predecessor) map; dedupe conflicting
+    # incoming edges to the least predecessor (deterministic)
+    rev = edges.groupBy(F.col("n").alias("src")).agg(
+        F.min("u").alias("dst")
+    )
+    resolved = resolve_redirects(rev)  # (url, terminal_url, hops, resolved)
+    successors = resolved.select(
+        F.col("url"),
+        F.col("terminal_url").alias("series_head"),
+        F.col("hops").alias("position"),
+        "resolved",
+    )
+    # heads: in the graph but never a successor — position 0 of their own
+    # series (includes orphaned predecessors after conflict dedup)
+    heads = (
+        edges.select(F.col("u").alias("url"))
+        .distinct()
+        .join(rev.select(F.col("src").alias("url")), "url", "left_anti")
+        .select(
+            "url",
+            F.col("url").alias("series_head"),
+            F.lit(0).cast("bigint").alias("position"),
+            F.lit(True).alias("resolved"),
+        )
+    )
+    return successors.unionByName(heads)

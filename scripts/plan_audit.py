@@ -306,6 +306,19 @@ AUDITS = [
         "hashes only.",
     ),
     (
+        "extract_microdata_items",
+        "Microdata round trip: HTML construction is JVM concat (codegen), "
+        "the extractor is ONE ArrowEvalPython (explode_outer + "
+        "post-filter keeps Catalyst from duplicating the UDF below the "
+        "Generate — the jsonld precedent), zero exchanges end-to-end.",
+    ),
+    (
+        "extract_meta_robots_flags",
+        "Meta-robots flags: HTML construction in codegen, ONE "
+        "ArrowEvalPython for the struct extraction (alias-then-field "
+        "expansion, the title_meta pattern), zero exchanges.",
+    ),
+    (
         "dedup_containment_join",
         "Containment join: same exchanges as the Jaccard prefix join "
         "(shingle explode -> df groupBy -> per-doc rank -> prefix-postings "

@@ -710,3 +710,121 @@ def test_tables_udf_batch(spark):
             for ri, cells in enumerate(rws)
         ]
         assert [(x.table_idx, x.row_idx, list(x.cells)) for x in g] == want
+
+
+# ---------------------------------------------------------------------------
+# Microdata (itemscope/itemprop)
+# ---------------------------------------------------------------------------
+
+from layerg_crawler_v2_spark.functions.extract import extract_microdata
+
+
+def test_microdata_value_algorithm_per_element():
+    h = (b'<div itemscope itemtype="https://schema.org/Article extra">'
+         b'<span itemprop="name headline">Hello &amp; World</span>'
+         b'<a itemprop="url" href="https://ex.test/a">anchor text ignored</a>'
+         b'<img itemprop="image" src="https://ex.test/i.png">'
+         b'<time itemprop="published" datetime="2026-01-02">Jan 2</time>'
+         b'<time itemprop="modified">Jan 3</time>'
+         b'<meta itemprop="words" content="123">'
+         b'<data itemprop="rank" value="7">seven</data>'
+         b'</div>')
+    assert extract_microdata(h) == [
+        (0, "https://schema.org/Article", "name", "Hello & World"),
+        (0, "https://schema.org/Article", "headline", "Hello & World"),
+        (0, "https://schema.org/Article", "url", "https://ex.test/a"),
+        (0, "https://schema.org/Article", "image", "https://ex.test/i.png"),
+        (0, "https://schema.org/Article", "published", "2026-01-02"),
+        (0, "https://schema.org/Article", "modified", "Jan 3"),
+        (0, "https://schema.org/Article", "words", "123"),
+        (0, "https://schema.org/Article", "rank", "7"),
+    ]
+
+
+def test_microdata_nested_item_pointer_and_start_order():
+    h = (b'<div itemscope itemtype="T0">'
+         b'<div itemprop="author" itemscope itemtype="T1">'
+         b'<span itemprop="name">Ann</span></div>'
+         b'<span itemprop="after">tail</span></div>'
+         b'<div itemscope itemtype="T2"><span itemprop="x">y</span></div>')
+    assert extract_microdata(h) == [
+        (0, "T0", "author", "#item1"),
+        (1, "T1", "name", "Ann"),
+        (0, "T0", "after", "tail"),
+        (2, "T2", "x", "y"),
+    ]
+
+
+def test_microdata_noise_invisible_and_orphans_dropped():
+    h = (b'<!-- <div itemscope><span itemprop="ghost">no</span></div> -->'
+         b'<script>var s = \'<span itemprop="fake">no</span>\';</script>'
+         b'<span itemprop="orphan">no enclosing itemscope</span>'
+         b'<div itemscope itemtype="T"><span itemprop="ok">v'
+         b'<script>dropped()</script>isible</span></div>')
+    assert extract_microdata(h) == [(0, "T", "ok", "visible")]
+
+
+def test_microdata_unclosed_to_eof_and_empty_values():
+    h = (b'<div itemscope><a itemprop="u">no href</a>'
+         b'<meta itemprop="m"><b itemprop="t">to eof')
+    assert extract_microdata(h) == [
+        (0, "", "u", ""),
+        (0, "", "m", ""),
+        (0, "", "t", "to eof"),
+    ]
+
+
+def test_microdata_total_on_soup():
+    import random
+
+    rng = random.Random(9)
+    frags = [b"<div itemscope", b" itemprop='x'>", b"</div>", b"<span",
+             b"itemtype=", b"&amp;", b"<!--", b"-->", b"<script>", b"\xff\xfe",
+             b"</script>", b"text", b"<time datetime='d'", b"<td>", b"='"]
+    for _ in range(300):
+        soup = b"".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
+        out = extract_microdata(soup)
+        assert isinstance(out, list)
+        for item, itype, prop, val in out:
+            assert isinstance(item, int) and item >= 0
+            assert isinstance(prop, str) and prop
+
+
+# ---------------------------------------------------------------------------
+# Meta robots (page-level directives)
+# ---------------------------------------------------------------------------
+
+from layerg_crawler_v2_spark.functions.extract import extract_meta_robots
+
+
+def test_meta_robots_union_and_none_alias():
+    assert extract_meta_robots(
+        b'<meta name="robots" content="noindex, nofollow">'
+    ) == (True, True, False)
+    assert extract_meta_robots(
+        b'<meta name="robots" content="none">'
+    ) == (True, True, False)
+    # multiple tags UNION (most restrictive wins), spec rule
+    assert extract_meta_robots(
+        b'<meta name="robots" content="noindex">'
+        b'<meta name="robots" content="NOARCHIVE">'
+    ) == (True, False, True)
+
+
+def test_meta_robots_case_trim_and_specific_bots_ignored():
+    assert extract_meta_robots(
+        b'<meta name="ROBOTS" content=" Noindex ">'
+    ) == (True, False, False)
+    assert extract_meta_robots(
+        b'<meta name="googlebot" content="noindex">'
+    ) == (False, False, False)
+
+
+def test_meta_robots_noise_invisible_and_total():
+    assert extract_meta_robots(
+        b'<!-- <meta name="robots" content="noindex"> -->'
+        b'<script>s="<meta name=robots content=nofollow>"</script>'
+    ) == (False, False, False)
+    assert extract_meta_robots(b"") == (False, False, False)
+    assert extract_meta_robots(None) == (False, False, False)
+    assert extract_meta_robots(b"\xff\xfe<meta") == (False, False, False)

@@ -70,3 +70,58 @@ def test_partitioning_invariance(spark):
 def test_rounds_validation(spark):
     with pytest.raises(ValueError):
         resolve_redirects(_df(spark, [("a", "b")]), rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# Pagination series (rel=next chains)
+# ---------------------------------------------------------------------------
+
+
+def test_pagination_series_orders_chains(spark):
+    from layerg_crawler_v2_spark.operators.redirects import pagination_series
+
+    # two series: a->b->c->d and x->y; plus a self-loop (dropped edge)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("s", "s")],
+        "url string, next_url string",
+    )
+    got = {
+        r["url"]: (r["series_head"], r["position"], r["resolved"])
+        for r in pagination_series(edges).collect()
+    }
+    assert got == {
+        "a": ("a", 0, True),
+        "b": ("a", 1, True),
+        "c": ("a", 2, True),
+        "d": ("a", 3, True),
+        "x": ("x", 0, True),
+        "y": ("x", 1, True),
+    }
+
+
+def test_pagination_series_cycle_unresolved_and_conflict_dedup(spark):
+    from layerg_crawler_v2_spark.operators.redirects import pagination_series
+
+    # cycle p->q->p; conflict: both m and k declare next=z (min wins: k)
+    edges = spark.createDataFrame(
+        [("p", "q"), ("q", "p"), ("m", "z"), ("k", "z")],
+        "url string, next_url string",
+    )
+    rows = {r["url"]: r for r in pagination_series(edges).collect()}
+    assert not rows["p"]["resolved"] and rows["p"]["series_head"] is None
+    assert not rows["q"]["resolved"]
+    assert rows["z"]["series_head"] == "k" and rows["z"]["position"] == 1
+    # the orphaned predecessor anchors its own series at position 0
+    assert rows["m"]["series_head"] == "m" and rows["m"]["position"] == 0
+    assert rows["k"]["series_head"] == "k" and rows["k"]["position"] == 0
+
+
+def test_pagination_series_partitioning_invariant(spark):
+    from layerg_crawler_v2_spark.operators.redirects import pagination_series
+
+    rows = [(f"u{i}", f"u{i+1}") for i in range(0, 40) if (i + 1) % 8 != 0]
+    e1 = spark.createDataFrame(rows, "url string, next_url string").repartition(1)
+    e2 = spark.createDataFrame(rows, "url string, next_url string").repartition(13)
+    a = sorted(map(tuple, pagination_series(e1).collect()))
+    b = sorted(map(tuple, pagination_series(e2).collect()))
+    assert a == b and len(a) > 0
