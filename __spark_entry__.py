@@ -5385,6 +5385,71 @@ def extract_microdata_q(spark, sf):
     )
 
 
+_PAGINATION_DUCK = """
+WITH RECURSIVE e AS (
+  SELECT 'https://s.test/p' || doc_id AS url,
+         'https://s.test/p' || (doc_id + 1) AS next_url
+  FROM documents WHERE doc_id % 5 <> 4
+),
+rev AS (SELECT next_url AS src, min(url) AS dst FROM e GROUP BY next_url),
+heads AS (
+  SELECT url FROM (SELECT DISTINCT url FROM e) u
+  WHERE url NOT IN (SELECT src FROM rev)
+),
+walk(url, series_head, position) AS (
+  SELECT url, url, CAST(0 AS BIGINT) FROM heads
+  UNION ALL
+  SELECT r.src, w.series_head, w.position + 1
+  FROM walk w JOIN rev r ON r.dst = w.url
+)
+SELECT url, series_head, position, TRUE AS resolved FROM walk
+"""
+
+
+@_q("frontier_pagination_series", _PAGINATION_DUCK)
+def pagination_series_q(spark, sf):
+    """rel=next pagination chains assembled into ordered series, end to
+    end: per-doc HTML built in codegen (chains of 5 by doc_id residue,
+    comment-ghost noise), next-links recovered by the tree extractor
+    (functions/extract.py _RelNextPrevExtractor, one Arrow pass,
+    first-declaration-wins + token-based rel), then chains ordered by
+    resolve_redirects' pointer doubling on the REVERSED edges
+    (operators/redirects.py pagination_series) — series head and
+    position in O(log H) self-join rounds, no iteration proportional to
+    chain length. Multi-page articles become ONE logical document:
+    series-granularity dedup and in-order seq-packing keys. The oracle
+    re-walks the chains with a recursive CTE — an independent
+    formulation of the same fixpoint (the redirect-resolver precedent)."""
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_rel_next_prev_udf,
+    )
+    from layerg_crawler_v2_spark.operators.redirects import pagination_series
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<html><head><!-- <link rel="next" href="/ghost"> -->'),
+        F.when(
+            F.col("doc_id") % 5 != 4,
+            F.concat(
+                F.lit('<link rel="next" href="https://s.test/p'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit('<a href="https://x.test/">plain</a>')),
+        F.lit("</head><body>x</body></html>"),
+    )
+    edges = (
+        d.select(
+            F.concat(F.lit("https://s.test/p"), F.col("doc_id").cast("string"))
+            .alias("url"),
+            extract_rel_next_prev_udf(F.encode(html, "UTF-8")).alias("l"),
+        )
+        .select("url", F.col("l.next_url").alias("next_url"))
+        .filter(F.col("next_url").isNotNull())
+    )
+    return pagination_series(edges)
+
+
 _META_ROBOTS_DUCK = """
 SELECT doc_id,
        (doc_id % 4) IN (0, 1, 2) AS noindex,

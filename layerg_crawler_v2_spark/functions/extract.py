@@ -1064,3 +1064,96 @@ def extract_rel_next_prev_udf(htmls: pd.Series) -> pd.DataFrame:
         for h in htmls
     ]
     return pd.DataFrame(vals, columns=["next_url", "prev_url"])
+
+
+_BLOCK_TAGS = frozenset({
+    "p", "div", "article", "section", "main", "aside", "header", "footer",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th", "blockquote",
+    "pre", "ul", "ol", "table", "nav", "body",
+})
+
+
+class _BlockExtractor(HTMLParser):
+    """Page segmentation into text BLOCKS with per-block link-text
+    accounting — the measurement half of jusText/Readability-style main-
+    content extraction (Pomikalek 2011: a block that is mostly anchor
+    text is navigation; a long block with low link density is content).
+    The cross-host frequency approach (operators/quality.py boilerplate
+    chunk removal) needs a corpus; THIS works per page, the way browser
+    reader modes do.
+
+      * a block opens at every block-level start tag (_BLOCK_TAGS) and
+        closes at its end tag OR at the next block-level boundary —
+        text between boundaries is one block (the jusText segmentation
+        rule); empty/whitespace-only blocks are dropped;
+      * per block: the concatenated text (charrefs decoded once) and
+        the portion of its characters inside <a> elements (link text,
+        nested anchors counted once — an <a> depth counter);
+      * script/style payloads and comments never contribute (tree
+        discipline); block index is emission order.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[int, str, int]] = []  # (idx, text, link_chars)
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._a_depth = 0
+        self._cdata = 0
+
+    def _flush(self) -> None:
+        text = "".join(self._parts)
+        if text.strip():
+            self.blocks.append((len(self.blocks), text, self._link_chars))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._cdata += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._a_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            if self._cdata:
+                self._cdata -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a" and self._a_depth:
+            self._a_depth -= 1
+
+    def handle_data(self, data):
+        if self._cdata:
+            return
+        self._parts.append(data)
+        if self._a_depth:
+            self._link_chars += len(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_blocks(html: bytes | None) -> list[tuple[int, str, int]]:
+    """(block_idx, text, link_chars) per non-empty text block. Total on
+    arbitrary bytes."""
+    if html is None:
+        return []
+    p = _BlockExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.blocks
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("block_idx", IntegerType()),
+    StructField("text", StringType()),
+    StructField("link_chars", IntegerType()),
+])))
+def extract_blocks_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_blocks, na_action="ignore")

@@ -319,6 +319,14 @@ AUDITS = [
         "expansion, the title_meta pattern), zero exchanges.",
     ),
     (
+        "frontier_pagination_series",
+        "Pagination chains: ONE ArrowEvalPython for link extraction, "
+        "then the redirect resolver's pointer doubling — O(log H) "
+        "self-equi-joins on the reversed successor map (|nodes| rows "
+        "throughout, no per-hop pass), heads anti-joined in. No driver "
+        "iteration proportional to chain length.",
+    ),
+    (
         "dedup_containment_join",
         "Containment join: same exchanges as the Jaccard prefix join "
         "(shingle explode -> df groupBy -> per-doc rank -> prefix-postings "
