@@ -5385,6 +5385,59 @@ def extract_microdata_q(spark, sf):
     )
 
 
+_JUSTEXT_DUCK = """
+WITH d AS (
+  SELECT doc_id,
+         'article content for doc ' || doc_id || ' ' || repeat('w', 50)
+           AS content
+  FROM documents
+)
+SELECT doc_id AS id, CAST(0 AS INTEGER) AS block_idx,
+       'Home | Blog' AS text, CAST(11 AS BIGINT) AS n_chars,
+       CAST(8 AS BIGINT) AS link_chars, FALSE AS is_content
+FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), content,
+       CAST(length(content) AS BIGINT), CAST(0 AS BIGINT),
+       length(content) >= 40
+FROM d
+UNION ALL
+SELECT doc_id, CAST(2 AS INTEGER), 'more stuff', CAST(10 AS BIGINT),
+       CAST(5 AS BIGINT), FALSE
+FROM d
+"""
+
+
+@_q("extract_main_content_blocks", _JUSTEXT_DUCK)
+def justext_q(spark, sf):
+    """Per-PAGE main-content extraction, jusText/Readability context-free
+    core (operators/quality.py justext_blocks; Pomikalek 2011): segment
+    the page into text blocks at block-level tag boundaries with per-
+    block LINK-TEXT accounting (tree pass, nested anchors counted once,
+    script/comment noise invisible), then classify in pure integer
+    codegen arithmetic — content iff n_chars >= 40 AND link_chars*3 <
+    n_chars (strict, no float division). The single-page complement of
+    the corpus-frequency boilerplate removal: works without host
+    statistics, the way browser reader modes do. HTML built per doc
+    (nav rail / content paragraph / short link mix), classification
+    recomputed relationally by the oracle."""
+    from layerg_crawler_v2_spark.operators.quality import justext_blocks
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> | '
+            '<a href="/blog">Blog</a></nav>'
+            "<p>article content for doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(" " + "w" * 50 + "</p>"),
+        F.lit('<div>more <a href="/m">stuff</a></div></body></html>'),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return justext_blocks(pages, html_col="html", id_col="doc_id")
+
+
 _PAGINATION_DUCK = """
 WITH RECURSIVE e AS (
   SELECT 'https://s.test/p' || doc_id AS url,

@@ -127,3 +127,63 @@ def c4_span_dedup_drops(
         )
         .select(id_col, "span_idx", "span_hash")
     )
+
+
+def justext_blocks(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    min_len: int = 40,
+    max_link_density_num: int = 1,
+    max_link_density_den: int = 3,
+) -> DataFrame:
+    """Per-PAGE main-content classification of text blocks — the
+    context-free core of jusText (Pomikalek 2011) / Readability: a block
+    that is long and mostly non-anchor text is CONTENT; short blocks and
+    blocks dominated by link text are BOILERPLATE (navigation, footers,
+    related-story rails). Complements the corpus-frequency approach
+    (boilerplate chunk removal above), which needs many pages per host;
+    this works on a single page, the way browser reader modes do.
+
+    Segmentation + link accounting come from the tree
+    (functions/extract.py _BlockExtractor, one Arrow pass); the
+    classification itself is pure integer arithmetic in codegen:
+
+        is_content = n_chars >= min_len
+                     AND link_chars * den < n_chars * num_inv
+
+    i.e. link density < num/den with no float division (the repo's
+    integer-threshold discipline; defaults: len >= 40, density < 1/3).
+    Context-sensitive smoothing (jusText's near-good promotion) is a
+    declared non-goal — it needs the neighbor pass and buys little on
+    the synthetic corpus; the hook is the block ordering this returns.
+
+    Returns (id, block_idx, text, n_chars, link_chars, is_content);
+    explode_outer + post-filter keeps ONE ArrowEvalPython in the plan
+    (the jsonld precedent). No exchange anywhere — per-page work only.
+    """
+    from layerg_crawler_v2_spark.functions.extract import extract_blocks_udf
+
+    return (
+        pages.select(
+            F.col(id_col).alias("id"),
+            extract_blocks_udf(F.col(html_col)).alias("blocks"),
+        )
+        .select("id", F.explode_outer("blocks").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select(
+            "id",
+            F.col("b.block_idx").alias("block_idx"),
+            F.col("b.text").alias("text"),
+            F.length(F.col("b.text")).cast("bigint").alias("n_chars"),
+            F.col("b.link_chars").cast("bigint").alias("link_chars"),
+        )
+        .withColumn(
+            "is_content",
+            (F.col("n_chars") >= min_len)
+            & (
+                F.col("link_chars") * max_link_density_den
+                < F.col("n_chars") * max_link_density_num
+            ),
+        )
+    )

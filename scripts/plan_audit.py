@@ -327,6 +327,12 @@ AUDITS = [
         "iteration proportional to chain length.",
     ),
     (
+        "extract_main_content_blocks",
+        "jusText blocks: ONE ArrowEvalPython (explode_outer + "
+        "post-filter), classification entirely in codegen integer "
+        "arithmetic, zero exchanges — per-page work only.",
+    ),
+    (
         "dedup_containment_join",
         "Containment join: same exchanges as the Jaccard prefix join "
         "(shingle explode -> df groupBy -> per-doc rank -> prefix-postings "

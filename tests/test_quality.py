@@ -89,3 +89,61 @@ def test_no_kept_lines_is_empty_not_error(spark):
     d = _docs(spark, [(1, "no punct\nstill no punct"), (2, None)])
     assert c4_page_filter(d).filter(F.col("doc_id") == 1).collect()[0].n_kept_lines == 0
     assert c4_span_dedup_drops(d).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# jusText-style per-page main-content blocks
+# ---------------------------------------------------------------------------
+
+
+def test_justext_blocks_classification(spark):
+    from layerg_crawler_v2_spark.operators.quality import justext_blocks
+
+    content = (
+        "This is the real article content with enough words to clear the "
+        "minimum length threshold easily."
+    )
+    html = (
+        '<html><body><nav><a href="/">Home</a> | <a href="/b">Blog</a></nav>'
+        f"<p>{content}</p>"
+        '<div>Short <a href="/x">link</a> mix</div>'
+        "<script>var junk = 'invisible';</script>"
+        '<footer><a href="/terms">Terms of service and privacy policy '
+        "and cookie settings and more legal links here</a></footer>"
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("u1", html.encode())], "url string, html binary"
+    )
+    rows = {
+        r["block_idx"]: r for r in justext_blocks(pages).collect()
+    }
+    assert rows[1]["text"] == content and rows[1]["is_content"]
+    assert not rows[0]["is_content"]  # nav: link-dominated
+    assert not rows[2]["is_content"]  # short
+    # long but pure link text (footer): length passes, density kills it
+    assert rows[3]["n_chars"] >= 40 and not rows[3]["is_content"]
+    assert "invisible" not in " ".join(r["text"] for r in rows.values())
+
+
+def test_justext_blocks_integer_density_boundary(spark):
+    from layerg_crawler_v2_spark.operators.quality import justext_blocks
+
+    # exactly 1/3 link density must be EXCLUDED (strict <): 60 chars,
+    # 20 of them anchor text
+    text_part = "x" * 40
+    link_part = "y" * 20
+    html = f'<p>{text_part}<a href="/l">{link_part}</a></p>'
+    pages = spark.createDataFrame(
+        [("u", html.encode())], "url string, html binary"
+    )
+    [r] = justext_blocks(pages).collect()
+    assert (r["n_chars"], r["link_chars"]) == (60, 20)
+    assert not r["is_content"]
+    # one char under the boundary passes
+    html2 = f'<p>{text_part}x<a href="/l">{link_part}</a></p>'
+    pages2 = spark.createDataFrame(
+        [("u", html2.encode())], "url string, html binary"
+    )
+    [r2] = justext_blocks(pages2).collect()
+    assert r2["is_content"]
