@@ -828,3 +828,57 @@ def test_meta_robots_noise_invisible_and_total():
     assert extract_meta_robots(b"") == (False, False, False)
     assert extract_meta_robots(None) == (False, False, False)
     assert extract_meta_robots(b"\xff\xfe<meta") == (False, False, False)
+
+
+def test_meta_robots_composes_with_outlinks_for_frontier(spark):
+    """nofollow enforcement as a composition of public pieces: outlinks of
+    pages whose meta robots says nofollow never reach the frontier; noindex
+    pages still CONTRIBUTE links (the spec's separation of the two bits)."""
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_meta_robots,
+        extract_meta_robots_udf,
+        extract_outlinks,
+        extract_outlinks_udf,
+    )
+
+    def page(i, directives):
+        meta = (
+            f'<meta name="robots" content="{directives}">' if directives else ""
+        )
+        return (
+            f"u{i}",
+            (
+                f"<html><head>{meta}</head><body>"
+                f'<a href="https://t.test/{i}a">x</a>'
+                f'<a href="https://t.test/{i}b">y</a></body></html>'
+            ).encode(),
+        )
+
+    rows = [
+        page(0, "nofollow"),
+        page(1, "noindex"),
+        page(2, "none"),
+        page(3, ""),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(
+        r["out"]
+        for r in pages.select(
+            "url",
+            extract_meta_robots_udf("html").alias("f"),
+            extract_outlinks_udf("html").alias("links"),
+        )
+        .filter(~F.col("f.nofollow"))
+        .select(F.explode("links").alias("out"))
+        .collect()
+    )
+    want = sorted(
+        o
+        for _, h in rows
+        if not extract_meta_robots(h)[1]
+        for o in extract_outlinks(h)
+    )
+    assert got == want
+    assert got == [f"https://t.test/{i}{s}" for i in (1, 3) for s in "ab"]
