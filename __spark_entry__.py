@@ -6032,8 +6032,15 @@ _PRIORITY = [
     # shuffle-join entry, certifying null-safe-compare (eqNullSafe vs
     # IS DISTINCT FROM) parity cross-engine
     "crawl_snapshot_diff",
-    # headline queries
-    "q1_pricing_summary", "q3_shipping_priority",
+    # headline queries (q3 demoted r4s11: its scan+filter+join+agg+top-N
+    # shape is driver-covered piecewise by q1 [agg+sort], j5 [broadcast
+    # join], w2 [per-key top-K] and o3 [limit/offset]; it stays a headline
+    # BENCH query and pytest-oracled. Its slot goes to the Merkle
+    # integrity tree — new in-window physics: a sorted in-bucket
+    # collect_list fold under md5 with a bounded two-level reduction, the
+    # store-equality/anti-entropy mechanism behind the resume contract;
+    # no other window entry drives an order-sensitive agg fold.)
+    "q1_pricing_summary", "snapshot_merkle_tree",
     # text analysis (text_fingerprint demoted: dedup_exact_groups' oracle
     # embeds the identical md5-of-normalized-text expression;
     # text_token_count demoted r4s5: regexp-count cross-engine parity is
@@ -6056,8 +6063,15 @@ _PRIORITY = [
     # entry drives)
     "c4_quality_filter", "psl_registrable_domain",
     # dedup (connected_components' oracle embeds the identical lsh_pairs
-    # CTE, so the demoted pairs entry is transitively driver-covered)
-    "dedup_exact_groups", "dedup_connected_components", "dedup_ngram_jaccard",
+    # CTE, so the demoted pairs entry is transitively driver-covered;
+    # ngram_jaccard demoted r4s11 for its strict upgrade: the prefix-
+    # filtered Jaccard join computes the SAME threshold-pair semantics
+    # with guaranteed recall at rare-token-bounded candidate cost — the
+    # every-shingle self-join it replaces is the scale-dead formulation,
+    # and its physics [shingle explode + bucket join + array_intersect
+    # verify] ride along inside the prefix join's plan)
+    "dedup_exact_groups", "dedup_connected_components",
+    "dedup_jaccard_prefix_join",
     # r4 session-11 flagship: JSON-LD structured-data extraction — new
     # in-window physics: the html.parser CDATA extractor driven through an
     # Arrow UDF with a construction-inversion oracle (pages built JVM-side,
@@ -6090,10 +6104,17 @@ _PRIORITY = [
     "text_bigram_lm_score",
     # similarity
     "ann_cosine_topk", "embedding_near_dup",
-    # r4 session-6 flagships: Lloyd k-means whose oracle replays the full
-    # iterative algorithm as unrolled CTEs, and SemDeDup semantic dedup on
-    # the trained clusters (blocked per-cluster gram, never O(n^2))
-    "embedding_kmeans_assign", "semantic_dedup_clusters",
+    # r4 session-6 flagship: SemDeDup semantic dedup on trained clusters
+    # (blocked per-cluster gram, never O(n^2)); its kmeans_assign twin
+    # demoted r4s11 — semantic_dedup_clusters RUNS kmeans_lloyd as its
+    # first stage, so the full Lloyd machinery (and its unrolled-CTE
+    # oracle) stays driver-covered in-window. The slot goes to the
+    # HyperLogLog register sketch — new in-window physics: a bounded-
+    # domain MAX aggregation whose exchange is sketch-sized at any input
+    # size, with bin()-length leading-zero-rank integer arithmetic
+    # bit-matched cross-engine; no other window entry drives a mergeable-
+    # sketch aggregation.
+    "sketch_hll_registers", "semantic_dedup_clusters",
     # r4 session-7 flagship: quality-classifier training — full-batch-GD
     # logistic regression whose oracle unrolls the whole training run as
     # CTEs (iterative-ML physics: Arrow matvec scoring + map-side-combined
@@ -6137,7 +6158,8 @@ _PRIORITY = [
     # r4 session-8 demotions (rationales at their old window positions)
     "p1_projection_pruning",
     # r4 session-11 demotions (rationales at their old window positions)
-    "dedup_editdist_pairs",
+    "dedup_editdist_pairs", "q3_shipping_priority", "dedup_ngram_jaccard",
+    "embedding_kmeans_assign",
     # r4 session-7 oracled 51+ entries (window-covered by their in-window
     # siblings: pq_encode_codes shares the trained codebooks with the ADC
     # search below)
@@ -6179,11 +6201,18 @@ _PRIORITY = [
     # r4 session-11 oracled 51+: staleness SLA — integer projection +
     # host rollup (physics windowed by a5_group_agg / p5's CASE logic)
     "frontier_staleness_report",
-    # r4 session-11 oracled 51+: exact prefix-filtered Jaccard join — its
-    # candidate bucket-join physics is windowed by dedup_ngram_jaccard,
-    # its rank window by w2_topk_per_key; the prefix-filter exactness
-    # guarantee is pinned by an independent brute-force oracle + fuzz
-    "dedup_jaccard_prefix_join",
+    # r4 session-11 oracled 51+ (the prefix-join itself was PROMOTED into
+    # the window as dedup_ngram_jaccard's strict upgrade; these ride the
+    # same machinery): directional containment join shares the prefix-
+    # postings candidate physics and array_intersect verification
+    "dedup_containment_join",
+    # r4 session-11 oracled 51+ extractors: microdata / meta-robots /
+    # pagination-series / jusText blocks all drive the html.parser-tree-
+    # through-Arrow physics windowed by extract_jsonld_struct (single
+    # ArrowEvalPython, construction-inversion oracles); pagination's
+    # pointer doubling is windowed by redirect_chain_resolve
+    "extract_microdata_items", "extract_meta_robots_flags",
+    "frontier_pagination_series", "extract_main_content_blocks",
 ]
 
 _REGISTRY = {

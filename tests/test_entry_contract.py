@@ -59,8 +59,8 @@ def test_flagship_new_components_have_driver_rows():
         # r4 session-4 flagships
         "redirect_chain_resolve",
         "text_bigram_lm_score",
-        # r4 session-6/7 flagships
-        "embedding_kmeans_assign",
+        # r4 session-6/7 flagships (kmeans_assign demoted r4s11:
+        # semantic_dedup_clusters runs kmeans_lloyd as its first stage)
         "semantic_dedup_clusters",
         "quality_classifier_train",
         "pq_encode_codes",
@@ -68,8 +68,14 @@ def test_flagship_new_components_have_driver_rows():
         "crawl_snapshot_diff",
         # r4 session-9 flagship
         "dedup_winnow_fingerprints",
-        # r4 session-11 flagship
+        # r4 session-11 flagships: JSON-LD extraction; Merkle integrity
+        # tree (order-sensitive agg fold), HLL register sketch (bounded-
+        # domain mergeable MAX), prefix-filtered Jaccard join (the
+        # ngram_jaccard strict upgrade)
         "extract_jsonld_struct",
+        "snapshot_merkle_tree",
+        "sketch_hll_registers",
+        "dedup_jaccard_prefix_join",
     ):
         assert name in window, name
 
@@ -92,10 +98,10 @@ def test_demotions_have_in_window_twins():
         "f9_rfc3339_format": "a3_min_fold",
         # r4 session-9 demotions
         "f10_json_extract": "f3_lower_normalize",
-        "dedup_winnow_pairs": "dedup_ngram_jaccard",
+        "dedup_winnow_pairs": "dedup_jaccard_prefix_join",
         "text_lang_id": "c4_quality_filter",
         "a2_unique_set_first": "w2_topk_per_key",
-        "f13_array_explode": "dedup_ngram_jaccard",
+        "f13_array_explode": "dedup_jaccard_prefix_join",
         # r4 session-4 demotions
         "p4_comparison_filter": "p5_bool_connectives",
         "o2_topn_by_time": "o3_pagination",
@@ -111,7 +117,10 @@ def test_demotions_have_in_window_twins():
         # r4 session-8 demotions
         "p1_projection_pruning": "p5_bool_connectives",
         # r4 session-11 demotions
-        "dedup_editdist_pairs": "dedup_ngram_jaccard",
+        "dedup_editdist_pairs": "dedup_jaccard_prefix_join",
+        "dedup_ngram_jaccard": "dedup_jaccard_prefix_join",
+        "q3_shipping_priority": "q1_pricing_summary",
+        "embedding_kmeans_assign": "semantic_dedup_clusters",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
