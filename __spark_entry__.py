@@ -5385,6 +5385,64 @@ def extract_microdata_q(spark, sf):
     )
 
 
+_WET_DUCK = """
+SELECT 'https://d.test/' || doc_id AS target_uri,
+       'conversion' AS warc_type,
+       'text/plain' AS content_type,
+       'r' || doc_id || ':wet' AS record_id,
+       'doc ' || doc_id || ' body' AS text
+FROM documents
+WHERE doc_id % 10 <> 0
+"""
+
+
+@_q("warc_wet_conversion", _WET_DUCK)
+def wet_conversion_q(spark, sf):
+    """WET text-sidecar derivation (sources/warc.py wet_records): WARC
+    response records → Common Crawl .wet-layout `conversion` records —
+    same target URI/date, text/plain payload = the TREE-extracted visible
+    text of the archived html (head/nav dropped, the engine's
+    byte-identical extraction contract), ':wet'-suffixed ids; non-200 and
+    non-response records excluded. Completes the archive loop next to the
+    segment writer and CDX index: crawl → WARC → {CDX ranged replay, WET
+    for text-only consumers}. Records built inline per doc (one 404 per
+    ten pages pins the status filter); the oracle recomputes the expected
+    text relationally (construction inversion). One Arrow pass, narrow
+    plan, no exchange; on-disk segment round trip is pytest-pinned
+    (tests/test_warc.py)."""
+    from layerg_crawler_v2_spark.sources.warc import wet_records
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" body</p><nav>menu</nav></body></html>"),
+    )
+    records = d.select(
+        F.lit("seg-0").alias("warc_file"),
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
+        F.concat(F.lit("https://d.test/"), F.col("doc_id").cast("string"))
+        .alias("target_uri"),
+        F.lit("2026-01-02 03:04:05").cast("timestamp").alias("warc_date"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+        F.encode(html, "UTF-8").alias("payload"),
+    )
+    return wet_records(records).select(
+        "target_uri",
+        "warc_type",
+        "content_type",
+        "record_id",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
 _JUSTEXT_DUCK = """
 WITH d AS (
   SELECT doc_id,
@@ -6213,6 +6271,10 @@ _PRIORITY = [
     # pointer doubling is windowed by redirect_chain_resolve
     "extract_microdata_items", "extract_meta_robots_flags",
     "frontier_pagination_series", "extract_main_content_blocks",
+    # r4 session-11 oracled 51+: WET sidecar derivation — the WARC read/
+    # write/CDX physics is pytest-pinned on real segment bytes; the entry's
+    # Arrow extract-text pass is windowed by extract_jsonld_struct
+    "warc_wet_conversion",
 ]
 
 _REGISTRY = {

@@ -329,3 +329,36 @@ def write_warc_indexed(
     return pages.select("url", "warc_ts", "html").mapInPandas(
         per_partition, schema=schema
     )
+
+
+def wet_records(records: DataFrame) -> DataFrame:
+    """Successful response records → WET `conversion` records — Common
+    Crawl's text sidecar derivative (the .warc.wet layout): same target
+    URI and capture date, `WARC-Type: conversion`, `Content-Type:
+    text/plain`, payload = the tree-extracted visible text of the HTML
+    payload (functions/extract.py, the engine's byte-identical extraction
+    contract), record id suffixed ':wet' so a segment can hold both.
+
+    Completes the archive loop alongside write_warc (response segments)
+    and the CDX index: crawl → WARC → {CDX for ranged replay, WET for the
+    text-only consumers that never want the markup}. One Arrow pass over
+    the payload column, narrow plan, no exchange — per-segment
+    parallelism is inherited from the binaryFile read exactly like
+    warc_to_pages."""
+    from layerg_crawler_v2_spark.functions.extract import extract_text_udf
+
+    resp = records.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("target_uri").isNotNull()
+    )
+    return resp.select(
+        "warc_file",
+        F.lit("conversion").alias("warc_type"),
+        F.concat(F.col("record_id"), F.lit(":wet")).alias("record_id"),
+        "target_uri",
+        "warc_date",
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(extract_text_udf(F.col("payload")), "UTF-8").alias("payload"),
+    )

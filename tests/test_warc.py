@@ -153,3 +153,42 @@ def test_cdx_index_ranged_read_roundtrip(spark, tmp_path):
             pos += ln
         assert pos == os.path.getsize(os.path.join(out, fname))
     pages.unpersist()
+
+
+def test_wet_conversion_records_roundtrip(spark, tmp_path):
+    """pages -> WARC on disk -> records -> WET conversion rows: payload is
+    the tree-extracted text of the archived html (the engine's extraction
+    contract), type/content-type/id follow the .wet layout, and an encoded
+    conversion record survives parse_warc_bytes."""
+    from layerg_crawler_v2_spark.datagen import build_pages_synthetic
+    from layerg_crawler_v2_spark.functions.extract import extract_text
+    from layerg_crawler_v2_spark.sources.warc import wet_records
+
+    pages = build_pages_synthetic(spark, 25, partitions=2).cache()
+    out = str(tmp_path / "segments")
+    write_warc(pages, out, gzip_records=True)
+    recs = read_warc(spark, out)
+    wet = wet_records(recs)
+    want = {
+        r["url"]: extract_text(bytes(r["html"]))
+        for r in pages.select("url", "html").collect()
+    }
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode()
+        for r in wet.collect()
+    }
+    assert got == want
+    row = wet.limit(1).collect()[0]
+    assert row["warc_type"] == "conversion"
+    assert row["content_type"] == "text/plain"
+    assert row["record_id"].endswith(":wet")
+    # encode/parse round trip for a conversion record
+    raw = encode_warc_record(
+        "conversion", row["record_id"], row["target_uri"],
+        row["warc_date"], bytes(row["payload"]),
+        content_type="text/plain",
+    )
+    rec = next(parse_warc_bytes("seg", raw))
+    assert rec["warc_type"] == "conversion"
+    assert bytes(rec["payload"]) == bytes(row["payload"])
+    pages.unpersist()
