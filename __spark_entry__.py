@@ -6029,6 +6029,69 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_MARKDOWN_DUCK = """
+SELECT doc_id,
+       '# Doc ' || doc_id || chr(10) || chr(10) ||
+       'Intro **bold** and *it* see [link ' || doc_id ||
+       '](https://x.test/' || doc_id || ').' || chr(10) || chr(10) ||
+       '- alpha' || chr(10) || chr(10) ||
+       '- beta ' || doc_id || chr(10) || chr(10) ||
+       '1. one' || chr(10) || chr(10) || '2. two' || chr(10) || chr(10) ||
+       '> quote ' || doc_id || chr(10) || chr(10) ||
+       '```' || chr(10) || 'code(' || doc_id || ')' || chr(10) || '```' ||
+       chr(10) || chr(10) || '---' AS markdown
+FROM documents
+"""
+
+
+@_q("extract_markdown", _MARKDOWN_DUCK)
+def extract_markdown_q(spark, sf):
+    """HTML -> Markdown structured-text rendering (functions/markdown.py
+    html_to_markdown): the tree-serializer complement of flat
+    extract_text — headings to #, ul/ol items with per-level counters,
+    blockquote depth prefixes, fenced pre blocks, [text](href) links,
+    **/*/` inline markers, hr, with head/script/style/nav dropped and
+    charrefs decoded once (the extract.py determinism rules; reference
+    typed-decode analog event_handlers.go:48-245). HTML built per doc
+    exercising every block feature; the oracle reconstructs the expected
+    markdown string relationally (construction inversion). One Arrow
+    pass, no exchange; malformed-input recovery is pytest-goldened
+    (tests/test_markdown.py: unclosed inline/link/pre, stray closers,
+    nested lists, soup totality fuzz)."""
+    from layerg_crawler_v2_spark.functions.markdown import (
+        html_to_markdown_udf,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><h1>Doc "),
+        i,
+        F.lit(
+            '</h1><p>Intro <b>bold</b> and <i>it</i> see'
+            ' <a href="https://x.test/'
+        ),
+        i,
+        F.lit('">link '),
+        i,
+        F.lit("</a>.</p><ul><li>alpha</li><li>beta "),
+        i,
+        F.lit(
+            "</li></ul><ol><li>one</li><li>two</li></ol>"
+            "<blockquote><p>quote "
+        ),
+        i,
+        F.lit("</p></blockquote><pre>code("),
+        i,
+        F.lit(')</pre><hr><nav><a href="/home">Home</a></nav>'
+              "</body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_to_markdown_udf(F.encode(html, "UTF-8")).alias("markdown"),
+    )
+
+
 _PRIORITY = [
     # §2.2 projections / filters (p4_comparison_filter demoted r4s4: the
     # in-window p5_bool_connectives oracle is AND/OR composed of the
@@ -6275,6 +6338,10 @@ _PRIORITY = [
     # write/CDX physics is pytest-pinned on real segment bytes; the entry's
     # Arrow extract-text pass is windowed by extract_jsonld_struct
     "warc_wet_conversion",
+    # r4 session-12 oracled 51+: HTML -> Markdown tree serialization —
+    # extractor-UDF + construction-inversion physics windowed by
+    # extract_jsonld_struct; rendering rules are pytest-goldened
+    "extract_markdown",
 ]
 
 _REGISTRY = {
