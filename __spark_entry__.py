@@ -6029,6 +6029,46 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_PHRASE_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS ord
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+), m AS (
+  SELECT doc_id, ord,
+         (tok = 'table'
+          AND lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord)
+              = 'part') AS hit
+  FROM toks
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_matches,
+       CAST(min(ord) FILTER (WHERE hit) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+HAVING count(*) FILTER (WHERE hit) > 0
+"""
+
+
+@_q("search_phrase_exact", _PHRASE_DUCK)
+def phrase_search_q(spark, sf):
+    """Exact consecutive-phrase search (operators/search.py
+    phrase_occurrences): the positional query bag-of-words BM25 cannot
+    answer — quote-queries, decontamination exact-phrase checks. The
+    Spark side is ONE codegen expression per doc (tokenize + indexed
+    transform + slice equality), no explode/window/shuffle; the oracle
+    takes the INDEPENDENT relational road (unnest-with-ordinality zip +
+    lead window) so the two engines agree through entirely different
+    plans. Overlap counting and the sequence(1,0)-descending pitfall are
+    pytest-pinned (tests/test_phrase.py)."""
+    from layerg_crawler_v2_spark.operators.search import phrase_occurrences
+
+    return phrase_occurrences(
+        _t(spark, sf, "documents"), ["table", "part"]
+    )
+
+
 _MARKDOWN_DUCK = """
 SELECT doc_id,
        '# Doc ' || doc_id || chr(10) || chr(10) ||
@@ -6342,6 +6382,11 @@ _PRIORITY = [
     # extractor-UDF + construction-inversion physics windowed by
     # extract_jsonld_struct; rendering rules are pytest-goldened
     "extract_markdown",
+    # r4 session-12 oracled 51+: exact phrase search — zero-exchange
+    # codegen array scan (single-expression projection family, the f3
+    # rationale); cross-engine agreement through an independent
+    # window-formulated oracle
+    "search_phrase_exact",
 ]
 
 _REGISTRY = {

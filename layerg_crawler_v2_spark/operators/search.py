@@ -148,6 +148,63 @@ def anchor_text_index(
     )
 
 
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search: documents containing the query words
+    CONSECUTIVELY, with occurrence count and first token position — the
+    positional-postings query BM25's bag-of-words scoring cannot answer
+    (quote-queries, decontamination exact-phrase checks, boilerplate
+    phrase audits). Classic positional-index semantics (Manning IR §2.4)
+    without materializing positions: phrases are verified per row.
+
+    Scale shape: the match is ONE whole-stage-codegen expression per
+    document — tokenize (the bm25 `[^a-z]+` portable tokenizer), then
+    filter the positions array `transform(t, (x,i) -> i+1)` by
+    `slice(t, i, k) = array(phrase)` — no explode, no window, no shuffle
+    of any kind; the plan is a narrow scan + filter, embarrassingly
+    parallel at 100 TB. (A positional-postings self-join shuffles the
+    whole token stream k times; per-row slice comparison reads each doc
+    once and moves nothing.) transform-with-index is used instead of
+    `sequence(1, n-k+1)` because Spark's sequence(1, 0) yields the
+    DESCENDING [1,0], not [].
+
+    Returns (id, n_matches BIGINT, first_pos BIGINT [1-based]) for docs
+    with >= 1 occurrence.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    for w in phrase:
+        if not w.isascii() or not w.isalpha() or w != w.lower():
+            raise ValueError(f"phrase words must be lowercase a-z: {w!r}")
+    k = len(phrase)
+    lit = "array(" + ", ".join(f"'{w}'" for w in phrase) + ")"
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z]+'), x -> x != '')"
+            ).alias("t"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                "filter(transform(t, (x, i) -> i + 1),"
+                f" i -> i <= size(t) - {k - 1} AND slice(t, i, {k}) = {lit})"
+            ).alias("hits"),
+        )
+        .filter(F.size("hits") > 0)
+        .select(
+            F.col(id_col),
+            F.size("hits").cast("bigint").alias("n_matches"),
+            F.element_at("hits", 1).cast("bigint").alias("first_pos"),
+        )
+    )
+
+
 PMI_SCALE = 1_000_000
 
 
