@@ -6029,6 +6029,32 @@ def lang_temperature_q(spark, sf):
     )
 
 
+@_q("image_phash_near_dup", None)
+def image_phash_near_dup_q(spark, sf):
+    """Image near-dup pairs over REAL decoded pixels (operators/
+    multimodal.py image_phash + phash_near_dup_pairs): 64-bit DCT
+    perceptual hash (grayscale -> 32x32 area resample -> DCT-II -> 8x8
+    low-freq median bits) per genuine BMP payload, then EXACT
+    hamming<=10 pairs via pigeonhole blocking — d+1 contiguous bit
+    blocks, bucket self-join on (block_idx, block_val), codegen
+    bit_count verify; O(sum block^2), never all-pairs, exact (not
+    probabilistic) recall. 60 distinct-content images + perturbed twins
+    planted every 10 ids; rows-only by nature (the DCT isn't
+    SQL-expressible) — separability, scale invariance, and
+    blocked-vs-brute-force EXACT-set equality are pytest-pinned
+    (tests/test_phash.py)."""
+    from layerg_crawler_v2_spark.operators.multimodal import (
+        build_phash_media,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    media = build_phash_media(spark, 60, dup_every=10)
+    return phash_near_dup_pairs(
+        image_phash(media, fake=False), max_hamming=10
+    ).orderBy("media_id_a")
+
+
 _PHRASE_DUCK = """
 WITH toks AS (
   SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS ord

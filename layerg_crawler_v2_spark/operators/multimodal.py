@@ -617,3 +617,191 @@ def build_media_from_pages(pages: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) + hamming near-dup pairs over REAL decodes
+# ---------------------------------------------------------------------------
+
+PHASH_SIZE = 8          # hash is PHASH_SIZE^2 = 64 bits
+PHASH_HIGHFREQ = 4      # DCT input edge = size * highfreq = 32
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (float64): D @ x applies the 1-D DCT."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT32 = _dct_matrix(PHASH_SIZE * PHASH_HIGHFREQ)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 image — the
+    classic pHash recipe (Zauner 2010; the `imagehash` convention):
+    grayscale -> area-resample to 32x32 -> 2-D DCT-II -> keep the top-left
+    8x8 low-frequency block -> bit i set iff coeff_i > median(block).
+    Robust to resizing/recompression/brightness scaling, flipped by
+    content changes — the image analog of simhash for text near-dup.
+    Returned as a SIGNED 64-bit int (Spark LongType two's complement)."""
+    n = PHASH_SIZE * PHASH_HIGHFREQ
+    gray = px.astype(np.float64).mean(axis=2, keepdims=True).astype(np.uint8)
+    small = _area_resize(gray, n, n)[:, :, 0].astype(np.float64)
+    dct = _DCT32 @ small @ _DCT32.T
+    low = dct[:PHASH_SIZE, :PHASH_SIZE].ravel()
+    bits = low > np.median(low)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - 2**64 if h >= 2**63 else h
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def image_phash(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media rows -> (media_id, phash). fake=False decodes the real
+    payload (BMP/PPM/PNG); fake=True hashes the deterministic byte-image
+    stand-in (payload reshaped to a near-square gray image), keeping the
+    plumbing exercisable on arbitrary bytes."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                if fake:
+                    if not b:
+                        hashes.append(0)
+                        continue
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    w = max(1, int(len(arr) ** 0.5))
+                    h = max(1, len(arr) // w)
+                    px = arr[: w * h].reshape(h, w)[:, :, None].repeat(3, 2)
+                    hashes.append(phash64(px))
+                else:
+                    hashes.append(phash64(decode_image(b)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        per_batch, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """EXACT hamming-<=d pairs over 64-bit phashes, never all-pairs.
+
+    Pigeonhole blocking (the multi-index hamming-join standard, e.g.
+    Manku et al. WWW'07 for simhash): split the 64 bits into d+1
+    contiguous blocks — any pair within hamming d agrees EXACTLY on at
+    least one block, so candidates are generated by a bucket self-join on
+    (block_idx, block_value) and verified with bit_count(xor) <= d. All
+    JVM: the explode, the join and the popcount verify are codegen; the
+    only exchange is the (block_idx, block_value) shuffle, compare cost
+    O(sum block^2) — the embedding_near_dup_pairs / LSH-pairs physics,
+    with EXACT (not probabilistic) recall.
+
+    Returns (media_id_a, media_id_b, hamming) with a < b, deduped."""
+    from pyspark.sql import functions as F
+
+    nb = max_hamming + 1
+    bounds = [i * 64 // nb for i in range(nb + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.expr(
+                    f"shiftrightunsigned(phash, {bounds[i]}) & "
+                    f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
+                ).alias("block_val"),
+            )
+            for i in range(nb)
+        ]
+    )
+    keyed = hashes.select(
+        "media_id", "phash", F.explode(blocks).alias("b")
+    ).select("media_id", "phash", "b.block_idx", "b.block_val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def mixed_pixels_for(
+    media_id: int, width: int = 32, height: int = 32
+) -> np.ndarray:
+    """Per-id pixels with DISTINCT content structure (multiplicative hash
+    mixing), unlike bmp_pixels_for's gradients, which differ between ids
+    only by a constant offset — i.e. a brightness shift, which pHash is
+    DESIGNED to ignore. Use these when distinct ids must hash far apart."""
+    y = np.arange(height, dtype=np.uint64)[:, None, None]
+    x = np.arange(width, dtype=np.uint64)[None, :, None]
+    c = np.arange(3, dtype=np.uint64)[None, None, :]
+    v = (
+        np.uint64(media_id) * np.uint64(2654435761)
+        + y * np.uint64(40503)
+        + x * np.uint64(9973)
+        + c * np.uint64(65537)
+    )
+    v = (v ^ (v >> np.uint64(7))) * np.uint64(0x9E3779B97F4A7C15)
+    return ((v >> np.uint64(24)) % np.uint64(256)).astype(np.uint8)
+
+
+def perturb_pixels(px: np.ndarray, delta: int = 6) -> np.ndarray:
+    """Mild global brightness lift with clipping — the recompression-ish
+    perturbation a perceptual hash must survive."""
+    return np.clip(px.astype(np.int16) + delta, 0, 255).astype(np.uint8)
+
+
+def build_phash_media(
+    spark, n: int, dup_every: int = 10, width: int = 32, height: int = 32
+) -> DataFrame:
+    """REAL-BMP media table for near-dup benchmarks: n distinct-content
+    images (mixed_pixels_for) plus, for every dup_every-th id, a planted
+    perturbed twin at media_id + 1_000_000."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            meta = {
+                "mime": "image/bmp",
+                "width": width,
+                "height": height,
+                "duration_ms": None,
+            }
+            for i in (int(v) for v in b["id"]):
+                px = mixed_pixels_for(i, width, height)
+                variants = [(i, px)]
+                if i % dup_every == 0:
+                    variants.append((i + 1_000_000, perturb_pixels(px)))
+                for mid, p in variants:
+                    rows["media_id"].append(mid)
+                    rows["kind"].append("image")
+                    rows["payload"].append(encode_bmp(p))
+                    rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
