@@ -6029,6 +6029,46 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_ROLLUP_DUCK = """
+SELECT CAST(GROUPING(event_type, day) AS INTEGER) AS gid,
+       event_type, day,
+       count(*) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+@_q("agg_rollup_subtotals", _ROLLUP_DUCK)
+def rollup_subtotals_q(spark, sf):
+    """Hierarchical subtotal aggregation (GROUPING SETS/ROLLUP): the
+    crawl-ops dashboard rollup — per (event_type, day), per event_type,
+    and grand total in ONE pass, with grouping_id disambiguating rolled-
+    up NULLs from data NULLs. Spark expands the sets inside a single
+    Expand + HashAggregate (one shuffle for all three granularities —
+    strictly cheaper at scale than three groupBys + union, which would
+    scan and shuffle thrice); sums go through the repo's DECIMAL
+    discipline so every engine agrees bit-for-bit."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select("gid", "event_type", "day", "n_events", "sum_value")
+    )
+
+
 @_q("image_phash_near_dup", None)
 def image_phash_near_dup_q(spark, sf):
     """Image near-dup pairs over REAL decoded pixels (operators/
