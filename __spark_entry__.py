@@ -6029,7 +6029,110 @@ def lang_temperature_q(spark, sf):
     )
 
 
-_ROLLUP_DUCK = """
+_DUST_DUCK = """
+WITH urls AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'h' || (doc_id % 5) || '.test' AS host, 'fp' || doc_id AS fp,
+           'https://h' || (doc_id % 5) || '.test/p/' || doc_id || '/' AS u
+    FROM documents
+    UNION ALL
+    SELECT 'h' || (doc_id % 5) || '.test', 'fp' || doc_id,
+           'https://h' || (doc_id % 5) || '.test/p/' || doc_id
+             || '/index.html'
+    FROM documents
+    UNION ALL
+    SELECT 'h' || (doc_id % 5) || '.test', 'fp' || doc_id,
+           'https://h' || (doc_id % 5) || '.test/print/p/' || doc_id || '/'
+    FROM documents WHERE doc_id % 2 = 0
+  )
+),
+pairs AS (
+  SELECT a.host, a.u AS u1, b.u AS u2
+  FROM urls a JOIN urls b ON a.host = b.host AND a.fp = b.fp AND a.u < b.u
+),
+lcps AS (
+  SELECT host, u1, u2,
+         len(list_filter(range(1, least(length(u1), length(u2)) + 1),
+             i -> substr(u1, 1, CAST(i AS INTEGER))
+                = substr(u2, 1, CAST(i AS INTEGER)))) AS lcp,
+         len(list_filter(range(1, least(length(u1), length(u2)) + 1),
+             i -> substr(u1, CAST(length(u1) - i + 1 AS INTEGER),
+                         CAST(i AS INTEGER))
+                = substr(u2, CAST(length(u2) - i + 1 AS INTEGER),
+                         CAST(i AS INTEGER)))) AS lcs
+  FROM pairs
+),
+mids AS (
+  SELECT host,
+         substr(u1, CAST(lcp + 1 AS INTEGER),
+                CAST(length(u1) - lcp - ov AS INTEGER)) AS m1,
+         substr(u2, CAST(lcp + 1 AS INTEGER),
+                CAST(length(u2) - lcp - ov AS INTEGER)) AS m2
+  FROM (SELECT *, least(lcs, length(u1) - lcp, length(u2) - lcp) AS ov
+        FROM lcps)
+),
+rules AS (
+  SELECT host,
+         CASE WHEN (length(m1), m1) < (length(m2), m2)
+              THEN m2 ELSE m1 END AS rule_from,
+         CASE WHEN (length(m1), m1) < (length(m2), m2)
+              THEN m1 ELSE m2 END AS rule_to
+  FROM mids
+)
+SELECT rule_from, rule_to, count(*) AS support,
+       count(DISTINCT host) AS n_hosts
+FROM rules GROUP BY rule_from, rule_to HAVING count(*) >= 3
+"""
+
+
+@_q("url_dust_rules", _DUST_DUCK)
+def dust_rules_q(spark, sf):
+    """DUST rewrite-rule mining (operators/urlparams.py dust_rules;
+    Bar-Yossef et al. WWW'07): learn `index.html` -> '' style URL-alias
+    substring rules from same-host same-content URL pairs — the
+    path-structure complement of url_param_noise. LCP/LCS per pair are
+    pure codegen monotone-filter sizes (no UDF); pairing shuffles on
+    (host, fp), duplicate-cluster-bounded. URL aliases planted per doc
+    (trailing index.html on all, a print/ prefix on evens); the oracle
+    re-mines with the same prefix/suffix-strip algebra expressed in
+    DuckDB list functions. Exact pair-level parity vs a sequential
+    Python reference is pytest-pinned (tests/test_urlparams.py)."""
+    from layerg_crawler_v2_spark.operators.urlparams import dust_rules
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    hostn = (F.col("doc_id") % 5).cast("string")
+    base = F.concat(
+        F.lit("https://h"), hostn, F.lit(".test/p/"), i, F.lit("/")
+    )
+    fp = F.concat(F.lit("fp"), i)
+    urls = (
+        d.select(base.alias("url"), fp.alias("fp"))
+        .unionByName(
+            d.select(
+                F.concat(base, F.lit("index.html")).alias("url"),
+                fp.alias("fp"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 0).select(
+                F.concat(
+                    F.lit("https://h"),
+                    hostn,
+                    F.lit(".test/print/p/"),
+                    i,
+                    F.lit("/"),
+                ).alias("url"),
+                fp.alias("fp"),
+            )
+        )
+    )
+    return dust_rules(
+        urls, url_col="url", content_col="fp", min_support=3
+    )
+
+
+_ROLLUP_SETS_DUCK = """
 SELECT CAST(GROUPING(event_type, day) AS INTEGER) AS gid,
        event_type, day,
        count(*) AS n_events,
@@ -6041,7 +6144,7 @@ GROUP BY ROLLUP (event_type, day)
 """
 
 
-@_q("agg_rollup_subtotals", _ROLLUP_DUCK)
+@_q("agg_rollup_subtotals", _ROLLUP_SETS_DUCK)
 def rollup_subtotals_q(spark, sf):
     """Hierarchical subtotal aggregation (GROUPING SETS/ROLLUP): the
     crawl-ops dashboard rollup — per (event_type, day), per event_type,
@@ -6453,6 +6556,11 @@ _PRIORITY = [
     # rationale); cross-engine agreement through an independent
     # window-formulated oracle
     "search_phrase_exact",
+    # r4 session-12 oracled 51+: ROLLUP subtotals (one Expand+HashAgg
+    # pass, grouping_id) — the a5_group_agg family generalized; DUST
+    # rewrite-rule mining — (host,fp)-bucketed self-join + codegen
+    # LCP/LCS, candidate-pair physics windowed by the dedup joins
+    "agg_rollup_subtotals", "url_dust_rules",
 ]
 
 _REGISTRY = {

@@ -97,3 +97,95 @@ def url_param_noise(
             ),
         )
     )
+
+
+def dust_rules(
+    df: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content_hash",
+    min_support: int = 2,
+) -> DataFrame:
+    """DUST rule mining (Bar-Yossef et al. WWW'07, "Do not crawl in the
+    DUST"): learn substring REWRITE rules — `index.html` -> '',
+    `/print/` -> '/', session-path aliases — from evidence, i.e. pairs of
+    same-host URLs that served identical content. The path-structure
+    complement of url_param_noise (which only learns query params); a
+    crawler applies high-support rules in the canonicalizer to stop
+    re-fetching alias families.
+
+    Per same-(host, content) URL pair u1 < u2: strip the longest common
+    prefix and the longest common suffix (clamped to not overlap); the
+    residual middles (a, b) form candidate rule a -> b, canonicalized so
+    the SHORTER (then lexicographically smaller) side is the rewrite
+    TARGET (the paper's preference for the shorter canonical form). Rules
+    are scored by support (pair count) and host spread.
+
+    LCP/LCS are pure codegen: size(filter(sequence(1, n), i ->
+    substr(u1,1,i) = substr(u2,1,i))) — prefix equality is monotone, so
+    the filter size IS the LCP; O(len^2) char compares per pair on <200-
+    char URLs, all whole-stage, no UDF. Pairing shuffles on
+    (host, content_fp) — duplicate-cluster-bounded, never all-pairs; the
+    rule rollup is one map-side-combined groupBy.
+
+    Returns (rule_from, rule_to, support, n_hosts), support-filtered.
+    """
+    url = F.col(url_col)
+    after = F.substring_index(F.substring_index(url, "://", -1), "?", 1)
+    host = F.substring_index(after, "/", 1)
+    u = df.select(
+        host.alias("host"),
+        F.col(content_col).alias("fp"),
+        url.alias("u"),
+    ).distinct()
+    a = u.select("host", "fp", F.col("u").alias("u1"))
+    b = u.select("host", "fp", F.col("u").alias("u2"))
+    pairs = a.join(b, ["host", "fp"]).filter(F.col("u1") < F.col("u2"))
+    lcp = F.expr(
+        "size(filter(sequence(1, least(length(u1), length(u2))),"
+        " i -> substr(u1, 1, i) = substr(u2, 1, i)))"
+    )
+    lcs = F.expr(
+        "size(filter(sequence(1, least(length(u1), length(u2))),"
+        " i -> substr(u1, length(u1) - i + 1, i)"
+        "    = substr(u2, length(u2) - i + 1, i)))"
+    )
+    mids = (
+        pairs.withColumn("lcp", lcp)
+        .withColumn(
+            "ov",
+            F.least(
+                lcs,
+                F.length("u1") - F.col("lcp"),
+                F.length("u2") - F.col("lcp"),
+            ),
+        )
+        .select(
+            "host",
+            F.expr(
+                "substr(u1, lcp + 1, length(u1) - lcp - ov)"
+            ).alias("m1"),
+            F.expr(
+                "substr(u2, lcp + 1, length(u2) - lcp - ov)"
+            ).alias("m2"),
+        )
+    )
+    to_first = (F.length("m1") < F.length("m2")) | (
+        (F.length("m1") == F.length("m2")) & (F.col("m1") < F.col("m2"))
+    )
+    rules = mids.select(
+        "host",
+        F.when(to_first, F.col("m2")).otherwise(F.col("m1")).alias(
+            "rule_from"
+        ),
+        F.when(to_first, F.col("m1")).otherwise(F.col("m2")).alias(
+            "rule_to"
+        ),
+    )
+    return (
+        rules.groupBy("rule_from", "rule_to")
+        .agg(
+            F.count("*").alias("support"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .filter(F.col("support") >= min_support)
+    )
