@@ -6029,6 +6029,55 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_CHOP_DUCK = r"""
+WITH d AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM d
+),
+s AS (
+  SELECT doc_id, n, cum - n AS st, cum,
+         unnest(range((cum - n) // 512, (cum - 1) // 512 + 1)) AS bin_id
+  FROM c WHERE n > 0
+)
+SELECT doc_id, bin_id,
+       greatest(st, bin_id * 512) - st AS doc_offset,
+       greatest(st, bin_id * 512) - bin_id * 512 AS bin_offset,
+       least(cum, (bin_id + 1) * 512) - greatest(st, bin_id * 512)
+         AS n_tokens
+FROM s
+"""
+
+
+@_q("pack_chop_spans", _CHOP_DUCK)
+def pack_chop_spans_q(spark, sf):
+    """Concat-and-chop sequence packing (operators/sequence.py
+    chop_spans): the GPT/Llama pretraining batch layout — documents
+    concatenated in doc_id order into one token stream and cut at EXACT
+    512-token boundaries, boundary-crossing docs split into per-bin
+    spans (zero padding; pack_contiguous is the no-split twin). Global
+    prefix sum via the two-pass range-partition scheme (no
+    single-partition window at 10^10 docs), then one bounded explode
+    per doc. Exact integer output (doc_offset/bin_offset/n_tokens);
+    the oracle replays it with a window cumsum + range unnest.
+    Tiling/capacity/partitioning-invariance are pytest-pinned
+    (tests/test_sequence.py)."""
+    from layerg_crawler_v2_spark.functions.text import token_count
+    from layerg_crawler_v2_spark.operators.sequence import chop_spans
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    )
+    return chop_spans(d, "n", [F.col("doc_id")], capacity=512).select(
+        "doc_id", "bin_id", "doc_offset", "bin_offset", "n_tokens"
+    )
+
+
 _DUST_DUCK = """
 WITH urls AS (
   SELECT DISTINCT * FROM (
@@ -6561,6 +6610,10 @@ _PRIORITY = [
     # rewrite-rule mining — (host,fp)-bucketed self-join + codegen
     # LCP/LCS, candidate-pair physics windowed by the dedup joins
     "agg_rollup_subtotals", "url_dust_rules",
+    # r4 session-12 oracled 51+: concat-and-chop packing — the two-pass
+    # global-cumsum machinery already windowed by the fetch-log seq
+    # entries, plus a bounded explode (dedup-shingling physics)
+    "pack_chop_spans",
 ]
 
 _REGISTRY = {

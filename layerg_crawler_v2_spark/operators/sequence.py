@@ -165,3 +165,63 @@ def pack_contiguous(
     return out.withColumn(
         pack_col, F.floor(excl / F.lit(budget)).cast("long")
     ).drop("__cum")
+
+
+def chop_spans(
+    df: DataFrame,
+    value_col: str,
+    sort_cols: list[Column],
+    capacity: int,
+    num_partitions: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing — the OTHER pretraining packing
+    discipline, complementing pack_contiguous: documents are concatenated
+    in `sort_cols` order into one global token stream and cut at EXACT
+    `capacity` boundaries, so every bin holds exactly `capacity` tokens
+    (except the last) and a document crossing a boundary is SPLIT across
+    bins (the GPT/Llama pretraining convention: zero padding, attention
+    masks handle the seams). pack_contiguous trades exactness for
+    never-splitting; this trades splitting for exactness.
+
+    Output: one row per (document, bin) SPAN —
+      (df columns..., bin_id, doc_offset, bin_offset, n_tokens)
+    with doc_offset/bin_offset 0-based; a doc spanning k boundaries emits
+    k+1 rows. Zero/NULL-token docs emit nothing.
+
+    Exact integer arithmetic over the global prefix sum
+    (with_global_cumsum's two-pass scheme — no single-partition window),
+    then one bounded explode per doc (span count = tokens/capacity + 1);
+    identical on any partitioning and any engine (the oracle replays it
+    with a window cumsum + generate_series)."""
+    out = with_global_cumsum(
+        df, value_col, sort_cols, out_col="__cum",
+        num_partitions=num_partitions, cleanup=cleanup,
+    )
+    v = F.coalesce(F.col(value_col), F.lit(0))
+    out = (
+        out.withColumn("__start", F.col("__cum") - v)
+        .filter(v > 0)
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / capacity),
+                    F.floor((F.col("__cum") - 1) / capacity),
+                )
+            ),
+        )
+    )
+    seg_lo = F.greatest(F.col("__start"), F.col("__bin") * capacity)
+    seg_hi = F.least(F.col("__cum"), (F.col("__bin") + 1) * capacity)
+    return (
+        out.withColumn("bin_id", F.col("__bin").cast("long"))
+        .withColumn(
+            "doc_offset", (seg_lo - F.col("__start")).cast("long")
+        )
+        .withColumn(
+            "bin_offset", (seg_lo - F.col("__bin") * capacity).cast("long")
+        )
+        .withColumn("n_tokens", (seg_hi - seg_lo).cast("long"))
+        .drop("__cum", "__start", "__bin")
+    )

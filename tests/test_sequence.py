@@ -70,3 +70,88 @@ def test_pack_partitioning_invariant(spark, vals):
         for r in pack_contiguous(df, "n", [F.col("id")], budget=BUDGET).collect()
     )
     assert key(vals.repartition(1)) == key(vals.repartition(16))
+
+
+# --------------------------------------------------------------------------
+# concat-and-chop packing
+# --------------------------------------------------------------------------
+
+def _chop_ref(rows, capacity):
+    """Sequential reference: rows = [(id, tokens)] in order."""
+    out = []
+    pos = 0
+    for i, n in rows:
+        if not n:
+            continue
+        start, end = pos, pos + n
+        b = start // capacity
+        while b * capacity < end:
+            lo = max(start, b * capacity)
+            hi = min(end, (b + 1) * capacity)
+            out.append((i, b, lo - start, lo - b * capacity, hi - lo))
+            b += 1
+        pos = end
+    return set(out)
+
+
+def test_chop_spans_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark.operators.sequence import chop_spans
+
+    rows = [(i, (i * 37) % 23 + (0 if i % 7 else 40)) for i in range(50)]
+    rows += [(100, 0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(7)
+    got = {
+        (r["doc_id"], r["bin_id"], r["doc_offset"], r["bin_offset"], r["n_tokens"])
+        for r in chop_spans(df, "n", [F.col("doc_id")], capacity=32).collect()
+    }
+    ordered = [(i, n or 0) for i, n in sorted(rows)]
+    assert got == _chop_ref(ordered, 32)
+
+
+def test_chop_spans_bins_exact_capacity(spark):
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark.operators.sequence import chop_spans
+
+    rows = [(i, 17) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    spans = chop_spans(df, "n", [F.col("doc_id")], capacity=64).collect()
+    total = sum(r["n_tokens"] for r in spans)
+    assert total == 40 * 17
+    by_bin = {}
+    for r in spans:
+        by_bin.setdefault(r["bin_id"], 0)
+        by_bin[r["bin_id"]] += r["n_tokens"]
+    last = max(by_bin)
+    for b, tok in by_bin.items():
+        assert tok == 64 or b == last
+    # bin offsets tile each bin without overlap
+    for b in by_bin:
+        segs = sorted(
+            (r["bin_offset"], r["bin_offset"] + r["n_tokens"])
+            for r in spans
+            if r["bin_id"] == b
+        )
+        pos = 0
+        for lo, hi in segs:
+            assert lo == pos
+            pos = hi
+
+
+def test_chop_spans_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark.operators.sequence import chop_spans
+
+    rows = [(i, 5 + i % 11) for i in range(60)]
+    a = spark.createDataFrame(rows, "doc_id long, n long").repartition(2)
+    b = spark.createDataFrame(rows, "doc_id long, n long").repartition(13)
+    ga = sorted(
+        map(tuple, chop_spans(a, "n", [F.col("doc_id")], 50).collect())
+    )
+    gb = sorted(
+        map(tuple, chop_spans(b, "n", [F.col("doc_id")], 50).collect())
+    )
+    assert ga == gb
