@@ -6029,6 +6029,98 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_PUBDATE_DUCK = """
+WITH d AS (
+  SELECT doc_id, lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN '2024-01-' || dd
+         WHEN 1 THEN '2023-06-' || dd
+         WHEN 2 THEN '2022-09-' || dd
+         WHEN 3 THEN '2020-07-' || dd
+       END AS pub_date,
+       CASE doc_id % 5
+         WHEN 0 THEN 'og' WHEN 1 THEN 'meta' WHEN 2 THEN 'time'
+         WHEN 3 THEN 'url'
+       END AS date_source
+FROM d
+"""
+
+
+@_q("extract_pub_date", _PUBDATE_DUCK)
+def extract_pub_date_q(spark, sf):
+    """Publication-date extraction (functions/extract.py
+    extract_pub_date; the htmldate/trafilatura discipline): precedence
+    ladder og:article:published_time > meta name=date/dc.date >
+    itemprop=datePublished > time[datetime] > URL /YYYY/MM[/DD]/ path,
+    first-declaration-wins within a source, ISO-prefix parse with
+    1995-2030 + real-calendar plausibility (invalid candidates FALL
+    THROUGH to the next rung). One Arrow pass over (html, url); pages
+    built per doc cycling the five rungs, the oracle reconstructs the
+    expected (date, source) relationally. Ladder/validity/noise goldens
+    pytest-pinned (tests/test_extract.py TestPubDate)."""
+    from layerg_crawler_v2_spark.functions.extract import (
+        extract_pub_date_udf,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    m = F.col("doc_id") % 5
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><meta property="article:published_time"'
+                    ' content="2024-01-'
+                ),
+                dd,
+                F.lit('T08:00:00Z"></head><body>x</body></html>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<html><head><meta name="date" content="2023-06-'),
+                dd,
+                F.lit('"></head><body>x</body></html>'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('<html><body><time datetime="2022-09-'),
+                dd,
+                F.lit('">then</time></body></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><body><p>undated</p></body></html>"))
+    )
+    url = (
+        F.when(
+            m == 3,
+            F.concat(
+                F.lit("https://news.test/2020/07/"),
+                dd,
+                F.lit("/story-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://news.test/about/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        extract_pub_date_udf(F.encode(html, "UTF-8"), url).alias("r"),
+    ).select("doc_id", "r.pub_date", "r.date_source")
+
+
 _CHOP_DUCK = r"""
 WITH d AS (
   SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents
@@ -6614,6 +6706,10 @@ _PRIORITY = [
     # global-cumsum machinery already windowed by the fetch-log seq
     # entries, plus a bounded explode (dedup-shingling physics)
     "pack_chop_spans",
+    # r4 session-12 oracled 51+: publication-date extraction — the
+    # extractor-UDF + construction-inversion physics windowed by
+    # extract_jsonld_struct; ladder/validity rules pytest-goldened
+    "extract_pub_date",
 ]
 
 _REGISTRY = {

@@ -1157,3 +1157,112 @@ def extract_blocks(html: bytes | None) -> list[tuple[int, str, int]]:
 ])))
 def extract_blocks_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(extract_blocks, na_action="ignore")
+
+
+class _PubDateExtractor(HTMLParser):
+    """Publication-date candidates from page metadata — the htmldate/
+    trafilatura discipline reduced to its deterministic core: collect the
+    FIRST occurrence of each source kind, let the caller apply the
+    precedence ladder. Sources (checked attrs lowercased, values as
+    written):
+      * <meta property="article:published_time" content=...>   (OpenGraph)
+      * <meta name="date"|"dc.date"|"dc.date.issued" content=...>
+      * <meta itemprop="datepublished" content=...>
+      * <time datetime=...>  (first in document order)
+    Script/comment noise is invisible (tree discipline); head is NOT
+    dropped — that's where the metadata lives."""
+
+    _META_NAMES = frozenset({"date", "dc.date", "dc.date.issued"})
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.og: str | None = None
+        self.meta: str | None = None
+        self.itemprop: str | None = None
+        self.time_attr: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "meta":
+            a = {k.lower(): v for k, v in attrs if v is not None}
+            content = a.get("content")
+            if content is None:
+                return
+            if a.get("property", "").lower() == "article:published_time":
+                if self.og is None:
+                    self.og = content
+            elif a.get("name", "").lower() in self._META_NAMES:
+                if self.meta is None:
+                    self.meta = content
+            elif a.get("itemprop", "").lower() == "datepublished":
+                if self.itemprop is None:
+                    self.itemprop = content
+        elif tag == "time":
+            for k, v in attrs:
+                if k.lower() == "datetime" and v is not None:
+                    if self.time_attr is None:
+                        self.time_attr = v
+                    break
+
+
+_ISO_DATE_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
+_URL_DATE_RE = re.compile(r"/(\d{4})/(\d{2})(?:/(\d{2}))?(?=/|$)")
+
+
+def _valid_date(y: int, m: int, d: int) -> bool:
+    import datetime
+
+    if not (1995 <= y <= 2030):
+        return False
+    try:
+        datetime.date(y, m, d)
+        return True
+    except ValueError:
+        return False
+
+
+def extract_pub_date(
+    html: bytes | None, url: str | None = None
+) -> tuple[str | None, str | None]:
+    """(date 'YYYY-MM-DD', source) by the precedence ladder
+    og > meta-name > itemprop > time[datetime] > url-path /YYYY/MM[/DD]/;
+    a candidate only wins if it carries a plausible ISO date (year
+    1995-2030, real calendar day; url month-only patterns take day 01).
+    Returns (None, None) when nothing validates."""
+    cands: list[tuple[str, str | None]] = []
+    if html is not None:
+        p = _PubDateExtractor()
+        p.feed(html.decode("utf-8", errors="replace"))
+        p.close()
+        cands = [
+            ("og", p.og),
+            ("meta", p.meta),
+            ("itemprop", p.itemprop),
+            ("time", p.time_attr),
+        ]
+    for source, raw in cands:
+        if raw is None:
+            continue
+        m = _ISO_DATE_RE.search(raw)
+        if m and _valid_date(int(m[1]), int(m[2]), int(m[3])):
+            return f"{m[1]}-{m[2]}-{m[3]}", source
+    if url:
+        m = _URL_DATE_RE.search(url)
+        if m:
+            y, mo, d = int(m[1]), int(m[2]), int(m[3] or 1)
+            if _valid_date(y, mo, d):
+                return f"{y:04d}-{mo:02d}-{d:02d}", "url"
+    return None, None
+
+
+@pandas_udf(StructType([
+    StructField("pub_date", StringType()),
+    StructField("date_source", StringType()),
+]))
+def extract_pub_date_udf(htmls: pd.Series, urls: pd.Series) -> pd.DataFrame:
+    rows = [
+        extract_pub_date(
+            h if h is not None else None, u if u is not None else None
+        )
+        for h, u in zip(htmls, urls)
+    ]
+    return pd.DataFrame(rows, columns=["pub_date", "date_source"])

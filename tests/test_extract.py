@@ -882,3 +882,108 @@ def test_meta_robots_composes_with_outlinks_for_frontier(spark):
     )
     assert got == want
     assert got == [f"https://t.test/{i}{s}" for i in (1, 3) for s in "ab"]
+
+
+# --------------------------------------------------------------------------
+# publication-date extraction
+# --------------------------------------------------------------------------
+
+class TestPubDate:
+    def _d(self, html, url=None):
+        from layerg_crawler_v2_spark.functions.extract import extract_pub_date
+
+        return extract_pub_date(
+            html.encode() if isinstance(html, str) else html, url
+        )
+
+    def test_precedence_ladder(self):
+        html = (
+            '<meta name="date" content="2020-01-02">'
+            '<meta property="article:published_time" content="2021-02-03">'
+            '<time datetime="2022-03-04">x</time>'
+        )
+        assert self._d(html) == ("2021-02-03", "og")
+        html2 = (
+            '<meta name="dc.date" content="2020-01-02">'
+            '<time datetime="2022-03-04">x</time>'
+        )
+        assert self._d(html2) == ("2020-01-02", "meta")
+        assert self._d('<meta itemprop="datePublished" content="2019-05-06">') == (
+            "2019-05-06",
+            "itemprop",
+        )
+
+    def test_first_declaration_wins_within_source(self):
+        html = (
+            '<time datetime="2020-06-07">a</time>'
+            '<time datetime="2021-08-09">b</time>'
+        )
+        assert self._d(html) == ("2020-06-07", "time")
+
+    def test_invalid_dates_fall_through(self):
+        # implausible year and impossible day skip to the next source
+        html = (
+            '<meta property="article:published_time" content="2031-01-01">'
+            '<time datetime="2020-02-30"></time>'
+        )
+        assert self._d(html, "https://a.test/2018/11/22/x") == (
+            "2018-11-22",
+            "url",
+        )
+
+    def test_url_month_only_takes_day_one(self):
+        assert self._d("<p>x</p>", "https://a.test/2019/03/slug") == (
+            "2019-03-01",
+            "url",
+        )
+
+    def test_url_pattern_needs_boundaries(self):
+        # /123456/78 is not a date path; trailing digits must be segments
+        assert self._d("<p>x</p>", "https://a.test/12345/67/89") == (
+            None,
+            None,
+        )
+
+    def test_datetime_with_time_component(self):
+        assert self._d('<time datetime="2020-01-02T03:04:05+01:00"></time>') == (
+            "2020-01-02",
+            "time",
+        )
+
+    def test_script_noise_invisible(self):
+        html = (
+            "<script>var s='<meta name=\"date\" content=\"2020-01-01\">'"
+            "</script><time datetime='2021-05-05'></time>"
+        )
+        assert self._d(html) == ("2021-05-05", "time")
+
+    def test_nothing_found(self):
+        assert self._d("<p>hello</p>", "https://a.test/about") == (None, None)
+
+    def test_udf(self, spark):
+        from pyspark.sql import functions as F
+
+        from layerg_crawler_v2_spark.functions.extract import (
+            extract_pub_date_udf,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, b'<time datetime="2020-01-02">', "https://a.test/x"),
+                (2, b"<p>n</p>", "https://a.test/2021/02/03/y"),
+                (3, None, None),
+            ],
+            "id int, html binary, url string",
+        )
+        rows = {
+            r["id"]: (r["d"]["pub_date"], r["d"]["date_source"])
+            for r in df.select(
+                "id",
+                extract_pub_date_udf(F.col("html"), F.col("url")).alias("d"),
+            ).collect()
+        }
+        assert rows == {
+            1: ("2020-01-02", "time"),
+            2: ("2021-02-03", "url"),
+            3: (None, None),
+        }
