@@ -6029,6 +6029,50 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_MIME_DUCK = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'image/png'      WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif'      WHEN 3 THEN 'application/pdf'
+         WHEN 4 THEN 'application/gzip' WHEN 5 THEN 'text/html'
+         WHEN 6 THEN 'application/xml'
+         ELSE 'application/octet-stream'
+       END AS mime
+FROM documents
+"""
+
+
+@_q("sniff_mime_magic", _MIME_DUCK)
+def sniff_mime_q(spark, sf):
+    """Magic-byte content-type sniffing (functions/mime.py sniff_mime;
+    the WHATWG MIME-sniffing magic-number core): routes fetched payloads
+    to the right decoder when Content-Type headers lie — ONE hex() +
+    CASE-chain codegen expression, no UDF, zero cost beyond the scan.
+    Payloads built per doc cycling eight formats (real magic bytes +
+    doc-dependent filler); the oracle emits the expected class
+    relationally (construction inversion). The full 12-format fixture
+    table incl. WEBP/ftyp offsets, BOM/whitespace-led HTML, and the
+    real BMP/PNG encoders is pytest-pinned (tests/test_mime.py)."""
+    from layerg_crawler_v2_spark.functions.mime import sniff_mime
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.col("doc_id") % 8
+    magic = (
+        F.when(m == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(m == 1, F.unhex(F.lit("FFD8FFE0")))
+        .when(m == 2, F.unhex(F.lit("474946383961")))
+        .when(m == 3, F.unhex(F.lit("25504446")))
+        .when(m == 4, F.unhex(F.lit("1F8B08")))
+        .when(m == 5, F.encode(F.lit("  <!DOCTYPE html><p>"), "UTF-8"))
+        .when(m == 6, F.encode(F.lit('<?xml version="1.0"?>'), "UTF-8"))
+        .otherwise(F.encode(F.lit("plain text payload "), "UTF-8"))
+    )
+    payload = F.concat(
+        magic, F.encode(F.col("doc_id").cast("string"), "UTF-8")
+    )
+    return d.select("doc_id", sniff_mime(payload).alias("mime"))
+
+
 _PUBDATE_DUCK = """
 WITH d AS (
   SELECT doc_id, lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
@@ -6710,6 +6754,9 @@ _PRIORITY = [
     # extractor-UDF + construction-inversion physics windowed by
     # extract_jsonld_struct; ladder/validity rules pytest-goldened
     "extract_pub_date",
+    # r4 session-12 oracled 51+: magic-byte MIME sniffing — the f3
+    # single-expression codegen projection family, construction-inverted
+    "sniff_mime_magic",
 ]
 
 _REGISTRY = {
