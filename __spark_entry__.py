@@ -6029,6 +6029,68 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_TEMPLATES_DUCK = """
+WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % 3) || '.test' AS host, doc_id % 2 AS t
+  FROM documents
+)
+SELECT host,
+       md5(CASE t
+           WHEN 0 THEN 'html/body/div/p*2' || chr(10) || 'html/body/nav*1'
+           ELSE 'html/body/article/h1*1' || chr(10)
+                || 'html/body/article/p*1'
+           END) AS struct_fp,
+       count(*) AS n_pages,
+       min('https://h' || (doc_id % 3) || '.test/p/' || doc_id)
+         AS example_url
+FROM d GROUP BY host, struct_fp
+"""
+
+
+@_q("site_template_clusters", _TEMPLATES_DUCK)
+def template_clusters_q(spark, sf):
+    """Site-template mining (operators/templates.py template_clusters;
+    RoadRunner/wrapper-induction lineage): pages grouped by (host,
+    fingerprint of the tag-path skeleton of text-bearing nodes) — same
+    CMS template => same multiset of root-to-node paths while every
+    article's words differ. Signature is one Arrow tree pass
+    (functions/extract.py structure_signature: recovery close, CDATA
+    invisible, void tags never push); the cluster groupBy exchanges
+    fixed-width hashes only. md5 oracle family (xxhash64 is the
+    production twin — the lsh_pairs precedent, family-agreement
+    pytest-pinned). Pages built per doc cycling two templates across
+    four hosts; the oracle md5's the literal expected signatures
+    (construction inversion)."""
+    from layerg_crawler_v2_spark.operators.templates import (
+        template_clusters,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 3).cast("string"), F.lit(".test")
+    )
+    html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("<html><body><nav>menu</nav><div><p>doc "),
+            i,
+            F.lit(" text</p><p>more words</p></div></body></html>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<html><body><article><h1>title "),
+            i,
+            F.lit("</h1><p>story body</p></article></body></html>"),
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return template_clusters(pages, min_pages=2, hash_fn="md5")
+
+
 _MIME_DUCK = """
 SELECT doc_id,
        CASE doc_id % 8
@@ -6757,6 +6819,10 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: magic-byte MIME sniffing — the f3
     # single-expression codegen projection family, construction-inverted
     "sniff_mime_magic",
+    # r4 session-12 oracled 51+: site-template clusters — tree-UDF +
+    # fixed-width-hash groupBy; extractor physics windowed by
+    # extract_jsonld_struct, md5/xxhash64 family split per lsh_pairs
+    "site_template_clusters",
 ]
 
 _REGISTRY = {

@@ -1266,3 +1266,68 @@ def extract_pub_date_udf(htmls: pd.Series, urls: pd.Series) -> pd.DataFrame:
         for h, u in zip(htmls, urls)
     ]
     return pd.DataFrame(rows, columns=["pub_date", "date_source"])
+
+
+_VOID_TAGS = frozenset({
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+})
+
+
+class _TagPathExtractor(HTMLParser):
+    """Root-to-node tag paths of text-bearing nodes — the page's
+    structural skeleton, independent of its text. Pages generated from
+    the same CMS template yield the SAME path multiset while every
+    article's words differ, which is exactly the signal template
+    detection needs (wrapper induction / site-template mining, cf.
+    Crescenzi RoadRunner; the DOM-structure dual of mirror detection's
+    content profiles). Same recovery discipline as the sibling
+    extractors: innermost-match close, script/style CDATA invisible,
+    void elements never push."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._stack: list[str] = []
+        self._cdata = 0
+        self.counts: dict[str, int] = {}
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._cdata += 1
+            return
+        if tag not in _VOID_TAGS:
+            self._stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            if self._cdata:
+                self._cdata -= 1
+            return
+        if tag in self._stack:
+            idx = len(self._stack) - 1 - self._stack[::-1].index(tag)
+            del self._stack[idx:]
+
+    def handle_data(self, data):
+        if self._cdata or not data.strip():
+            return
+        path = "/".join(self._stack)
+        self.counts[path] = self.counts.get(path, 0) + 1
+
+
+def structure_signature(html: bytes | None) -> str | None:
+    """Canonical structural signature: sorted 'path*count' lines joined
+    by newline — equal iff the text-bearing skeletons are equal. Total on
+    arbitrary bytes."""
+    if html is None:
+        return None
+    p = _TagPathExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return "\n".join(
+        f"{path}*{n}" for path, n in sorted(p.counts.items())
+    )
+
+
+@pandas_udf(StringType())
+def structure_signature_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(structure_signature, na_action="ignore")
