@@ -6029,6 +6029,53 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_SHARDS_DUCK = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+),
+c AS (
+  SELECT doc_id, len,
+         CAST(COALESCE(sum(512 + 512 * ((len + 511) // 512))
+              OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS before
+  FROM d
+)
+SELECT 'shard-00000-0000.tar' AS shard_file,
+       lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+       before + 512 AS offset,
+       len AS length,
+       CAST(0 AS BIGINT) AS meta_length
+FROM c
+"""
+
+
+@_q("export_tar_shards", _SHARDS_DUCK)
+def export_tar_shards_q(spark, sf):
+    """WebDataset-style tar-shard export (sources/shards.py
+    write_tar_shards): the trainer-interchange half of the archive story
+    (WARC = crawl interchange) — size-bounded tar shards of <key>.txt
+    samples with pinned metadata (USTAR, mtime=0: byte-reproducible),
+    manifest computed DURING the write with ranged-read offsets, the
+    CDX-index analog. The Spark rows come from REAL tar bytes written to
+    a scratch dir; the oracle predicts the manifest from tar's 512-byte
+    block algebra alone (offset_i = 512 + sum of 512 + 512*ceil(len/512)
+    over predecessors) — layout parity proves the writer against the
+    format spec, not against itself. Round trip / size bound / ranged
+    reads / byte determinism pytest-pinned (tests/test_shards.py)."""
+    import tempfile as _tf
+
+    from layerg_crawler_v2_spark.sources.shards import write_tar_shards
+
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    out = _tf.mkdtemp(prefix="shards_entry_")
+    return write_tar_shards(d, out, max_docs_per_shard=1_000_000)
+
+
 _TEMPLATES_DUCK = """
 WITH d AS (
   SELECT doc_id, 'h' || (doc_id % 3) || '.test' AS host, doc_id % 2 AS t
@@ -6823,6 +6870,10 @@ _PRIORITY = [
     # fixed-width-hash groupBy; extractor physics windowed by
     # extract_jsonld_struct, md5/xxhash64 family split per lsh_pairs
     "site_template_clusters",
+    # r4 session-12 oracled 51+: tar-shard export — REAL written bytes
+    # checked against the tar 512-block layout algebra; the WARC/CDX
+    # write-with-manifest physics (warc_wet_conversion's family)
+    "export_tar_shards",
 ]
 
 _REGISTRY = {
