@@ -6029,6 +6029,39 @@ def lang_temperature_q(spark, sf):
     )
 
 
+_CHUNKS_DUCK = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents
+),
+s AS (
+  SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 30 + 1)) AS chunk_idx
+  FROM d WHERE len(l) > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(least(40, len(l) - chunk_idx * 30) AS BIGINT) AS n_tokens,
+       array_to_string(l[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+@_q("text_window_chunks", _CHUNKS_DUCK)
+def text_window_chunks_q(spark, sf):
+    """Sliding token-window chunking (functions/text.py
+    token_window_chunks): the RAG/embedding segmentation — 40-token
+    chunks at stride 30 (10-token overlap), short tail kept, chunk k =
+    tokens [30k, 30k+40). Distinct from shingles (stride-1 grams) and
+    chop_spans (corpus packing): per-document retrieval segmentation
+    with text reconstruction. Pure codegen: tokenize + ONE bounded
+    explode + slice/array_join, no shuffle; overlap-tiling
+    reconstruction property pytest-pinned (tests/test_text_ops.py)."""
+    from layerg_crawler_v2_spark.functions.text import token_window_chunks
+
+    return token_window_chunks(
+        _t(spark, sf, "documents"), window=40, stride=30
+    )
+
+
 _SHARDS_DUCK = """
 WITH d AS (
   SELECT doc_id, octet_length(encode(text)) AS len FROM documents
@@ -6874,6 +6907,9 @@ _PRIORITY = [
     # checked against the tar 512-block layout algebra; the WARC/CDX
     # write-with-manifest physics (warc_wet_conversion's family)
     "export_tar_shards",
+    # r4 session-12 oracled 51+: token-window RAG chunking — bounded
+    # explode + slice codegen, the shingling-explode physics family
+    "text_window_chunks",
 ]
 
 _REGISTRY = {

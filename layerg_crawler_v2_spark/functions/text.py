@@ -237,3 +237,63 @@ def nfc_normalize_udf():
         return texts.str.normalize("NFC")
 
     return _nfc
+
+
+# --- RAG / embedding-window chunking ------------------------------------------
+
+def token_window_chunks(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 30,
+):
+    """Sliding token-window chunking — the RAG/embedding-pipeline
+    segmentation (chunk size `window` tokens, overlap `window - stride`):
+    chunk k covers tokens [k*stride, k*stride + window), chunks start
+    while k*stride < n_tokens, the tail chunk may be short. Distinct
+    from word_shingles (stride-1 fingerprint grams) and chop_spans
+    (corpus-stream packing): this is per-document retrieval segmentation
+    with text reconstruction.
+
+    All whole-stage codegen: tokenize (\\s+ runs, the token_count
+    convention), ONE bounded explode of chunk starts (rows ∝ n/stride),
+    slice + array_join per chunk — no window function, no shuffle,
+    embarrassingly parallel at 100 TB.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text); empty/NULL docs emit
+    nothing.
+    """
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("need 1 <= stride <= window")
+    toks = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("__t") - 1) / stride).cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(
+                F.lit(window),
+                F.size("__t") - F.col("chunk_idx") * stride,
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("__t"),
+                    F.col("chunk_idx") * stride + 1,
+                    F.lit(window),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -174,3 +174,74 @@ def test_doc_chunk_overlap_coverage(spark, sf_dir):
         if lens[doc] > 16:
             assert n_words[-1] > 16  # tail never shrinks below the overlap
         assert sum(n_words) - 16 * (len(chunks) - 1) == lens[doc]
+
+
+# --------------------------------------------------------------------------
+# token-window chunking
+# --------------------------------------------------------------------------
+
+def test_chunks_match_python_reference(spark):
+    from layerg_crawler_v2_spark.functions.text import token_window_chunks
+
+    def ref(text, w, s):
+        toks = text.split()
+        out = []
+        k = 0
+        while k * s < len(toks):
+            seg = toks[k * s : k * s + w]
+            out.append((k, len(seg), " ".join(seg)))
+            k += 1
+        return out
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(17))),
+        (2, "single"),
+        (3, ""),
+        (4, None),
+        (5, "  spaced   out\ttokens \n here  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in token_window_chunks(df, window=6, stride=4).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        )
+    for did, text in rows:
+        exp = ref(text, 6, 4) if text else []
+        assert sorted(got.get(did, [])) == exp, did
+
+
+def test_chunk_overlap_reconstructs_document(spark):
+    from layerg_crawler_v2_spark.functions.text import token_window_chunks
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in token_window_chunks(df, window=40, stride=30).collect()
+    )
+    # stride-prefix of each chunk, plus the full final chunk, tiles the doc
+    parts = [c.split()[:30] for _, c in rows[:-1]] + [rows[-1][1].split()]
+    flat = [t for p in parts for t in p]
+    assert flat == text.split()
+
+
+def test_chunks_rejects_bad_params(spark):
+    import pytest as _pt
+
+    from layerg_crawler_v2_spark.functions.text import token_window_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for w, s in ((0, 1), (4, 0), (4, 5)):
+        with _pt.raises(ValueError):
+            token_window_chunks(df, window=w, stride=s)
+
+
+def test_chunks_plan_no_exchange(spark):
+    from layerg_crawler_v2_spark.functions.text import token_window_chunks
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        token_window_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
