@@ -3951,6 +3951,66 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_HLL_MERGE_DUCK = """
+WITH k AS (
+  SELECT 'https://h' || CAST(event_id % 700 AS VARCHAR) || '.test/p' AS url
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 'https://h' || CAST(event_id % 900 AS VARCHAR) || '.test/p'
+  FROM events WHERE event_id % 3 = 0
+),
+h AS (
+  SELECT CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS h FROM k
+),
+parts AS (
+  SELECT h // 1125899906842624 AS bucket,
+         h %  1125899906842624 AS suffix
+  FROM h
+)
+SELECT bucket,
+       CAST(max(CASE WHEN suffix = 0 THEN 51
+                     ELSE 51 - length(bin(suffix)) END) AS INTEGER)
+         AS register
+FROM parts GROUP BY bucket
+"""
+
+
+@_q("sketch_hll_merge", _HLL_MERGE_DUCK)
+def hll_merge_q(spark, sf):
+    """HLL register MERGE (operators/sketch.py hll_merge): element-wise
+    MAX of two segments' register tables — EXACT for union, the property
+    that makes the registers a cross-snapshot artifact (merge last
+    month's crawl with today's without re-reading either). The Spark
+    side merges two INDEPENDENTLY-built register tables; the oracle
+    computes the registers of the UNION key set directly — parity IS the
+    merge=union theorem, cross-engine. Inclusion-exclusion intersection
+    telemetry and merge idempotence are pytest-pinned
+    (tests/test_sketch.py)."""
+    from layerg_crawler_v2_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("event_id") % 700).cast("string"),
+            F.lit(".test/p"),
+        ).alias("url")
+    )
+    b = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("event_id") % 900).cast("string"),
+            F.lit(".test/p"),
+        ).alias("url")
+    )
+    return hll_merge(
+        hll_registers(a, "url", b=10), hll_registers(b, "url", b=10)
+    )
+
+
 _PMI_DUCK = """
 WITH w AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -6910,6 +6970,10 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: token-window RAG chunking — bounded
     # explode + slice codegen, the shingling-explode physics family
     "text_window_chunks",
+    # r4 session-12 oracled 51+: HLL register merge — parity against the
+    # union's directly-built registers IS the merge=union theorem; the
+    # sketch_hll_registers physics family
+    "sketch_hll_merge",
 ]
 
 _REGISTRY = {

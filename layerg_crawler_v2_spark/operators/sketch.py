@@ -223,3 +223,34 @@ def hll_estimate(registers: DataFrame, b: int = HLL_B) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Element-wise MAX merge of hll_registers() outputs — EXACT for
+    union (max of per-set maxima == maxima of the union, per register),
+    which is what makes the registers a mergeable artifact across crawl
+    segments / days / snapshots. One union + one map-side-combined
+    groupBy over <= 2^b rows per input."""
+    if not register_dfs:
+        raise ValueError("need at least one register table")
+    out = register_dfs[0]
+    for r in register_dfs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_intersect_estimate(
+    a: DataFrame, b_regs: DataFrame, b: int = HLL_B
+) -> float:
+    """|A ∩ B| by inclusion-exclusion over three HLL estimates
+    (|A| + |B| - |A ∪ B|, union via the exact register merge) — the
+    standard sketch answer to 'how many URLs do these two crawls
+    share?'. Error compounds to a few sigma of the union's cardinality,
+    so it is a TELEMETRY number, not a dedup decision — the repo's exact
+    intersections (anti/semi joins) exist for the latter. Driver cost:
+    three <= 2^b register folds."""
+    return (
+        hll_estimate(a, b)
+        + hll_estimate(b_regs, b)
+        - hll_estimate(hll_merge(a, b_regs), b)
+    )

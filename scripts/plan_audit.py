@@ -342,6 +342,54 @@ AUDITS = [
         "and verification joins exchange doc-sized rows keyed by id, "
         "never pair-sized texts.",
     ),
+    (
+        "image_phash_near_dup",
+        "pHash near-dup: one MapInPandas decode+DCT pass, then the "
+        "pigeonhole block self-join -- shuffle keyed on (block_idx, "
+        "block_val), popcount verify in codegen, DISTINCT on the pair "
+        "output; exact recall with no CartesianProduct anywhere.",
+    ),
+    (
+        "url_dust_rules",
+        "DUST rules: pairing is an equi-join on (host, fp) -- duplicate-"
+        "cluster-bounded, never all-pairs; LCP/LCS are in-row codegen "
+        "filter-size folds (no UDF, no Window); the rule rollup is one "
+        "map-side-combined groupBy with a distinct-host aggregate.",
+    ),
+    (
+        "site_template_clusters",
+        "Template clusters: ONE ArrowEvalPython for the tag-path "
+        "signature, md5/xxhash64 fingerprint in codegen, then a single "
+        "map-side-combined groupBy on (host, fp) -- the exchange carries "
+        "fixed-width hashes, never signature text.",
+    ),
+    (
+        "agg_rollup_subtotals",
+        "ROLLUP: all three granularities in ONE Expand + HashAggregate "
+        "pass -- one exchange total, vs three groupBys + union scanning "
+        "and shuffling thrice; sums DECIMAL-exact for cross-engine "
+        "parity.",
+    ),
+    (
+        "pack_chop_spans",
+        "Concat-and-chop packing: the global prefix sum is the two-pass "
+        "range-partition scheme (one range exchange + a P-integer driver "
+        "collect + one Arrow assign pass -- no single-partition Window); "
+        "span explosion is a bounded in-row sequence explode.",
+    ),
+    (
+        "search_phrase_exact",
+        "Phrase search: tokenize + indexed-transform + slice-equality as "
+        "ONE codegen expression per document -- zero exchanges, zero "
+        "Generate fan-out, zero Python; the plan is scan + project + "
+        "filter.",
+    ),
+    (
+        "text_window_chunks",
+        "RAG chunking: tokenize in codegen, ONE bounded Generate "
+        "(chunk starts proportional to n/stride), slice/array_join "
+        "projection -- no exchange, no Window, no Python.",
+    ),
 ]
 
 OPS = [

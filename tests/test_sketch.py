@@ -159,3 +159,64 @@ def test_hll_partitioning_invariance(spark):
     r1 = hll_registers(_keys_df(spark, n, parts=1), "url").collect()
     r32 = hll_registers(_keys_df(spark, n, parts=32), "url").collect()
     assert {tuple(r) for r in r1} == {tuple(r) for r in r32}
+
+
+# --------------------------------------------------------------------------
+# HLL merge / intersection
+# --------------------------------------------------------------------------
+
+def test_hll_merge_is_exactly_union(spark):
+    from layerg_crawler_v2_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).select(
+        (F.col("id")).cast("string").alias("k")
+    )
+    b = spark.range(2000, 6000).select(
+        (F.col("id")).cast("string").alias("k")
+    )
+    u = a.unionByName(b)
+    merged = {
+        (r["bucket"], r["register"])
+        for r in hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["register"])
+        for r in hll_registers(u, "k").collect()
+    }
+    assert merged == direct  # bit-exact, not approximate
+
+
+def test_hll_intersection_estimate_accuracy(spark):
+    from layerg_crawler_v2_spark.operators.sketch import (
+        hll_intersect_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(3000, 8000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    est = hll_intersect_estimate(
+        hll_registers(a, "k"), hll_registers(b, "k")
+    )
+    # true overlap 2000; inclusion-exclusion compounds ~3.3% per term on
+    # |union|=8000 — accept a generous but meaningful band
+    assert 1200 < est < 2800
+
+
+def test_hll_merge_idempotent_and_variadic(spark):
+    from layerg_crawler_v2_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    ra = hll_registers(a, "k")
+    self_merged = hll_merge(ra, ra, ra)
+    assert hll_estimate(self_merged) == hll_estimate(ra)
