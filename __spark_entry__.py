@@ -3951,6 +3951,66 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_SPARSE_COS_DUCK = """
+WITH t AS (SELECT doc_id, substr(text, 1, 200) AS s FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(s) - 2, 0) + 1),
+                i -> substr(s, CAST(i AS INTEGER), 3))) AS gram
+  FROM t
+),
+v AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM g GROUP BY 1, 2
+),
+norms AS (
+  SELECT id, CAST(sum(weight * weight) AS BIGINT) AS norm_sq
+  FROM v GROUP BY id
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(sum(a.weight * b.weight) AS BIGINT) AS dot
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot, na.norm_sq AS norm_sq_a, nb.norm_sq AS norm_sq_b
+FROM dots
+JOIN norms na ON na.id = dots.id_a
+JOIN norms nb ON nb.id = dots.id_b
+WHERE 100 * dot * dot >= 81 * na.norm_sq * nb.norm_sq
+"""
+
+
+@_q("sparse_cosine_pairs", _SPARSE_COS_DUCK)
+def sparse_cosine_pairs_q(spark, sf):
+    """EXACT sparse-cosine similarity join over hashed char-3-gram
+    vectors (operators/similarity.py hashed_ngram_sparse +
+    sparse_cosine_pairs; Weinberger ICML'09 hashing trick): the weighted
+    complement of the Jaccard prefix join — counts matter, so
+    boilerplate-dominated near-dups that set-Jaccard dilutes still score
+    high. Threshold cos >= 9/10 decided in pure int64 arithmetic
+    (q^2 dot^2 >= p^2 |a|^2 |b|^2 — no sqrt, no float, bit-exact on any
+    engine/partitioning). Physics: in-row gram transform, one explode,
+    one (id,bucket) groupBy, inverted-index bucket join (DAAT dot
+    product) with optional ubiquitous-bucket cap; md5-prefix oracle
+    family (xxhash64 production twin, family-agreement pytest-pinned).
+    Brute-force parity, dup-equality, and cap-monotonicity in
+    tests/test_similarity.py."""
+    from layerg_crawler_v2_spark.operators.similarity import (
+        hashed_ngram_sparse,
+        sparse_cosine_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    vecs = hashed_ngram_sparse(d, dim=4096, hash_fn="md5")
+    return sparse_cosine_pairs(vecs, threshold_num=9, threshold_den=10)
+
+
 _HLL_MERGE_DUCK = """
 WITH k AS (
   SELECT 'https://h' || CAST(event_id % 700 AS VARCHAR) || '.test/p' AS url
@@ -6974,6 +7034,10 @@ _PRIORITY = [
     # union's directly-built registers IS the merge=union theorem; the
     # sketch_hll_registers physics family
     "sketch_hll_merge",
+    # r4 session-12 oracled 51+: exact sparse-cosine join — the
+    # prefix-join/postings candidate physics with integer-threshold
+    # verification (dedup_jaccard_prefix_join family)
+    "sparse_cosine_pairs",
 ]
 
 _REGISTRY = {

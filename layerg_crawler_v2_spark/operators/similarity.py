@@ -333,3 +333,126 @@ def embedding_near_dup_pairs(
         .applyInPandas(pairs_in_bucket, schema=out_schema)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact sparse cosine over hashed n-gram vectors (no embeddings needed)
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_sparse(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 12,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Feature-hashed char-n-gram doc vectors in SPARSE form
+    (id, bucket, weight) — the hashing-trick text representation
+    (Weinberger et al. ICML'09; fastText's input layer) that needs no
+    trained model: bucket = hash(gram) mod dim, weight = gram count.
+    Integer weights, so everything downstream can stay exact.
+
+    hash_fn: 'xxhash64' (production) or 'md5' (the portable 60-bit
+    md5-prefix, bit-identical in DuckDB — the lsh_pairs family split).
+
+    Scale shape: grams are built in-row (transform over sequence — no
+    self-join), ONE explode, one map-side-combined groupBy on
+    (id, bucket); the exchange carries (id, bucket, count) triples,
+    never text."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+        f" i -> substr({text_col}, i, {n}))"
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64("gram"), F.lit(dim))
+    else:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(dim),
+        )
+    return (
+        g.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+
+
+def sparse_cosine_pairs(
+    vectors: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= num/den over sparse integer vectors —
+    the weighted complement of the Jaccard prefix join (counts matter,
+    not just set membership): snippet-in-boilerplate pairs that Jaccard
+    misses score high here when the shared grams dominate both norms.
+
+    The threshold test is pure int64 arithmetic, no sqrt, no float:
+
+        cos(a,b) >= p/q  <=>  q^2 * dot^2 >= p^2 * |a|^2 * |b|^2
+                              (dot >= 0 since weights are counts)
+
+    so the decision is bit-exact on every engine and partitioning — the
+    repo's integer-threshold discipline. Int64 envelope: with per-doc
+    gram counts <= ~3e3, dot <= 9e6 and q^2*dot^2 <= ~8e15 < 2^63
+    (tests pin a fixture inside this bound; corpus-scale use caps doc
+    length upstream, the bm25 IDF_SCALE discipline).
+
+    Physics: inverted-index join on bucket (DAAT sparse dot product) —
+    shuffle carries (bucket, id, weight) postings; per-bucket pair cost
+    is bounded the winnowing way with `max_bucket_df` (drop buckets
+    shared by more than that many docs — ubiquitous grams carry no
+    discrimination; dropping them LOWERS dot, so no false positives are
+    introduced, only ultra-common-text recall, documented). Never a
+    cartesian product; norms join back by id.
+
+    Returns (id_a, id_b, dot, norm_sq_a, norm_sq_b) with id_a < id_b for
+    pairs passing the threshold."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), "bucket", "weight"
+    )
+    norms = v.groupBy("id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("norm_sq")
+    )
+    posts = v
+    if max_bucket_df is not None:
+        bdf = v.groupBy("bucket").agg(F.count("*").alias("bdf"))
+        posts = v.join(
+            F.broadcast(bdf.filter(F.col("bdf") <= max_bucket_df)),
+            "bucket",
+        ).drop("bdf")
+    a = posts.select(
+        "bucket", F.col("id").alias("id_a"), F.col("weight").alias("wa")
+    )
+    b = posts.select(
+        "bucket", F.col("id").alias("id_b"), F.col("weight").alias("wb")
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("id").alias("id_a"), F.col("norm_sq").alias("norm_sq_a")
+    )
+    nb = norms.select(
+        F.col("id").alias("id_b"), F.col("norm_sq").alias("norm_sq_b")
+    )
+    p2 = threshold_num * threshold_num
+    q2 = threshold_den * threshold_den
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.lit(q2) * F.col("dot") * F.col("dot")
+            >= F.lit(p2) * F.col("norm_sq_a") * F.col("norm_sq_b")
+        )
+        .select("id_a", "id_b", "dot", "norm_sq_a", "norm_sq_b")
+    )

@@ -165,3 +165,119 @@ def test_near_dup_perturbed_pairs_multi_table(spark, emb):
     )
     got1 = {(r["id_a"], r["id_b"]) for r in single.collect()}
     assert expected - got1, "single-table found everything; test vectors too easy"
+
+
+# --------------------------------------------------------------------------
+# hashed n-gram sparse vectors + exact sparse cosine join
+# --------------------------------------------------------------------------
+
+def _sparse_ref(rows, dim, n, threshold):
+    """Brute-force python reference with exact integer threshold."""
+    import hashlib
+    from collections import Counter
+
+    vecs = {}
+    for did, text in rows:
+        c = Counter()
+        for i in range(max(len(text) - n + 1, 0)):
+            g = text[i : i + n]
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            c[h % dim] += 1
+        vecs[did] = c
+    p, q = threshold
+    out = set()
+    ids = sorted(vecs)
+    for i, ai in enumerate(ids):
+        for bj in ids[i + 1 :]:
+            va, vb = vecs[ai], vecs[bj]
+            dot = sum(va[k] * vb[k] for k in va)
+            na = sum(w * w for w in va.values())
+            nb = sum(w * w for w in vb.values())
+            if dot > 0 and q * q * dot * dot >= p * p * na * nb:
+                out.add((ai, bj, dot, na, nb))
+    return out
+
+
+def test_sparse_cosine_matches_reference(spark):
+    from layerg_crawler_v2_spark.operators.similarity import (
+        hashed_ngram_sparse,
+        sparse_cosine_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content here with other words"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "pack my box with five dozen liquor jugs"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_ngram_sparse(df, dim=256, hash_fn="md5")
+    got = {
+        (r["id_a"], r["id_b"], r["dot"], r["norm_sq_a"], r["norm_sq_b"])
+        for r in sparse_cosine_pairs(vecs, 7, 10).collect()
+    }
+    assert got == _sparse_ref(rows, 256, 3, (7, 10))
+    # the exact dup and the one-word-changed near dup must be present
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (1, 4) in pairs and (1, 2) in pairs and (3, 5) not in pairs
+
+
+def test_sparse_cosine_exact_dup_is_equality(spark):
+    from layerg_crawler_v2_spark.operators.similarity import (
+        hashed_ngram_sparse,
+        sparse_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "identical text body"), (2, "identical text body")],
+        "doc_id long, text string",
+    )
+    [r] = sparse_cosine_pairs(
+        hashed_ngram_sparse(df, dim=128, hash_fn="md5"), 1, 1
+    ).collect()  # threshold cos >= 1.0 keeps only exact-direction pairs
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["dot"] * r["dot"] == r["norm_sq_a"] * r["norm_sq_b"]
+
+
+def test_sparse_cosine_stop_bucket_cap_no_false_positives(spark):
+    from layerg_crawler_v2_spark.operators.similarity import (
+        hashed_ngram_sparse,
+        sparse_cosine_pairs,
+    )
+
+    rows = [(i, f"shared boilerplate rail text unique{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_ngram_sparse(df, dim=512, hash_fn="md5")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in sparse_cosine_pairs(vecs, 7, 10).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in sparse_cosine_pairs(vecs, 7, 10, max_bucket_df=4).collect()
+    }
+    assert capped <= full  # dropping ubiquitous buckets only lowers dot
+
+
+def test_hash_families_same_grouping(spark):
+    from layerg_crawler_v2_spark.operators.similarity import (
+        hashed_ngram_sparse,
+        sparse_cosine_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in sparse_cosine_pairs(
+                hashed_ngram_sparse(df, dim=256, hash_fn=fam), 9, 10
+            ).collect()
+        }
+        assert pairs == {(1, 2)}, fam
