@@ -3951,6 +3951,23 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+@_q("text_compression_ratio", None)
+def compression_ratio_q(spark, sf):
+    """Deflate compression-ratio quality signal (operators/quality.py
+    compression_ratio): ratio_bp = deflate_bytes * 10000 div raw_bytes —
+    the redundancy feature quality classifiers use next to the Gopher
+    repetition rules (template spam compresses far better than prose).
+    Scaled-integer output, pinned zlib level; one Arrow pass, no
+    shuffle. Rows-only by nature (no zlib in SQL); separation and
+    exact-arithmetic parity vs python zlib are pytest-pinned
+    (tests/test_quality.py)."""
+    from layerg_crawler_v2_spark.operators.quality import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_t(spark, sf, "documents"))
+
+
 _SPARSE_COS_DUCK = """
 WITH t AS (SELECT doc_id, substr(text, 1, 200) AS s FROM documents),
 g AS (

@@ -147,3 +147,40 @@ def test_justext_blocks_integer_density_boundary(spark):
     )
     [r2] = justext_blocks(pages2).collect()
     assert r2["is_content"]
+
+
+# --------------------------------------------------------------------------
+# compression-ratio signal
+# --------------------------------------------------------------------------
+
+def test_compression_ratio_separates_repetition(spark):
+    from layerg_crawler_v2_spark.operators.quality import compression_ratio
+
+    rows = [
+        (1, "spam " * 400),
+        (2, "The quick brown fox jumps over the lazy dog. "
+            "Pack my box with five dozen liquor jugs. "
+            "Sphinx of black quartz, judge my vow. " * 5),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["deflate_bytes"], r["ratio_bp"])
+        for r in compression_ratio(df).collect()
+    }
+    import zlib
+
+    for did, text in rows:
+        if text is None:
+            assert got[did] == (None, None, None)
+            continue
+        b = text.encode()
+        exp = (
+            len(b),
+            len(zlib.compress(b, 6)),
+            len(zlib.compress(b, 6)) * 10000 // len(b) if b else None,
+        )
+        assert got[did] == exp, did
+    # repetitive text compresses far better than prose
+    assert got[1][2] < got[2][2] / 3
