@@ -3951,6 +3951,49 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_BITEXT_DUCK = r"""
+WITH d AS (
+  SELECT doc_id // 4 AS cluster_id,
+         'https://x.test/' || doc_id AS url,
+         lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT a.cluster_id, a.url AS url_a, a.lang AS lang_a,
+       a.n_tokens AS len_a,
+       b.url AS url_b, b.lang AS lang_b, b.n_tokens AS len_b
+FROM d a JOIN d b ON a.cluster_id = b.cluster_id
+WHERE ((a.lang < b.lang) OR (a.lang = b.lang AND a.url < b.url))
+  AND a.lang <> b.lang
+  AND a.n_tokens > 0 AND b.n_tokens > 0
+  AND a.n_tokens * 1 <= b.n_tokens * 2
+  AND b.n_tokens * 1 <= a.n_tokens * 2
+"""
+
+
+@_q("bitext_candidate_pairs", _BITEXT_DUCK)
+def bitext_candidates_q(spark, sf):
+    """Bitext candidate mining (operators/bitext.py; CCMatrix/CCAligned
+    document-pair stage): cross-language page pairs within an i18n
+    cluster passing the Gale-Church length-correlation gate — exact
+    integer ratio test (within 2x), same-language and zero-length pairs
+    excluded, each pair emitted once. One cluster-keyed self-join
+    (cluster-size bounded, never corpus-wide). Clusters built as
+    doc_id//4 over the documents table's real lang column; the oracle
+    replays the identical algebra."""
+    from layerg_crawler_v2_spark.functions.text import token_count
+    from layerg_crawler_v2_spark.operators.bitext import bitext_candidates
+
+    d = _t(spark, sf, "documents").select(
+        (F.col("doc_id") / 4).cast("long").alias("cluster_id"),
+        F.concat(F.lit("https://x.test/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return bitext_candidates(d, ratio_num=2, ratio_den=1)
+
+
 @_q("text_compression_ratio", None)
 def compression_ratio_q(spark, sf):
     """Deflate compression-ratio quality signal (operators/quality.py
@@ -7055,6 +7098,9 @@ _PRIORITY = [
     # prefix-join/postings candidate physics with integer-threshold
     # verification (dedup_jaccard_prefix_join family)
     "sparse_cosine_pairs",
+    # r4 session-12 oracled 51+: bitext candidate pairs — cluster-keyed
+    # self-join + integer ratio gate (the j4/j5 join physics family)
+    "bitext_candidate_pairs",
 ]
 
 _REGISTRY = {
