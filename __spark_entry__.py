@@ -3951,6 +3951,54 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_PIVOT_DUCK = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(30,2)))
+                  FILTER (WHERE event_type = 'click') AS DOUBLE), 2)
+         AS click_value
+FROM events GROUP BY day
+"""
+
+
+@_q("agg_pivot_event_types", _PIVOT_DUCK)
+def pivot_event_types_q(spark, sf):
+    """PIVOT (long -> wide reshaping): per-day event counts spread into
+    one column per event type plus a pivoted DECIMAL-exact value sum —
+    the dashboard/export reshape every analytics surface needs. Spark's
+    relational pivot with an EXPLICIT value list (no distinct-scan, so
+    one aggregation pass and a deterministic schema — the documented
+    production form); the oracle expresses the identical reshape as
+    FILTERed aggregates. One map-side-combined exchange on day."""
+    ev = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    types = ["click", "view", "purchase", "error"]
+    wide = (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias(
+                "v"
+            ),
+        )
+    )
+    return wide.select(
+        "day",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.col("error_n"), F.lit(0)).alias("n_error"),
+        F.col("click_v").alias("click_value"),
+    )
+
+
 _BITEXT_DUCK = r"""
 WITH d AS (
   SELECT doc_id // 4 AS cluster_id,
@@ -7101,6 +7149,9 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: bitext candidate pairs — cluster-keyed
     # self-join + integer ratio gate (the j4/j5 join physics family)
     "bitext_candidate_pairs",
+    # r4 session-12 oracled 51+: PIVOT long->wide — explicit-value-list
+    # single-pass reshape, FILTER-aggregate oracle (a5/rollup family)
+    "agg_pivot_event_types",
 ]
 
 _REGISTRY = {
