@@ -637,6 +637,26 @@ def set_union(spark, sf):
     return c.union(s).distinct()
 
 
+@_q(
+    "set_intersect_hosts",
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey FROM supplier""",
+)
+def set_intersect(spark, sf):
+    """Set INTERSECT (the §2.7 completion next to union/anti-diff):
+    nations present on BOTH sides — the 'hosts seen by both crawls'
+    question. Spark intersect() plans as a distinct-aggregated left-semi
+    join (no cartesian), DuckDB runs the literal INTERSECT."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
 # --- §2.8 scalar functions ---------------------------------------------------------
 
 @_q(
@@ -7152,6 +7172,9 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: PIVOT long->wide — explicit-value-list
     # single-pass reshape, FILTER-aggregate oracle (a5/rollup family)
     "agg_pivot_event_types",
+    # r4 session-12 oracled 51+: INTERSECT — distinct left-semi physics
+    # (the j6 anti-join family), completes union/anti/intersect in §2.7
+    "set_intersect_hosts",
 ]
 
 _REGISTRY = {
