@@ -3971,6 +3971,41 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_RANGE_FRAME_DUCK = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE), 2)
+         AS v_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("window_range_frame_1h", _RANGE_FRAME_DUCK)
+def window_range_frame_q(spark, sf):
+    """RANGE-frame window (value-based, not row-count-based — the frame
+    family w2/w3's ROWS frames don't exercise): per event, the count and
+    DECIMAL-exact value sum of the SAME USER's events in the trailing
+    hour — the sliding rate-limit / burst-detection aggregate (the
+    crawl-side analog: per-host fetches in the last politeness window).
+    One exchange on user_id; the frame is evaluated by Spark's
+    WindowExec range-bound sliding logic over epoch seconds, and the
+    oracle runs the literal RANGE BETWEEN 3600 PRECEDING."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum(_dec(F.col("value"))).over(w).cast("double"), 2)
+        .alias("v_trailing_1h"),
+    )
+
+
 _PIVOT_DUCK = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        count(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -7175,6 +7210,9 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: INTERSECT — distinct left-semi physics
     # (the j6 anti-join family), completes union/anti/intersect in §2.7
     "set_intersect_hosts",
+    # r4 session-12 oracled 51+: RANGE-frame window — value-based frame
+    # physics the ROWS-frame w2/w3 entries don't drive
+    "window_range_frame_1h",
 ]
 
 _REGISTRY = {
