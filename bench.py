@@ -365,7 +365,11 @@ def main() -> None:
                     help="pre-generated canonical pages parquet (untimed "
                          "setup shared across scaling levels)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--docs", type=int, default=CRAWL_DOCS)
+    ap.add_argument("--docs", type=int, default=None,
+                    help="crawl corpus size; defaults to CRAWL_DOCS "
+                         "(SPARK_GRAFT_BENCH_DOCS) except for --scaling, "
+                         "which defaults to the 8,000,000-doc published "
+                         "gate-pair size")
     ap.add_argument("--rounds", type=int, default=CRAWL_ROUNDS)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--note", type=str, default="",
@@ -380,6 +384,8 @@ def main() -> None:
                          "always actually free here, 32 threads thrash on "
                          "neighbor spikes")
     args = ap.parse_args()
+    if args.docs is None:
+        args.docs = 8_000_000 if args.scaling else CRAWL_DOCS
 
     if args.scaling:
         run_scaling(args)
