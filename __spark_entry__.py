@@ -3971,6 +3971,41 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_LEVENSHTEIN_DUCK = """
+WITH w AS (SELECT DISTINCT string_split(p_name, ' ')[1] AS term FROM part)
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(levenshtein(a.term, b.term) AS INTEGER) AS dist
+FROM w a JOIN w b ON a.term < b.term
+WHERE levenshtein(a.term, b.term) <= 2
+"""
+
+
+@_q("fn_levenshtein_near_terms", _LEVENSHTEIN_DUCK)
+def levenshtein_near_terms_q(spark, sf):
+    """Edit-distance near-term pairs (JVM levenshtein — classic
+    Wagner-Fischer, identical in DuckDB): the typosquat/confusable-host
+    detector's core (paypa1.com vs paypal.com is dist 1) and a spelling-
+    variant miner for query expansion. Vocabulary-sized distinct-term
+    self-join (bounded, never row-level all-pairs); at host scale the
+    candidate set is first blocked by length band + first-char the
+    DUST/prefix-join way — the function physics is what this entry
+    pins cross-engine."""
+    w = (
+        _t(spark, sf, "part")
+        .select(F.split("p_name", " ").getItem(0).alias("term"))
+        .distinct()
+    )
+    a = w.select(F.col("term").alias("term_a"))
+    b = w.select(F.col("term").alias("term_b"))
+    return (
+        a.join(b, F.col("term_a") < F.col("term_b"))
+        .withColumn(
+            "dist", F.levenshtein("term_a", "term_b").cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
 _RANGE_FRAME_DUCK = """
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
@@ -7213,6 +7248,9 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: RANGE-frame window — value-based frame
     # physics the ROWS-frame w2/w3 entries don't drive
     "window_range_frame_1h",
+    # r4 session-12 oracled 51+: levenshtein near-terms — JVM edit
+    # distance over a vocabulary-sized self-join (f3 function family)
+    "fn_levenshtein_near_terms",
 ]
 
 _REGISTRY = {
