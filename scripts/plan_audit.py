@@ -390,6 +390,32 @@ AUDITS = [
         "(chunk starts proportional to n/stride), slice/array_join "
         "projection -- no exchange, no Window, no Python.",
     ),
+    (
+        "sparse_cosine_pairs",
+        "Sparse cosine: in-row gram transform + one explode, one "
+        "(id,bucket) partial-agg exchange, inverted-index bucket join "
+        "(DAAT), norms joined back by id -- the integer threshold is a "
+        "post-join codegen filter; no cartesian, no Window.",
+    ),
+    (
+        "agg_pivot_event_types",
+        "PIVOT: explicit value list means ONE aggregation pass (no "
+        "distinct pre-scan) -- a single map-side-combined exchange on "
+        "day with all pivoted columns produced together.",
+    ),
+    (
+        "window_range_frame_1h",
+        "RANGE frame: one exchange on user_id, then WindowExec's "
+        "value-based sliding bound over epoch seconds -- per-user local "
+        "work, no self-join formulation (which would shuffle the event "
+        "table against itself).",
+    ),
+    (
+        "set_intersect_hosts",
+        "INTERSECT: plans as aggregate + left-semi join, never a "
+        "cartesian; both sides prune to the single key column at the "
+        "scan.",
+    ),
 ]
 
 OPS = [
