@@ -4012,7 +4012,7 @@ SELECT event_id, user_id,
        ROUND(CAST(sum(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE), 2)
          AS v_trailing_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
@@ -4101,8 +4101,7 @@ SELECT a.cluster_id, a.url AS url_a, a.lang AS lang_a,
        a.n_tokens AS len_a,
        b.url AS url_b, b.lang AS lang_b, b.n_tokens AS len_b
 FROM d a JOIN d b ON a.cluster_id = b.cluster_id
-WHERE ((a.lang < b.lang) OR (a.lang = b.lang AND a.url < b.url))
-  AND a.lang <> b.lang
+WHERE a.lang < b.lang
   AND a.n_tokens > 0 AND b.n_tokens > 0
   AND a.n_tokens * 1 <= b.n_tokens * 2
   AND b.n_tokens * 1 <= a.n_tokens * 2
@@ -6412,7 +6411,18 @@ def export_tar_shards_q(spark, sf):
     block algebra alone (offset_i = 512 + sum of 512 + 512*ceil(len/512)
     over predecessors) — layout parity proves the writer against the
     format spec, not against itself. Round trip / size bound / ranged
-    reads / byte determinism pytest-pinned (tests/test_shards.py)."""
+    reads / byte determinism pytest-pinned (tests/test_shards.py).
+
+    Oracle contract: the oracle hard-codes shard-00000-0000.tar and
+    cumulative offsets over ALL predecessors, which is exactly the
+    writer's layout iff every doc lands in one shard — guaranteed here
+    because max_docs_per_shard=1,000,000 exceeds any test-scale
+    documents table (sf1.0 ~ 600k docs) and meta_col is None.  The
+    multi-shard + metadata layouts are pinned separately by
+    tests/test_shards.py.  The scratch dir is a module-cached path
+    wiped and rebuilt per evaluation so repeated runs don't leak
+    tempdirs."""
+    import shutil as _sh
     import tempfile as _tf
 
     from layerg_crawler_v2_spark.sources.shards import write_tar_shards
@@ -6423,7 +6433,14 @@ def export_tar_shards_q(spark, sf):
         .repartition(1)
         .sortWithinPartitions("doc_id")
     )
-    out = _tf.mkdtemp(prefix="shards_entry_")
+    global _SHARDS_SCRATCH
+    out = globals().get("_SHARDS_SCRATCH")
+    if out is None:
+        out = _tf.mkdtemp(prefix="shards_entry_")
+        _SHARDS_SCRATCH = out
+    else:
+        _sh.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
     return write_tar_shards(d, out, max_docs_per_shard=1_000_000)
 
 
@@ -6442,6 +6459,7 @@ SELECT host,
        min('https://h' || (doc_id % 3) || '.test/p/' || doc_id)
          AS example_url
 FROM d GROUP BY host, struct_fp
+HAVING count(*) >= 2
 """
 
 
@@ -6457,8 +6475,10 @@ def template_clusters_q(spark, sf):
     fixed-width hashes only. md5 oracle family (xxhash64 is the
     production twin — the lsh_pairs precedent, family-agreement
     pytest-pinned). Pages built per doc cycling two templates across
-    four hosts; the oracle md5's the literal expected signatures
-    (construction inversion)."""
+    three hosts (doc_id % 3); the oracle md5's the literal expected
+    signatures (construction inversion) and mirrors the operator's
+    min_pages=2 contract with HAVING count(*) >= 2 rather than
+    relying on the fixture guaranteeing it."""
     from layerg_crawler_v2_spark.operators.templates import (
         template_clusters,
     )

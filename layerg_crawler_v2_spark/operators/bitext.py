@@ -36,9 +36,10 @@ def bitext_candidates(
 ) -> DataFrame:
     """(cluster_id, url_a, lang_a, url_b, lang_b, len_a, len_b) for
     cross-language pairs within a cluster passing the length-ratio gate.
-    Pairs are emitted once (lang_a < lang_b; ties broken by id) and
-    same-language pairs are excluded — a page and its mobile twin are
-    dedup's business, not bitext."""
+    Pairs are emitted once (lang_a < lang_b) and same-language pairs
+    are excluded — a page and its mobile twin are dedup's business,
+    not bitext.  lang_a < lang_b alone canonicalizes each pair: the
+    langs always differ, so no id tie-break is needed."""
     if ratio_num < ratio_den or ratio_den < 1:
         raise ValueError("ratio must be >= 1 (p/q with p >= q >= 1)")
     a = docs.select(
@@ -57,14 +58,7 @@ def bitext_candidates(
     return (
         a.join(b, "cluster_id")
         .filter(
-            (
-                (F.col("lang_a") < F.col("lang_b"))
-                | (
-                    (F.col("lang_a") == F.col("lang_b"))
-                    & (F.col("url_a") < F.col("url_b"))
-                )
-            )
-            & (F.col("lang_a") != F.col("lang_b"))
+            (F.col("lang_a") < F.col("lang_b"))
             & (F.col("len_a") > 0)
             & (F.col("len_b") > 0)
             & (F.col("len_a") * q <= F.col("len_b") * p)

@@ -360,9 +360,16 @@ def hashed_ngram_sparse(
     self-join), ONE explode, one map-side-combined groupBy on
     (id, bucket); the exchange carries (id, bucket, count) triples,
     never text."""
+    # sequence(1, 0) yields the DESCENDING [1, 0] in Spark, not [] —
+    # so a bare greatest(..., 0) bound would emit 2 phantom grams for
+    # any text shorter than n.  Guard with an explicit CASE so short
+    # (or NULL) texts produce an empty gram array, which explode()
+    # then drops — matching the oracle, which emits no grams for them.
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-        f" i -> substr({text_col}, i, {n}))"
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substr({text_col}, i, {n})) "
+        f"ELSE array() END"
     )
     g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     if hash_fn == "xxhash64":
