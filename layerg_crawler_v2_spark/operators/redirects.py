@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve_redirects(edges: DataFrame, rounds: int = 6) -> DataFrame:
+def resolve_redirects(
+    edges: DataFrame, rounds: int = 6, reuse: bool = True
+) -> DataFrame:
     """Resolve every redirect source to its terminal URL.
 
     `edges` is (src, dst) with at most one outgoing edge per src (a
@@ -45,10 +47,26 @@ def resolve_redirects(edges: DataFrame, rounds: int = 6) -> DataFrame:
     where chains longer than 2**rounds and cycles yield
     (url, NULL, NULL, false) — matching a WITH RECURSIVE oracle whose
     recursion is capped at 2**rounds hops.
+
+    reuse=True (the pagerank(reuse=True) discipline, operators/graph.py)
+    persists `edges` — consumed 4 times: node union x2, the k=0 jump
+    join, the terminal probe — and `localCheckpoint`s the jump map at
+    the top of every doubling round. Without the checkpoint the
+    self-composition doubles the LINEAGE each round too: jump_k's plan
+    embeds jump_{k-1} twice, so 6 rounds unroll to a 2^6-leaf tree (the
+    r4 plan audit counted 390 exchanges) that recomputes every earlier
+    round exponentially often and would not survive real chain depth.
+    Checkpointing truncates the plan to the one materialized map, so
+    each round is exactly ONE |nodes|-row shuffle — O(log H) total, the
+    complexity the algorithm promises. The trade: the call becomes
+    EAGER (each checkpoint runs a job on call, not on first action),
+    the same trade iterative jobs always make.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
 
+    if reuse:
+        edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -64,6 +82,12 @@ def resolve_redirects(edges: DataFrame, rounds: int = 6) -> DataFrame:
         .alias("hops"),
     )
     for _ in range(rounds):
+        if reuse:
+            # truncate the doubled lineage: materialize THIS round's map
+            # once and compose over the checkpointed scan, not over two
+            # copies of the entire prior plan (old checkpoints are
+            # unpersisted by the ContextCleaner once unreferenced)
+            jump = jump.localCheckpoint(eager=True)
         ahead = jump.select(
             F.col("node").alias("a_node"),
             F.col("cur").alias("a_cur"),
@@ -96,7 +120,7 @@ def resolve_redirects(edges: DataFrame, rounds: int = 6) -> DataFrame:
     )
 
 
-def pagination_series(next_edges: DataFrame) -> DataFrame:
+def pagination_series(next_edges: DataFrame, reuse: bool = True) -> DataFrame:
     """Assemble rel=next pagination chains into ordered series — the
     consumer of functions/extract.py's _RelNextPrevExtractor: multi-page
     articles/listings become ONE logical document (series-granularity
@@ -117,17 +141,27 @@ def pagination_series(next_edges: DataFrame) -> DataFrame:
     row per URL in the next-graph; cycles (malformed pagination loops)
     and chains past 2^rounds come back (url, NULL, NULL, false), same
     verdict as the redirect resolver.
+
+    reuse=True `localCheckpoint`s the (possibly expensive — typically an
+    Arrow tree-extractor pass upstream) edge frame, consumed here by the
+    reversed-map groupBy AND the heads anti-join, so the extractor runs
+    exactly once and downstream plans scan the materialized RDD; it
+    flows through to resolve_redirects' per-round localCheckpoint so the
+    doubling lineage stays linear in rounds (see resolve_redirects).
     """
     edges = next_edges.select(
         F.col("url").cast("string").alias("u"),
         F.col("next_url").cast("string").alias("n"),
     ).filter(F.col("n").isNotNull() & (F.col("u") != F.col("n")))
+    if reuse:
+        edges = edges.localCheckpoint(eager=True)
     # reversed (successor -> predecessor) map; dedupe conflicting
     # incoming edges to the least predecessor (deterministic)
     rev = edges.groupBy(F.col("n").alias("src")).agg(
         F.min("u").alias("dst")
     )
-    resolved = resolve_redirects(rev)  # (url, terminal_url, hops, resolved)
+    # (url, terminal_url, hops, resolved)
+    resolved = resolve_redirects(rev, reuse=reuse)
     successors = resolved.select(
         F.col("url"),
         F.col("terminal_url").alias("series_head"),

@@ -1,4 +1,4 @@
-"""Generate BENCH/PLANS_r04.md: physical-plan audits for the flagship paths.
+"""Generate BENCH/PLANS_r05.md: physical-plan audits for the flagship paths.
 
 VERDICT r3's plan-audit bullets were hand-read; this pins them to the
 actual `.explain` output so the claims ("one shuffle", "broadcast, not
@@ -320,11 +320,23 @@ AUDITS = [
     ),
     (
         "frontier_pagination_series",
-        "Pagination chains: ONE ArrowEvalPython for link extraction, "
-        "then the redirect resolver's pointer doubling — O(log H) "
-        "self-equi-joins on the reversed successor map (|nodes| rows "
-        "throughout, no per-hop pass), heads anti-joined in. No driver "
-        "iteration proportional to chain length.",
+        "Pagination chains: the extracted edge frame is localCheckpointed "
+        "(ONE ArrowEvalPython pass executes at checkpoint time; the final "
+        "plan scans the materialized RDD, hence Arrow=0 below), then the "
+        "redirect resolver's pointer doubling with a localCheckpoint at "
+        "the top of every round — the r4 audit's 391-exchange doubled "
+        "lineage is now Exchange ~linear in rounds, pinned numerically by "
+        "tests/test_plan_bounds.py. No driver iteration proportional to "
+        "chain length.",
+    ),
+    (
+        "redirect_chain_resolve",
+        "Pointer doubling with per-round localCheckpoint "
+        "(operators/redirects.py resolve_redirects reuse=True): each of "
+        "the 6 rounds is ONE |nodes|-row self-equi-join over the "
+        "checkpointed jump map — O(log H) shuffles total, where the r4 "
+        "plan self-composed lazily into a 2^6-leaf / 390-exchange tree. "
+        "Bound enforced by tests/test_plan_bounds.py.",
     ),
     (
         "extract_main_content_blocks",
@@ -444,7 +456,7 @@ def main() -> None:
     spark = get_spark(shuffle_partitions=8)
     qs = entry_mod.queries()
     out = [
-        "# Physical-plan audits (r4, generated by scripts/plan_audit.py)",
+        "# Physical-plan audits (r5, generated by scripts/plan_audit.py)",
         "",
         f"Input: {sf_dir}; plans are AQE initial physical plans "
         "(`queryExecution().executedPlan()`); counts are operator-name "
@@ -472,7 +484,7 @@ def main() -> None:
             out.append("Scan pushdown:")
             out.extend(f"    {ln}" for ln in pushed)
         out.append("")
-    path = os.path.join(REPO, "BENCH", "PLANS_r04.md")
+    path = os.path.join(REPO, "BENCH", "PLANS_r05.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote {path}")
