@@ -6974,24 +6974,42 @@ _PRIORITY = [
     # comparison-filtered two-column projection over part is physics p5
     # composes in-window, and column-pruned scans are certified by every
     # in-window entry's ReadSchema — pushdown pytest kept)
-    "p6_null_semantics",
-    "p5_bool_connectives", "p2_allowlist_filter",
+    # (p6_null_semantics demoted r5s1: null-ordering/null-compare parity
+    # is driven HARDER by the in-window crawl_snapshot_diff oracle — a
+    # full-outer join certifying eqNullSafe vs IS DISTINCT FROM on every
+    # column; p2_allowlist_filter demoted r5s1: IN-list is OR-of-equalities
+    # — the p4/p1 composition rule, physics p5 drives — and the IN/NULL
+    # edge cases stay oracled in the pytest replica via
+    # qb_ops_in_contains_null)
+    "p5_bool_connectives",
     # §2.3 joins (QueryBuilder forms retained; raw twins demoted)
     # (j3_point_lookup_limit1 demoted r4s7: qb_resolve_single drives the
     # identical point-lookup LIMIT-1 physics THROUGH the WhereInput
     # compiler — the QueryBuilder-form-retained / raw-twin-demoted rule
     # that already demoted j1/j2's raw twins)
-    "j4_disjunctive_key", "j5_broadcast_dim_join",
+    # (j5_broadcast_dim_join demoted r5s1 by the same rule: j1_qb_relation
+    # plans the identical customer->nation BroadcastHashJoin through the
+    # QueryBuilder relation compiler)
+    "j4_disjunctive_key",
     "j6_get_or_create_anti", "j1_qb_relation", "j2_qb_derived",
     "qb_resolve_single",
     # §2.4 aggregations (a2_unique_set_first demoted r4s3: its rn=1-per-key
     # oracle/plan is the identical row_number physics w2_topk_per_key
     # drives in-window with rn<=3; a1_distinct demoted r4s6: all-column
     # HashAggregate dedup is the identical physics the in-window
-    # dedup_exact_groups and a5_group_agg drive)
-    "a3_min_fold", "a5_group_agg",
-    # §2.5 windows
-    "w2_topk_per_key", "w3_lag_pacing",
+    # a5_group_agg drives)
+    # (a3_min_fold demoted r5s1: a global min fold is the grouped-agg
+    # family a5_group_agg drives in-window, and its strftime/date_format
+    # parity duty transfers to the promoted agg_pivot_event_types oracle)
+    # r5s1 promotion: PIVOT long->wide — Spark's relational pivot with an
+    # explicit value list (one aggregation pass), reshaping physics no
+    # other window entry drives; carries the date_format parity duty.
+    "a5_group_agg", "agg_pivot_event_types",
+    # §2.5 windows (w3_lag_pacing demoted r5s1: lag is a fixed-offset
+    # window frame — the promoted window_range_frame_1h drives WindowExec
+    # frame evaluation value-based and w2 keeps the ranking form; pacing
+    # deltas stay oracled in the pytest replica)
+    "w2_topk_per_key", "window_range_frame_1h",
     # §2.6 sorts / pagination (o1_order_passthrough demoted r4s3: same
     # global ORDER BY + LIMIT physics as the in-window o2_topn_by_time;
     # o2_topn_by_time demoted r4s4: o3_pagination drives the identical
@@ -7000,7 +7018,10 @@ _PRIORITY = [
     # §2.7 set ops (set_union_seeds demoted r4s3: UNION physics is embedded
     # in dedup_pipeline_keep_best's in-window oracle CTE; set_anti_seen_diff
     # demoted r4s6: left-anti physics is in-window as j6_get_or_create_anti
-    # and exercised in every frontier-round parity test)
+    # and exercised in every frontier-round parity test). r5s1 promotion:
+    # INTERSECT completes the union/anti/intersect trio with its own
+    # distinct+left-semi plan — physics no other window entry drives.
+    "set_intersect_hosts",
     # §2.8 scalar functions (f2_hex_encode demoted r4s3: same
     # single-expression codegen projection as f3, and hex-string parity is
     # embedded in every in-window md5 dedup oracle; f9_rfc3339_format
@@ -7017,8 +7038,11 @@ _PRIORITY = [
     # (f10_json_extract demoted r4s9: get_json_object is the same
     # single-expression codegen projection family as the in-window f3 —
     # the f2/f4/f5/f8 rationale; JSON-path parity stays in the pytest
-    # replica)
-    "f3_lower_normalize",
+    # replica). r5s1 promotion: levenshtein near-terms — a JVM edit-
+    # distance FUNCTION driven through a vocabulary-sized self-join, the
+    # one scalar-function entry whose physics is NOT the single-expression
+    # projection family f3 represents.
+    "f3_lower_normalize", "fn_levenshtein_near_terms",
     # r4 session-3 join flagships: as-of join (union+carry-forward vs
     # DuckDB's native ASOF JOIN) and bucketed range join; r4s4: redirect
     # chains resolved by pointer doubling vs a recursive-CTE oracle
@@ -7052,11 +7076,12 @@ _PRIORITY = [
     # percentile aggregate — a TypedImperativeAggregate, a physical
     # operator class no other in-window entry exercises.)
     "sitemap_parse_seeds", "stats_robust_outliers",
-    # r4 session-5 flagships: C4 page cleaning (line rules + page gates,
-    # Raffel et al. 2020) and eTLD+1 registrable domains under full
+    # r4 session-5 flagship: eTLD+1 registrable domains under full
     # public-suffix semantics (constant-map fold — physics no other window
-    # entry drives)
-    "c4_quality_filter", "psl_registrable_domain",
+    # entry drives). (c4_quality_filter demoted r5s1: its HOF line-rule /
+    # page-gate physics is the in-window ccnet_quality_buckets' core
+    # machinery — the text_quality_score precedent.)
+    "psl_registrable_domain",
     # dedup (connected_components' oracle embeds the identical lsh_pairs
     # CTE, so the demoted pairs entry is transitively driver-covered;
     # ngram_jaccard demoted r4s11 for its strict upgrade: the prefix-
@@ -7065,8 +7090,16 @@ _PRIORITY = [
     # every-shingle self-join it replaces is the scale-dead formulation,
     # and its physics [shingle explode + bucket join + array_intersect
     # verify] ride along inside the prefix join's plan)
-    "dedup_exact_groups", "dedup_connected_components",
-    "dedup_jaccard_prefix_join",
+    # (dedup_exact_groups demoted r5s1: the in-window
+    # dedup_pipeline_keep_best RUNS content-keyed grouping + keeper
+    # election end-to-end and its oracle embeds the md5 hash family;
+    # plain hash-agg grouping is a5_group_agg's.)
+    # r5s1 promotions: the directional containment join
+    # (decontam/bitext's candidate machinery generalized — B side unpruned
+    # by theorem) and DUST rewrite-rule mining (in-row LCP/LCS codegen over
+    # duplicate-cluster-bounded pairs).
+    "dedup_connected_components",
+    "dedup_jaccard_prefix_join", "dedup_containment_join", "url_dust_rules",
     # r4 session-11 flagship: JSON-LD structured-data extraction — new
     # in-window physics: the html.parser CDATA extractor driven through an
     # Arrow UDF with a construction-inversion oracle (pages built JVM-side,
@@ -7077,39 +7110,55 @@ _PRIORITY = [
     # levenshtein(l,r,k) expression is a single JVM codegen function — the
     # f2/f4/f8 single-expression family; its exact-distance parity stays
     # pytest-oracled.)
-    "extract_jsonld_struct",
+    # r5s1 promotions: HTML->Markdown serialization (the extractor family's
+    # RENDERING half — ordered tree-to-text with inline/block rules, not
+    # field recovery) and the WARC->WET sidecar derivation (the archive
+    # interchange path: real segment bytes in, relational oracle out —
+    # no other window entry touches the WARC read/derive machinery).
+    "extract_jsonld_struct", "extract_markdown", "warc_wet_conversion",
     # r4 session-9: winnowing (MOSS) — new in-window physics: the in-row
     # sliding window-min fold with positional output; no other in-window
     # entry drives a per-row O(grams*w) codegen fold or a position-keyed
     # fingerprint compare (pairs twin demoted: its bucket-join physics is
     # dedup_ngram_jaccard's / lsh_pairs')
     "dedup_winnow_fingerprints",
-    # r4 flagship ops: end-to-end fuzzy-dedup keeper election, two-pass
-    # prefix-sum sequence packing, PII scrub, benchmark decontamination,
-    # crawl-trap detection
-    "dedup_pipeline_keep_best", "seq_packing_contiguous", "text_pii_scrub",
-    "decontam_benchmark_overlap", "frontier_trap_filter",
+    # r4 flagship ops: end-to-end fuzzy-dedup keeper election, PII scrub.
+    # (seq_packing_contiguous demoted r5s1 for its strict generalization:
+    # the promoted pack_chop_spans runs the SAME two-pass global-cumsum
+    # machinery [operators/sequence.py with_global_cumsum] plus the
+    # chop-span explode; decontam_benchmark_overlap demoted r5s1: its
+    # n-gram containment-vs-reference machinery is the promoted
+    # dedup_containment_join's directional-containment physics;
+    # frontier_trap_filter demoted r5s1: in-row URL-path analysis +
+    # host-bucketed rollup is the promoted url_dust_rules' plan shape.)
+    "dedup_pipeline_keep_best", "text_pii_scrub", "pack_chop_spans",
     # r4 session-3 flagships: integer-exact link-graph PageRank (offline
     # OPIC twin), rational-BM25 retrieval, native session windows vs a
     # gaps-and-islands oracle, CCNet head/middle/tail bucketing
     "link_graph_pagerank", "bm25_keyword_topk", "events_sessionize",
     "ccnet_quality_buckets",
+    # r5s1 promotion: language-temperature resampling — Hamilton
+    # apportionment (largest-remainder quotas) + per-language rank
+    # selection, the multilingual-mix operator; exact-integer end-to-end.
+    "lang_temperature_resample",
     # r4 session-4 flagship: bigram-LM fluency scoring with backoff (the
     # CCNet LM-perplexity signal's integer twin, held-out split)
     "text_bigram_lm_score",
-    # similarity
-    "ann_cosine_topk", "embedding_near_dup",
+    # similarity (embedding_near_dup demoted r5s1: the dense-cosine
+    # zip_with/aggregate fold machinery stays in-window via ann_cosine_topk
+    # and the threshold-PAIR join physics arrives harder via the promoted
+    # exact sparse-cosine join — integer DAAT inverted-index candidates +
+    # arithmetic threshold, no float tolerance)
+    "ann_cosine_topk", "sparse_cosine_pairs",
     # r4 session-6 flagship: SemDeDup semantic dedup on trained clusters
     # (blocked per-cluster gram, never O(n^2)); its kmeans_assign twin
     # demoted r4s11 — semantic_dedup_clusters RUNS kmeans_lloyd as its
     # first stage, so the full Lloyd machinery (and its unrolled-CTE
-    # oracle) stays driver-covered in-window. The slot goes to the
-    # HyperLogLog register sketch — new in-window physics: a bounded-
-    # domain MAX aggregation whose exchange is sketch-sized at any input
-    # size, with bin()-length leading-zero-rank integer arithmetic
-    # bit-matched cross-engine; no other window entry drives a mergeable-
-    # sketch aggregation.
-    "sketch_hll_registers", "semantic_dedup_clusters",
+    # oracle) stays driver-covered in-window.
+    # (sketch_hll_registers demoted r5s1 for its strict upgrade: the
+    # promoted sketch_hll_merge RUNS the register build on both halves AND
+    # certifies merge=union — the semantic_dedup/kmeans precedent.)
+    "sketch_hll_merge", "semantic_dedup_clusters",
     # r4 session-7 flagship: quality-classifier training — full-batch-GD
     # logistic regression whose oracle unrolls the whole training run as
     # CTEs (iterative-ML physics: Arrow matvec scoring + map-side-combined
@@ -7171,11 +7220,6 @@ _PRIORITY = [
     # r4 session-10: soft-404 detection (host error-template fingerprint
     # × marker phrase; groupBy+join physics windowed by dedup_exact_groups)
     "frontier_soft404_detect",
-    # r4 session-11 oracled 51+ entries: language-temperature resampling —
-    # its Hamilton-apportionment + window-rank physics is windowed by
-    # w2_topk_per_key and the in-pytest scheduler_budget_allocate oracle;
-    # exact-integer end-to-end, selection by the module's md5 hash order
-    "lang_temperature_resample",
     # r4 session-11 oracled 51+: HTML table-grid extraction — the same
     # extractor-UDF + construction-inversion physics the in-window
     # extract_jsonld_struct drives (tree parser through Arrow, JVM-built
@@ -7196,11 +7240,6 @@ _PRIORITY = [
     # r4 session-11 oracled 51+: staleness SLA — integer projection +
     # host rollup (physics windowed by a5_group_agg / p5's CASE logic)
     "frontier_staleness_report",
-    # r4 session-11 oracled 51+ (the prefix-join itself was PROMOTED into
-    # the window as dedup_ngram_jaccard's strict upgrade; these ride the
-    # same machinery): directional containment join shares the prefix-
-    # postings candidate physics and array_intersect verification
-    "dedup_containment_join",
     # r4 session-11 oracled 51+ extractors: microdata / meta-robots /
     # pagination-series / jusText blocks all drive the html.parser-tree-
     # through-Arrow physics windowed by extract_jsonld_struct (single
@@ -7208,28 +7247,14 @@ _PRIORITY = [
     # pointer doubling is windowed by redirect_chain_resolve
     "extract_microdata_items", "extract_meta_robots_flags",
     "frontier_pagination_series", "extract_main_content_blocks",
-    # r4 session-11 oracled 51+: WET sidecar derivation — the WARC read/
-    # write/CDX physics is pytest-pinned on real segment bytes; the entry's
-    # Arrow extract-text pass is windowed by extract_jsonld_struct
-    "warc_wet_conversion",
-    # r4 session-12 oracled 51+: HTML -> Markdown tree serialization —
-    # extractor-UDF + construction-inversion physics windowed by
-    # extract_jsonld_struct; rendering rules are pytest-goldened
-    "extract_markdown",
     # r4 session-12 oracled 51+: exact phrase search — zero-exchange
     # codegen array scan (single-expression projection family, the f3
     # rationale); cross-engine agreement through an independent
     # window-formulated oracle
     "search_phrase_exact",
     # r4 session-12 oracled 51+: ROLLUP subtotals (one Expand+HashAgg
-    # pass, grouping_id) — the a5_group_agg family generalized; DUST
-    # rewrite-rule mining — (host,fp)-bucketed self-join + codegen
-    # LCP/LCS, candidate-pair physics windowed by the dedup joins
-    "agg_rollup_subtotals", "url_dust_rules",
-    # r4 session-12 oracled 51+: concat-and-chop packing — the two-pass
-    # global-cumsum machinery already windowed by the fetch-log seq
-    # entries, plus a bounded explode (dedup-shingling physics)
-    "pack_chop_spans",
+    # pass, grouping_id) — the a5_group_agg family generalized
+    "agg_rollup_subtotals",
     # r4 session-12 oracled 51+: publication-date extraction — the
     # extractor-UDF + construction-inversion physics windowed by
     # extract_jsonld_struct; ladder/validity rules pytest-goldened
@@ -7248,29 +7273,17 @@ _PRIORITY = [
     # r4 session-12 oracled 51+: token-window RAG chunking — bounded
     # explode + slice codegen, the shingling-explode physics family
     "text_window_chunks",
-    # r4 session-12 oracled 51+: HLL register merge — parity against the
-    # union's directly-built registers IS the merge=union theorem; the
-    # sketch_hll_registers physics family
-    "sketch_hll_merge",
-    # r4 session-12 oracled 51+: exact sparse-cosine join — the
-    # prefix-join/postings candidate physics with integer-threshold
-    # verification (dedup_jaccard_prefix_join family)
-    "sparse_cosine_pairs",
     # r4 session-12 oracled 51+: bitext candidate pairs — cluster-keyed
-    # self-join + integer ratio gate (the j4/j5 join physics family)
+    # self-join + integer ratio gate (the j4 join physics family)
     "bitext_candidate_pairs",
-    # r4 session-12 oracled 51+: PIVOT long->wide — explicit-value-list
-    # single-pass reshape, FILTER-aggregate oracle (a5/rollup family)
-    "agg_pivot_event_types",
-    # r4 session-12 oracled 51+: INTERSECT — distinct left-semi physics
-    # (the j6 anti-join family), completes union/anti/intersect in §2.7
-    "set_intersect_hosts",
-    # r4 session-12 oracled 51+: RANGE-frame window — value-based frame
-    # physics the ROWS-frame w2/w3 entries don't drive
-    "window_range_frame_1h",
-    # r4 session-12 oracled 51+: levenshtein near-terms — JVM edit
-    # distance over a vocabulary-sized self-join (f3 function family)
-    "fn_levenshtein_near_terms",
+    # --- r5 session-1 demotions (rationales at their old window
+    # positions; every one oracle-verified by tests/test_oracle_parity.py
+    # and driver-green in CORRECTNESS_r01–r04):
+    "p6_null_semantics", "p2_allowlist_filter", "a3_min_fold",
+    "w3_lag_pacing", "j5_broadcast_dim_join", "c4_quality_filter",
+    "dedup_exact_groups", "seq_packing_contiguous",
+    "decontam_benchmark_overlap", "frontier_trap_filter",
+    "embedding_near_dup", "sketch_hll_registers",
 ]
 
 _REGISTRY = {

@@ -38,17 +38,18 @@ def test_flagship_new_components_have_driver_rows():
     window = set(list(entry_mod._REGISTRY)[: entry_mod._DRIVER_WINDOW])
     for name in (
         "ann_cosine_topk",
-        "embedding_near_dup",
         "s5_batched_lookup",
         "u1_handler_dispatch",
         "entity_balances_replay",
         "backfill_reindex_progress",
-        # r4 flagships
+        # r4 flagships (r5s1 rotations: embedding_near_dup ->
+        # ann_cosine_topk + sparse_cosine_pairs; seq_packing_contiguous ->
+        # pack_chop_spans [strict generalization]; decontam_benchmark_
+        # overlap -> dedup_containment_join; frontier_trap_filter ->
+        # url_dust_rules; sketch_hll_registers -> sketch_hll_merge
+        # [strict upgrade] — rationales in _PRIORITY comments)
         "dedup_pipeline_keep_best",
-        "seq_packing_contiguous",
         "text_pii_scrub",
-        "decontam_benchmark_overlap",
-        "frontier_trap_filter",
         # r4 session-3 flagships
         "link_graph_pagerank",
         "bm25_keyword_topk",
@@ -69,19 +70,32 @@ def test_flagship_new_components_have_driver_rows():
         # r4 session-9 flagship
         "dedup_winnow_fingerprints",
         # r4 session-11 flagships: JSON-LD extraction; Merkle integrity
-        # tree (order-sensitive agg fold), HLL register sketch (bounded-
-        # domain mergeable MAX), prefix-filtered Jaccard join (the
-        # ngram_jaccard strict upgrade)
+        # tree (order-sensitive agg fold), prefix-filtered Jaccard join
+        # (the ngram_jaccard strict upgrade)
         "extract_jsonld_struct",
         "snapshot_merkle_tree",
-        "sketch_hll_registers",
         "dedup_jaccard_prefix_join",
+        # r5 session-1 flagship promotions: the four r4-queued entries
+        # plus the highest-value never-driver-checked oracled entries
+        # (VERDICT r4 next-round #2)
+        "window_range_frame_1h",
+        "agg_pivot_event_types",
+        "set_intersect_hosts",
+        "fn_levenshtein_near_terms",
+        "dedup_containment_join",
+        "sparse_cosine_pairs",
+        "sketch_hll_merge",
+        "lang_temperature_resample",
+        "url_dust_rules",
+        "extract_markdown",
+        "warc_wet_conversion",
+        "pack_chop_spans",
     ):
         assert name in window, name
 
 
 def test_demotions_have_in_window_twins():
-    """Every r4 demotion's machinery is exercised by an in-window twin."""
+    """Every demotion's machinery is exercised by an in-window twin."""
     window = set(list(entry_mod._REGISTRY)[: entry_mod._DRIVER_WINDOW])
     twins = {
         "qb_ops_in_contains_null": "qb_resolve_single",
@@ -95,11 +109,14 @@ def test_demotions_have_in_window_twins():
         "o1_order_passthrough": "o3_pagination",
         "set_union_seeds": "dedup_pipeline_keep_best",
         "f2_hex_encode": "f3_lower_normalize",
-        "f9_rfc3339_format": "a3_min_fold",
+        # retargeted r5s1 when a3_min_fold itself demoted: strftime/
+        # date_format cross-engine parity is driven by the pivot oracle
+        "f9_rfc3339_format": "agg_pivot_event_types",
         # r4 session-9 demotions
         "f10_json_extract": "f3_lower_normalize",
         "dedup_winnow_pairs": "dedup_jaccard_prefix_join",
-        "text_lang_id": "c4_quality_filter",
+        # retargeted r5s1 when c4_quality_filter itself demoted
+        "text_lang_id": "ccnet_quality_buckets",
         "a2_unique_set_first": "w2_topk_per_key",
         "f13_array_explode": "dedup_jaccard_prefix_join",
         # r4 session-4 demotions
@@ -109,8 +126,10 @@ def test_demotions_have_in_window_twins():
         # r4 session-5 demotions
         "text_token_count": "text_pii_scrub",
         "text_quality_score": "ccnet_quality_buckets",
-        # r4 session-6/7 demotions
-        "a1_distinct": "dedup_exact_groups",
+        # r4 session-6/7 demotions (a1 retargeted r5s1 when
+        # dedup_exact_groups itself demoted: all-column HashAggregate
+        # dedup is grouped-hash-agg physics)
+        "a1_distinct": "a5_group_agg",
         "set_anti_seen_diff": "j6_get_or_create_anti",
         "f5_bigint_string_arith": "entity_balances_replay",
         "j3_point_lookup_limit1": "qb_resolve_single",
@@ -121,6 +140,19 @@ def test_demotions_have_in_window_twins():
         "dedup_ngram_jaccard": "dedup_jaccard_prefix_join",
         "q3_shipping_priority": "q1_pricing_summary",
         "embedding_kmeans_assign": "semantic_dedup_clusters",
+        # r5 session-1 demotions (rationales in _PRIORITY comments)
+        "p6_null_semantics": "crawl_snapshot_diff",
+        "p2_allowlist_filter": "p5_bool_connectives",
+        "a3_min_fold": "a5_group_agg",
+        "w3_lag_pacing": "window_range_frame_1h",
+        "j5_broadcast_dim_join": "j1_qb_relation",
+        "c4_quality_filter": "ccnet_quality_buckets",
+        "dedup_exact_groups": "dedup_pipeline_keep_best",
+        "seq_packing_contiguous": "pack_chop_spans",
+        "decontam_benchmark_overlap": "dedup_containment_join",
+        "frontier_trap_filter": "url_dust_rules",
+        "embedding_near_dup": "ann_cosine_topk",
+        "sketch_hll_registers": "sketch_hll_merge",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
