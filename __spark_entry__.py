@@ -407,6 +407,40 @@ def qb_ops(spark, sf):
     )
 
 
+@_q(
+    "qb_graphql_string",
+    """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+       WHERE o_totalprice >= 100000 AND o_orderstatus IN ('O', 'F')
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+)
+def qb_graphql_q(spark, sf):
+    """GraphQL STRING front end, end to end (plans/graphql.py): the
+    reference serves this exact surface as generated GraphQL fields —
+    `Orders(limit:, order:, where:)` with `{field: {op: val}}` where-
+    inputs (generated/query/generated.go:246-338,
+    cmd/core/query_resolver.go:541-614). Here the hand-rolled lexer +
+    recursive-descent parser (the schema_def SDL-parser precedent)
+    compiles the query string to the SAME request dict the in-window
+    j1/j2/qb_resolve_single entries drive, so the oracle certifies the
+    whole string->plan->result path cross-engine. String-path ≡ dict-path
+    parity is additionally pytest-pinned (tests/test_graphql.py)."""
+    from layerg_crawler_v2_spark.plans.graphql import execute_graphql
+
+    return execute_graphql(
+        _qb(spark, sf),
+        """
+        query TopOrders($lo: Int!) {
+          Orders(limit: 25, order: "o_totalprice desc, o_orderkey asc",
+                 where: {o_totalprice: {gte: $lo},
+                         o_orderstatus: {in: ["O", "F"]}}) {
+            o_orderkey o_totalprice o_orderstatus
+          }
+        }
+        """,
+        variables={"lo": 100000},
+    )
+
+
 # --- §2.4 aggregations ---------------------------------------------------------
 
 @_q("a1_distinct", "SELECT DISTINCT user_id, event_type FROM events")
@@ -7169,9 +7203,16 @@ _PRIORITY = [
     # + zero-shuffle multi-codebook encode); its ADC-search twin
     # pq_ann_adc_topk sits at 51+ on the same trained codebooks
     "pq_encode_codes",
-    # enrichment / dispatch / entities / backfill
+    # enrichment / dispatch / entities
     "s5_batched_lookup", "u1_handler_dispatch", "entity_balances_replay",
-    "backfill_reindex_progress",
+    # r5s1 flagship: the GraphQL STRING front end driven end to end —
+    # lexer + recursive-descent parser -> the same request dicts the
+    # j1/j2/qb_resolve_single entries compile, oracled cross-engine.
+    # (backfill_reindex_progress demoted r5s1: its ORACLE certifies a
+    # per-chunk groupBy count — a5_group_agg's physics — while the
+    # backfill/checkpoint machinery itself is pytest-pinned in
+    # tests/test_backfill.py.)
+    "qb_graphql_string",
     # --- position 51+: oracled entries whose machinery an in-window twin
     # already drives (pytest-oracle-verified), then rows-only.
     # r4 demotions: qb_ops_in_contains_null (same plans/query.py WhereInput
@@ -7284,6 +7325,7 @@ _PRIORITY = [
     "dedup_exact_groups", "seq_packing_contiguous",
     "decontam_benchmark_overlap", "frontier_trap_filter",
     "embedding_near_dup", "sketch_hll_registers",
+    "backfill_reindex_progress",
 ]
 
 _REGISTRY = {

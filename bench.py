@@ -118,6 +118,15 @@ def cpu_probe(procs: int = PROBE_PROCS, loops: int = PROBE_LOOPS) -> float:
 IO_PROBE_MB = int(os.environ.get("SPARK_GRAFT_IO_PROBE_MB", "256"))
 IO_PROBE_NOMINAL_S = float(os.environ.get("SPARK_GRAFT_IO_PROBE_NOMINAL", "1.1"))
 IO_PROBE_CONTENDED_RATIO = 4.0
+# Official-record bar (VERDICT r4 next #4): the 4.0 contended gate only
+# catches catastrophic IO starvation, so an official record could silently
+# carry up to ~1.7x IO headwind (the r4 31.3s-official vs 18.3s-quiet gap).
+# A headline record is published `official` only when the chosen crawl leg's
+# quieter probe side read BELOW this ratio; the harness retries extra legs
+# into a quiet window to get there, and discloses `io_headwind` either way.
+IO_PROBE_OFFICIAL_RATIO = float(
+    os.environ.get("SPARK_GRAFT_IO_OFFICIAL_RATIO", "2.0")
+)
 
 
 def io_probe(mb: int = IO_PROBE_MB) -> float:
@@ -308,6 +317,28 @@ def crawl_leg_quiet(c: dict) -> bool:
     )
 
 
+def crawl_leg_io_headwind(c: dict) -> float:
+    """The published leg's quieter-side IO ratio — the residual IO headwind
+    the record carries even after bracketing (min over before/after: a
+    spike on one side of the window doesn't condemn the leg)."""
+    return round(
+        min(c["io_probe_before_s"], c["io_probe_after_s"]) / IO_PROBE_NOMINAL_S,
+        3,
+    )
+
+
+def crawl_leg_official(c: dict) -> bool:
+    """Official-record bar: cpu quiet at the 1.5x gate AND io headwind
+    under IO_PROBE_OFFICIAL_RATIO (2.0 default) — the stricter gate
+    VERDICT r4 prescribed so official records can't silently carry a
+    ~1.7x writeback headwind."""
+    return (
+        min(c["probe_before_s"], c["probe_after_s"])
+        <= PROBE_NOMINAL_S * PROBE_CONTENDED_RATIO
+        and crawl_leg_io_headwind(c) <= IO_PROBE_OFFICIAL_RATIO
+    )
+
+
 def run_headline(
     spark,
     sf_dir: str,
@@ -425,7 +456,11 @@ def main() -> None:
         # and the probe fields still disclose whatever it saw.
         crawl = None
         crawl_legs = 0
-        while crawl_legs < 3:
+        # retry budget raised 3 -> 5 (VERDICT r4 next #4): the loop now
+        # chases the OFFICIAL bar (io headwind < 2.0x on the chosen leg),
+        # not just the 4.0x catastrophic-contention gate, so the quiet-band
+        # number becomes the official number instead of a footnote.
+        while crawl_legs < 5:
             c = run_crawl_bench(
                 spark,
                 int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")),
@@ -437,13 +472,16 @@ def main() -> None:
             if crawl is None or c["urls_per_sec"] > crawl["urls_per_sec"]:
                 crawl = c
             if crawl_legs >= 2:
-                if crawl_leg_quiet(c):
+                if crawl_leg_official(crawl):
                     break
                 print(
-                    f"bench: crawl leg {crawl_legs} contended "
-                    f"(cpu probe {min(c['probe_before_s'], c['probe_after_s'])}s, "
-                    f"io probe {min(c['io_probe_before_s'], c['io_probe_after_s'])}s)"
-                    + ("; retrying once" if crawl_legs < 3 else "; publishing as-is"),
+                    f"bench: best crawl leg after {crawl_legs} attempts still "
+                    f"over the official bar (cpu probe "
+                    f"{min(crawl['probe_before_s'], crawl['probe_after_s'])}s, "
+                    f"io headwind {crawl_leg_io_headwind(crawl)}x vs official "
+                    f"<= {IO_PROBE_OFFICIAL_RATIO}x)"
+                    + ("; retrying" if crawl_legs < 5
+                       else "; publishing as-is with official:false"),
                     file=sys.stderr,
                 )
         queries["frontier_crawl"] = crawl["wall_s"]
@@ -460,6 +498,8 @@ def main() -> None:
             "sf": sf_of(sf_dir),
             "crawl_urls_per_sec": crawl["urls_per_sec"],
             "crawl_urls_fetched": crawl["urls_fetched"],
+            "crawl_io_headwind": crawl_leg_io_headwind(crawl),
+            "crawl_official": crawl_leg_official(crawl),
             "cpus": args.cpus,
             **probe_report(probes, io_samples=io_probes),
         }
@@ -675,6 +715,8 @@ def _log_headline(report: dict, note: str = "") -> None:
         "cpu_worst_ratio": report.get("probe_worst_ratio"),
         "io_worst_ratio": report.get("io_probe_worst_ratio"),
         "contended": report.get("contended"),
+        "io_headwind": report.get("crawl_io_headwind"),
+        "official": report.get("crawl_official"),
     }
     with open(os.path.join(REPO, "BENCH", "headlines.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")
@@ -694,24 +736,28 @@ def _headlines_table() -> str:
         "`BENCH/headline_*.json`. Same-build crawl times track the io probe",
         "(shared-disk writeback is this host's dominant noise — CPU probes",
         "stay quiet); the engine's quiet-host record is 18.3 s (4,133 urls/s).",
-        "The crawl leg is best-of-2, plus one automatic third attempt when",
-        "both legs' probe brackets read contended (`bench.crawl_leg_quiet`) —",
-        "the r3 failure mode (a 2.8x-off best-of-2 published as the official",
-        "record) now gets one more chance at a quiet moment, and the probe",
-        "fields in the JSON disclose whatever the published leg saw.",
-        "Off-profile rows (smoke runs at other sf/cpu levels) say so in",
-        "their note.",
+        "The crawl leg is best-of-2 with automatic retries (up to 5 legs)",
+        "until the chosen leg clears the OFFICIAL bar — cpu quiet at 1.5x",
+        "AND io headwind (quieter probe side) under 2.0x nominal",
+        "(`bench.crawl_leg_official`, VERDICT r4 #4); rows that never got a",
+        "quiet window publish official=False with the residual io headwind",
+        "disclosed. Off-profile rows (smoke runs at other sf/cpu levels)",
+        "say so in their note.",
         "",
-        "| run | suite (s) | crawl (s) | urls/s | cpu worst | io worst | contended |",
-        "|---|---|---|---|---|---|---|",
+        "| run | suite (s) | crawl (s) | urls/s | cpu worst | io worst "
+        "| io headwind | official |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         io = r["io_worst_ratio"]
+        hw = r.get("io_headwind")
+        official = r.get("official")
         out.append(
             f"| {r['note'] or '(unlabeled)'} | {r['suite_s']} | {r['crawl_s']} "
             f"| {r['urls_per_sec']:,} | {r['cpu_worst_ratio']}x "
             f"| {'n/a' if io is None else f'{io}x'} "
-            f"| {r['contended']} |"
+            f"| {'n/a' if hw is None else f'{hw}x'} "
+            f"| {'pre-gate' if official is None else official} |"
         )
     return "\n".join(out) + "\n\n"
 

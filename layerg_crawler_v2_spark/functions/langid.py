@@ -100,16 +100,19 @@ _FUNCTION_WORDS: dict[str, list[str]] = {
              aus wenn nur zu im""".split(),
     "fr": """le la les de des du et est une un que qui dans pour pas avec
              sur sont mais nous vous par plus son ses aux cette être au
-             fait""".split(),
+             fait il elle ne si où avait été avant""".split(),
     "es": """el la los las de del y es en un una que no por con para se su
-             al como más pero sus le ya este esta son entre cuando""".split(),
+             al como más pero sus le ya este esta son entre cuando si
+             antes ella había donde""".split(),
     "pt": """o a os as de do da dos das e é em um uma que não por com para
-             se seu sua ao como mais mas foi são entre quando""".split(),
+             se seu sua ao como mais mas foi são entre quando ele ela já
+             onde tinha""".split(),
     "it": """il lo la gli le di del della e è in un una che non per con si
-             al come più ma suo sono tra questo questa anche nel alla""".split(),
+             al come più ma suo sono tra questo questa anche nel alla
+             degli delle già aveva dove""".split(),
     "nl": """de het een en van is dat op te zijn met voor niet aan er ook
              als maar bij uit naar dan heeft worden deze over wordt tot
-             door""".split(),
+             door hun hadden hij ze zou al wij werd""".split(),
 }
 _WORD_WEIGHTS: dict[str, list[tuple[str, float]]] = {}
 for _lang, _words in _FUNCTION_WORDS.items():
@@ -215,9 +218,15 @@ def identify_language(text: str | None) -> tuple[str, float]:
         runner = ranked[1][1] if len(ranked) > 1 else 0.0
         if top > 0 and (top - runner) / top >= 0.15:
             return top_lang, min(1.0, top * 3.0)
-        # near-tie between word profiles: let trigrams break it
+        # near-tie between word profiles: let trigrams break it among ALL
+        # the near-tied candidates, not just the top two — a word like
+        # "de" is shared 5 ways, so the right language can sit at rank 3+
+        # of an alphabetically-ordered tie (the nl-classified-as-es bug)
+        near = {
+            lang for lang, s in ranked if top > 0 and s >= top * 0.85
+        }
         tri_lang, tri_conf = _trigram_best(lower)
-        if tri_lang in (top_lang, ranked[1][0] if len(ranked) > 1 else ""):
+        if tri_lang in near:
             return tri_lang, max(min(1.0, top * 3.0) * 0.7, tri_conf)
         return top_lang, min(1.0, top * 3.0) * 0.5
     return _trigram_best(lower)

@@ -41,7 +41,11 @@ def test_flagship_new_components_have_driver_rows():
         "s5_batched_lookup",
         "u1_handler_dispatch",
         "entity_balances_replay",
-        "backfill_reindex_progress",
+        # r5s1: backfill_reindex_progress rotated out (its oracle is a
+        # per-chunk groupBy count — a5's physics; the machinery is
+        # pytest-pinned in test_backfill.py); the slot carries the r5
+        # GraphQL string-front-end flagship
+        "qb_graphql_string",
         # r4 flagships (r5s1 rotations: embedding_near_dup ->
         # ann_cosine_topk + sparse_cosine_pairs; seq_packing_contiguous ->
         # pack_chop_spans [strict generalization]; decontam_benchmark_
@@ -153,6 +157,7 @@ def test_demotions_have_in_window_twins():
         "frontier_trap_filter": "url_dust_rules",
         "embedding_near_dup": "ann_cosine_topk",
         "sketch_hll_registers": "sketch_hll_merge",
+        "backfill_reindex_progress": "a5_group_agg",
     }
     for demoted, twin in twins.items():
         assert demoted not in window, demoted
