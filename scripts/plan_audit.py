@@ -330,6 +330,15 @@ AUDITS = [
         "chain length.",
     ),
     (
+        "qb_graphql_string",
+        "GraphQL STRING front end: the parsed query compiles to the same "
+        "declarative tree as the dict path — filter reaches the scan "
+        "(PushedFilters), top-25 is TakeOrderedAndProject (never a global "
+        "sort), ZERO exchanges, zero Python. The front end is driver-side "
+        "string work only; Catalyst sees an identical plan from either "
+        "path (tests/test_graphql.py parity).",
+    ),
+    (
         "redirect_chain_resolve",
         "Pointer doubling with per-round localCheckpoint "
         "(operators/redirects.py resolve_redirects reuse=True): each of "

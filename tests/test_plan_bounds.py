@@ -87,6 +87,7 @@ BOUNDS = {
     "window_range_frame_1h": (1, 0, 0),
     "set_intersect_hosts": (2, 0, 0),
     "redirect_chain_resolve": (10, 0, 0),
+    "qb_graphql_string": (0, 0, 0),
 }
 
 
