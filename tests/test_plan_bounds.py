@@ -120,6 +120,11 @@ def test_bounds_cover_audit_list():
 def test_plan_within_bounds(spark, sf_dir, name):
     import __spark_entry__ as entry_mod
 
+    # plans that persist invariants (pagerank/trustrank/mirror_hosts)
+    # print differently when a PRIOR test left the same subtree cached
+    # (CacheManager dedupes the persist and the printed lineage changes),
+    # so pin the isolated-session shape the bounds were measured on
+    spark.catalog.clearCache()
     df = entry_mod.queries()[name](spark, sf_dir)
     c = _counts(df)
     max_ex, max_arrow, max_bnlj = BOUNDS[name]
