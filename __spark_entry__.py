@@ -4792,6 +4792,94 @@ def bpe_encode_q(spark, sf):
     )
 
 
+# WordPiece vocabulary for the oracled entry: every lowercase letter as
+# both an initial and a continuation piece (total alpha coverage — no
+# [UNK] except non-alpha residue) plus multi-char pieces over the TPC-H
+# part-name color lexicon so longest-match-first actually decides.
+# ONE Python constant renders into BOTH engines (the Spark literal maps
+# and the oracle's VALUES list), so the two sides cannot drift.
+_WP_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["al", "an", "aqua", "bl", "ch", "co", "corn", "fi", "fl", "fo",
+       "go", "gr", "ho", "iv", "kh", "la", "le", "li", "ma", "me", "mi",
+       "mo", "na", "ol", "or", "pa", "pe", "pl", "po", "pu", "ro", "sa",
+       "se", "si", "sk", "sl", "sm", "sn", "sp", "st", "ta", "th", "to",
+       "tu", "vi", "wh", "ye"]
+    + ["##er", "##ed", "##on", "##an", "##al", "##le", "##nd", "##te",
+       "##ond", "##ique", "##ine", "##ure", "##ack", "##own", "##ood",
+       "##ate", "##ey", "##ew", "##ry", "##ki", "##ce", "##der", "##mon",
+       "##el", "##na", "##ke", "##ow", "##ing", "##eel", "##oise", "##et",
+       "##at", "##ite", "##low", "##ue", "##am"]
+)
+
+_WP_DUCK = r"""
+WITH RECURSIVE
+v(piece) AS (VALUES {values}),
+w(word) AS (
+  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS word
+  FROM part WHERE p_name IS NOT NULL
+),
+w2 AS (SELECT word FROM w WHERE word <> ''),
+m(word, pos, toks, dead) AS (
+  SELECT word, 1, CAST([] AS VARCHAR[]), false FROM w2
+  UNION ALL
+  SELECT m.word,
+         m.pos + COALESCE(length(replace(best.piece, '##', '')), 1),
+         CASE WHEN best.piece IS NULL THEN m.toks
+              ELSE list_append(m.toks, best.piece) END,
+         best.piece IS NULL
+  FROM m
+  LEFT JOIN LATERAL (
+    SELECT piece FROM v
+    WHERE (m.pos = 1) = (piece NOT LIKE '##%')
+      AND substr(m.word, m.pos, length(replace(piece, '##', '')))
+          = replace(piece, '##', '')
+    ORDER BY length(replace(piece, '##', '')) DESC LIMIT 1
+  ) best ON true
+  WHERE NOT m.dead AND m.pos <= length(m.word)
+)
+SELECT word,
+       CAST(CASE WHEN bool_or(dead) THEN 1
+                 ELSE len(max_by(toks, pos)) END AS BIGINT) AS n_pieces,
+       CASE WHEN bool_or(dead) THEN '[UNK]'
+            ELSE array_to_string(max_by(toks, pos), ' ') END AS pieces
+FROM m GROUP BY word
+""".format(
+    values=", ".join("('" + p + "')" for p in _WP_VOCAB)
+)
+
+
+@_q("wordpiece_encode_words", _WP_DUCK)
+def wordpiece_q(spark, sf):
+    """WordPiece greedy longest-match tokenization (operators/wordpiece.py;
+    Devlin et al. 2019) — the third tokenizer family next to BPE's merge
+    fold and unigram's Viterbi, and the only one whose encode loop is
+    SQL-expressible, so it carries the trilogy's cross-engine oracle: a
+    DuckDB recursive CTE re-walks the identical greedy loop with a
+    LATERAL longest-match probe per step. Spark side is one zero-shuffle
+    codegen fold per DISTINCT word (vocabulary rides the plan as two
+    literal maps); unmatched positions collapse the word to [UNK] whole
+    (the BERT contract). Corpus-level reassembly shares bpe_encode's
+    join-back shape and is pytest-pinned (tests/test_wordpiece.py)."""
+    from layerg_crawler_v2_spark.operators.wordpiece import encode_words
+
+    words = (
+        _t(spark, sf, "part")
+        .select(
+            F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    enc = encode_words(words, _WP_VOCAB)
+    return enc.select(
+        "word",
+        F.size("tokens").cast("bigint").alias("n_pieces"),
+        F.array_join("tokens", " ").alias("pieces"),
+    )
+
+
 @_q("dedup_cdc_chunks", None)  # gear-hash scan is not SQL-expressible;
 # invariants (exact coverage, min/max bounds, determinism, re-sync after
 # insertion, distributed==local) are property-tested in tests/test_cdc.py
