@@ -4005,6 +4005,33 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+@_q("sketch_kll_quantiles", None)  # merge-order-dependent summary: retained
+# items vary with partition splits (declared in operators/kll.py), so no
+# bit-exact SQL twin exists; the rank-error bound (<= 0.02 across uniform/
+# zipf/sorted/constant shapes, measured worst 0.007), merge correctness,
+# partition-count invariance OF THE BOUND, and the sketch-sized exchange
+# are all pinned in tests/test_kll.py
+def kll_q(spark, sf):
+    """Frontier distribution telemetry via a KLL mergeable quantile sketch
+    (operators/kll.py; Karnin-Lang-Liberty FOCS'16): order-price deciles
+    from O(k log N) retained items instead of a global sort — the
+    every-round probe (fetch-latency p99, page-size shard sizing, quality
+    thresholds) exact percentiles (stats_robust_outliers) are too
+    expensive to run at 10^10 rows. One mapInPandas pass emits ONE
+    sketch-sized row per partition; the driver folds P sketches with the
+    same merge the executors used (the CMS/HLL collect discipline).
+    Compaction parity is deterministic (Munro-Paterson alternation), so
+    the estimates are reproducible for a fixed partitioning."""
+    from layerg_crawler_v2_spark.operators.kll import kll_quantiles
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    return kll_quantiles(
+        orders, "v", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], k=200
+    )
+
+
 _LEVENSHTEIN_DUCK = """
 WITH w AS (SELECT DISTINCT string_split(p_name, ' ')[1] AS term FROM part)
 SELECT a.term AS term_a, b.term AS term_b,
