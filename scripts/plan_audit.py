@@ -330,6 +330,14 @@ AUDITS = [
         "chain length.",
     ),
     (
+        "wordpiece_encode_words",
+        "WordPiece encode: the greedy longest-match loop is ONE "
+        "whole-stage-codegen fold per DISTINCT word (vocabulary as two "
+        "literal maps — no UDF, no broadcast join, zero Python); the only "
+        "exchange is the distinct-word aggregate, vocabulary-sized by "
+        "Heaps' law at any corpus size.",
+    ),
+    (
         "qb_graphql_string",
         "GraphQL STRING front end: the parsed query compiles to the same "
         "declarative tree as the dict path — filter reaches the scan "

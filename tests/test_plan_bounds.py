@@ -88,6 +88,7 @@ BOUNDS = {
     "set_intersect_hosts": (2, 0, 0),
     "redirect_chain_resolve": (10, 0, 0),
     "qb_graphql_string": (0, 0, 0),
+    "wordpiece_encode_words": (1, 0, 0),
 }
 
 
