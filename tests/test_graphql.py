@@ -230,6 +230,121 @@ def test_unknown_field_and_args(qb):
         ).collect()
 
 
+# --- property fuzz (the parser is a security boundary: any string may
+# --- arrive; it must parse-or-raise, never hang, never mis-compile) ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_IDENT = st.from_regex(r"[_A-Za-z][_0-9A-Za-z]{0,10}", fullmatch=True).filter(
+    lambda s: s
+    not in ("query", "mutation", "subscription", "fragment", "true",
+            "false", "null", "on")
+)
+_SCALAR = st.one_of(
+    st.integers(-10**9, 10**9),
+    st.booleans(),
+    st.none(),
+    st.text(
+        st.characters(blacklist_characters='"\\', min_codepoint=32,
+                      max_codepoint=126),
+        max_size=12,
+    ),
+)
+
+
+def _render_value(v):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    return '"' + v + '"'
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    field=_IDENT,
+    args=st.dictionaries(_IDENT, _SCALAR, max_size=4),
+    selection=st.lists(_IDENT, min_size=1, max_size=5),
+)
+def test_fuzz_roundtrip_grammar(field, args, selection):
+    """Any document generated FROM the grammar parses back to exactly the
+    structure that generated it (args, selection, field name)."""
+    arg_src = (
+        "(" + ", ".join(f"{k}: {_render_value(v)}" for k, v in args.items()) + ")"
+        if args
+        else ""
+    )
+    src = "{ %s%s { %s } }" % (field, arg_src, " ".join(selection))
+    (f,) = parse_graphql(src)
+    assert f.name == field
+    assert f.args == args
+    assert f.selection == selection
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60))
+def test_fuzz_garbage_never_hangs(garbage):
+    """Arbitrary input parses or raises ValueError/KeyError — no hangs, no
+    other exception types leaking from the lexer/parser."""
+    try:
+        parse_graphql(garbage)
+    except (ValueError, KeyError):
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.recursive(
+        st.dictionaries(
+            _IDENT,
+            st.dictionaries(
+                st.sampled_from(["eq", "ne", "gt", "gte", "lt", "lte"]),
+                st.integers(-1000, 1000),
+                min_size=1,
+                max_size=2,
+            ),
+            max_size=2,
+        ),
+        lambda inner: st.fixed_dictionaries(
+            {}, optional={"AND": st.lists(inner, max_size=2),
+                          "OR": st.lists(inner, max_size=2)}
+        ).flatmap(
+            lambda conn: st.dictionaries(
+                _IDENT,
+                st.dictionaries(
+                    st.sampled_from(["eq", "lt"]),
+                    st.integers(-1000, 1000),
+                    min_size=1,
+                    max_size=1,
+                ),
+                max_size=1,
+            ).map(lambda base: {**base, **conn})
+        ),
+        max_leaves=6,
+    )
+)
+def test_fuzz_where_translation_total(where):
+    """translate_where is total over grammar-shaped where trees and
+    produces only suffix keys / AND / OR."""
+    out = translate_where(where)
+    if out is None:
+        return
+
+    def check(d):
+        for k, v in d.items():
+            if k in ("AND", "OR"):
+                for sub in v:
+                    check(sub)
+            else:
+                assert "_" in k  # field_op suffix form
+                assert not isinstance(v, dict)
+
+    check(out)
+
+
 def test_single_is_point_lookup_plan(qb):
     """The single path keeps the dict path's plan shape: a filter that
     reaches the scan + LIMIT, no join, no window."""
