@@ -218,3 +218,59 @@ def kll_quantiles(
     return spark.createDataFrame(
         [(float(q), sk.quantile(q)) for q in qs], "q double, value double"
     )
+
+
+def kll_grouped_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(key, n, q, value) per group — per-host fetch-latency percentiles,
+    per-language size deciles: the grouped telemetry shape.
+
+    Two-phase, never whole-group-in-memory: phase 1 is one mapInPandas
+    pass building a sketch PER KEY PER PARTITION (task memory = keys in
+    that partition x sketch size, independent of group row counts); the
+    exchange then carries sketch rows keyed by `key` — O(P) rows per key,
+    never data — and phase 2 merges each key's P sketches with
+    applyInPandas and answers the quantiles. A hot key (one host = 10^8
+    fetches) costs its partitions' sketches, not its rows."""
+
+    def per_partition(batches):
+        sketches: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(key_col, dropna=False):
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = KLLSketch(k=k)
+                sk.update_batch(grp[value_col].to_numpy(dtype=np.float64))
+        rows = [
+            {"key": key, **sk.to_row()}
+            for key, sk in sketches.items()
+            if sk.n
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    partials = df.select(
+        F.col(key_col).cast("string").alias(key_col), value_col
+    ).mapInPandas(per_partition, f"key string, {_SKETCH_SCHEMA}")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k=k)
+        for _, row in pdf.iterrows():
+            sk = sk.merge(KLLSketch.from_row(row))
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].iloc[0],
+                "n": sk.n,
+                "q": [float(q) for q in qs],
+                "value": [sk.quantile(q) for q in qs],
+            }
+        )
+
+    return partials.groupBy("key").applyInPandas(
+        merge_group, "key string, n long, q double, value double"
+    )

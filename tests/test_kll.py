@@ -134,6 +134,29 @@ def test_spark_exchange_is_sketch_sized(spark):
     assert all(len(r["items"]) < 2000 for r in rows)
 
 
+def test_grouped_quantiles_bound_per_group(spark):
+    from layerg_crawler_v2_spark.operators.kll import kll_grouped_quantiles
+
+    rng = np.random.RandomState(9)
+    groups = {
+        "a": rng.uniform(0, 1, 60_000),
+        "b": rng.normal(100, 10, 40_000),
+        "c": np.arange(500, dtype=float),  # small group: exact
+    }
+    pdf = pd.concat(
+        [pd.DataFrame({"host": key, "v": vals}) for key, vals in groups.items()],
+        ignore_index=True,
+    ).sample(frac=1.0, random_state=1)  # interleave groups across partitions
+    df = spark.createDataFrame(pdf).repartition(12)
+    out = kll_grouped_quantiles(df, "host", "v", [0.1, 0.5, 0.9], k=200)
+    rows = out.collect()
+    assert {r["key"] for r in rows} == {"a", "b", "c"}
+    for r in rows:
+        data = groups[r["key"]]
+        assert r["n"] == len(data)
+        assert _interval_err(np.sort(data), r["value"], r["q"]) <= EPS
+
+
 def test_kll_quantiles_surface(spark):
     pdf = pd.DataFrame({"v": np.arange(10_000, dtype=float)})
     df = spark.createDataFrame(pdf)
