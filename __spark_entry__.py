@@ -4005,6 +4005,61 @@ def hll_registers_q(spark, sf):
     return hll_registers(urls, "url", b=10).orderBy("bucket")
 
 
+_HLL_BY_DUCK = """
+WITH k AS (
+  SELECT 'h' || CAST(event_id % 23 AS VARCHAR) AS host,
+         'https://h' || CAST(event_id % 23 AS VARCHAR) || '.test/p'
+           || CAST(event_id % 700 AS VARCHAR) AS url
+  FROM events
+),
+h AS (
+  SELECT host, CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS h
+  FROM k
+),
+parts AS (
+  SELECT host,
+         h // 1125899906842624 AS bucket,
+         h %  1125899906842624 AS suffix
+  FROM h
+)
+SELECT host, bucket,
+       CAST(max(CASE WHEN suffix = 0 THEN 51
+                     ELSE 51 - length(bin(suffix)) END) AS INTEGER)
+         AS register
+FROM parts GROUP BY host, bucket
+"""
+
+
+@_q("sketch_hll_by_host", _HLL_BY_DUCK)
+def hll_by_host_q(spark, sf):
+    """GROUPED HyperLogLog registers (operators/sketch.py
+    hll_registers_by): one register table PER HOST — the per-host
+    distinct-URL counter every crawl dashboard needs ("how many distinct
+    pages does h17 have?") where an exact per-group distinct would
+    shuffle one row per distinct URL per host (10^8 rows for a big host
+    at frontier scale). The exchange is <= 2^b rows per host regardless
+    of host size, and per-host tables from two snapshots merge by the
+    same groupBy MAX. Identical integer pipeline as the driver-green
+    sketch_hll_registers with the group key joining the aggregation key;
+    the DuckDB oracle replays it bit-for-bit, grouped."""
+    from layerg_crawler_v2_spark.operators.sketch import hll_registers_by
+
+    urls = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("h"), (F.col("event_id") % 23).cast("string")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("event_id") % 23).cast("string"),
+            F.lit(".test/p"),
+            (F.col("event_id") % 700).cast("string"),
+        ).alias("url"),
+    )
+    return hll_registers_by(urls, "host", "url", b=10).select(
+        F.col("group").alias("host"), "bucket", "register"
+    )
+
+
 @_q("sketch_kll_quantiles", None)  # merge-order-dependent summary: retained
 # items vary with partition splits (declared in operators/kll.py), so no
 # bit-exact SQL twin exists; the rank-error bound (<= 0.02 across uniform/

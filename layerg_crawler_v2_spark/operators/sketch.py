@@ -205,6 +205,42 @@ def hll_registers(df: DataFrame, key_col: str, b: int = HLL_B) -> DataFrame:
     )
 
 
+def hll_registers_by(
+    df: DataFrame, group_col: str, key_col: str, b: int = HLL_B
+) -> DataFrame:
+    """(group, bucket, register) — one HLL register table PER GROUP, the
+    grouped distinct counter ("distinct URLs per host/day/segment"). The
+    identical integer pipeline as hll_registers with the group key
+    joining the aggregation key: the exchange is <= 2^b rows PER GROUP
+    regardless of group row counts (an exact per-group distinct shuffles
+    one row per distinct key — 10^8 rows for a big host). Two snapshots'
+    outputs merge by groupBy(group, bucket).max(register), same as the
+    ungrouped form."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16]: {b}")
+    nbits = 60 - b
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    src = df.select(
+        F.col(group_col).alias("group"),
+        (h - F.pmod(h, F.lit(1 << nbits))).alias("hi"),
+        F.pmod(h, F.lit(1 << nbits)).alias("suffix"),
+    )
+    return (
+        src.select(
+            "group",
+            F.expr(f"hi div {1 << nbits}").cast("bigint").alias("bucket"),
+            F.when(F.col("suffix") == 0, F.lit(nbits + 1))
+            .otherwise(F.lit(nbits + 1) - F.length(F.bin(F.col("suffix"))))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
 def hll_estimate(registers: DataFrame, b: int = HLL_B) -> float:
     """Driver-side cardinality estimate from hll_registers() output.
     Collects <= 2^b rows (bounded by construction).  Standard HLL:

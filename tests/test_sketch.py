@@ -161,6 +161,36 @@ def test_hll_partitioning_invariance(spark):
     assert {tuple(r) for r in r1} == {tuple(r) for r in r32}
 
 
+def test_hll_grouped_matches_per_group_build(spark):
+    """hll_registers_by(group) == hll_registers run on each group's rows
+    alone — the grouped form is the ungrouped pipeline per group, and
+    each group's estimate lands within the standard error bound."""
+    from pyspark.sql import functions as F
+
+    from layerg_crawler_v2_spark.operators.sketch import hll_registers_by
+
+    df = _keys_df(spark, 6_000, dup=2).withColumn(
+        "grp",
+        F.concat(F.lit("g"), (F.xxhash64("url") % 3).cast("string")),
+    )
+    grouped = hll_registers_by(df, "grp", "url")
+    for g in [r["grp"] for r in df.select("grp").distinct().collect()]:
+        alone = hll_registers(df.filter(F.col("grp") == g), "url")
+        got = {
+            (r["bucket"], r["register"])
+            for r in grouped.filter(F.col("group") == g)
+            .select("bucket", "register")
+            .collect()
+        }
+        want = {tuple(r) for r in alone.collect()}
+        assert got == want, g
+        n_true = df.filter(F.col("grp") == g).select("url").distinct().count()
+        est = hll_estimate(
+            grouped.filter(F.col("group") == g).select("bucket", "register")
+        )
+        assert abs(est - n_true) / n_true < 5 * (1.04 / math.sqrt(1 << HLL_B))
+
+
 # --------------------------------------------------------------------------
 # HLL merge / intersection
 # --------------------------------------------------------------------------
