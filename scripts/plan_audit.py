@@ -330,6 +330,13 @@ AUDITS = [
         "chain length.",
     ),
     (
+        "sketch_hll_by_host",
+        "Grouped HLL: ONE map-side-combined exchange on (host, bucket) — "
+        "<= 2^b rows per group regardless of group row counts, where an "
+        "exact per-group distinct shuffles one row per distinct key. The "
+        "rho/bucket split is whole-stage codegen integer math; no UDF.",
+    ),
+    (
         "wordpiece_encode_words",
         "WordPiece encode: the greedy longest-match loop is ONE "
         "whole-stage-codegen fold per DISTINCT word (vocabulary as two "

@@ -89,6 +89,7 @@ BOUNDS = {
     "redirect_chain_resolve": (10, 0, 0),
     "qb_graphql_string": (0, 0, 0),
     "wordpiece_encode_words": (1, 0, 0),
+    "sketch_hll_by_host": (1, 0, 0),
 }
 
 
